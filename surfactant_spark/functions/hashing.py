@@ -1,0 +1,130 @@
+"""Deterministic hashing / identity primitives.
+
+Content identity is SHA-256 of raw bytes, exactly like the reference
+(`surfactant/fileinfo.py:47-78`); canonical UUIDs are **uuid5 of the
+content hash** rather than the reference's random uuid4
+(`surfactant/sbomtypes/_software.py:44`) — a deliberate divergence so
+resume/retry is idempotent; the reference itself merges on hash
+identity, not UUID (`_sbom.py:280-319`), so triple P/R is unaffected.
+
+``portable_hash64`` is the engine's SQL-portable 60-bit hash: the same
+value is computable in Spark SQL (``conv(substr(md5(x),1,15),16,10)``)
+and DuckDB (``('0x' || substr(md5(x),1,15))::bigint``), which keeps
+MinHash/LSH oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+from typing import Iterable, List, Sequence
+
+SURFACTANT_SPARK_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # uuid.NAMESPACE_URL
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def sha1_hex(data: bytes) -> str:
+    return hashlib.sha1(data).hexdigest()
+
+
+def md5_hex(data: bytes) -> str:
+    return hashlib.md5(data).hexdigest()
+
+
+def canon_uuid(sha256: str) -> str:
+    """Deterministic canonical node UUID from a content hash."""
+    return str(uuid.uuid5(SURFACTANT_SPARK_NS, "sha256:" + sha256))
+
+
+def entity_uuid(canon_name: str) -> str:
+    """Deterministic UUID for an abstract (non-content) entity."""
+    return str(uuid.uuid5(SURFACTANT_SPARK_NS, "entity:" + canon_name))
+
+
+def portable_hash64(s: str) -> int:
+    """60-bit hash from the md5 hex prefix; identical in Spark SQL and
+    DuckDB SQL (see module docstring). Always non-negative (< 2**60)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# --- MinHash ---------------------------------------------------------------
+# k independent universal-hash permutations h_i(x) = (a_i*x + b_i) mod p,
+# p = 2^61-1, over portable_hash64 shingle fingerprints. a_i/b_i are
+# derived deterministically from the index so Spark and oracle agree.
+
+
+def _minhash_coeffs(k: int) -> List[tuple]:
+    coeffs = []
+    for i in range(k):
+        a = (portable_hash64(f"minhash-a-{i}") % (_MERSENNE61 - 1)) + 1
+        b = portable_hash64(f"minhash-b-{i}") % _MERSENNE61
+        coeffs.append((a, b))
+    return coeffs
+
+
+def shingles(text: str, n: int = 3) -> List[str]:
+    """Word n-gram shingles over whitespace tokens (lowercased)."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_signature(text: str, k: int = 32, n: int = 3) -> List[int]:
+    sh = {portable_hash64(s) for s in shingles(text, n)}
+    if not sh:
+        return [_MERSENNE61] * k
+    out = []
+    for a, b in _minhash_coeffs(k):
+        out.append(min((a * x + b) % _MERSENNE61 for x in sh))
+    return out
+
+
+def minhash_bands(sig: Sequence[int], bands: int = 8) -> List[int]:
+    """LSH band keys: hash of each signature band (rows = k/bands)."""
+    rows = len(sig) // bands
+    return [
+        portable_hash64(",".join(str(v) for v in sig[i * rows : (i + 1) * rows]) + f"|band{i}")
+        for i in range(bands)
+    ]
+
+
+def simhash64(tokens: Iterable[str]) -> int:
+    """64-bit SimHash over token fingerprints."""
+    acc = [0] * 64
+    for t in tokens:
+        h = portable_hash64(t)
+        for bit in range(60):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+        h2 = portable_hash64(t + "|hi")
+        for bit in range(4):
+            acc[60 + bit] += 1 if (h2 >> bit) & 1 else -1
+    v = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            v |= 1 << bit
+    return v
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Rabin-Karp style document fingerprint: min rolling hash over byte
+    windows (winnowing-lite); deterministic across engines."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return portable_hash64(text)
+    base, mod = 257, _MERSENNE61
+    h = 0
+    power = pow(base, window - 1, mod)
+    best = mod
+    for i, byte in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * power) % mod
+        h = (h * base + byte) % mod
+        if i >= window - 1 and h < best:
+            best = h
+    return best
