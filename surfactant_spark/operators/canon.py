@@ -1,0 +1,404 @@
+"""Stage 3 — canonicalization: connected components, UUID
+reconciliation, root finding, graph merge.
+
+The reference's merge/canonicalize logic (`surfactant/sbomtypes/
+_sbom.py:173-255`, `cmd/merge.py:131-202`) re-expressed as:
+
+- **connected components**: iterative min-label propagation via
+  DataFrame self-joins with ``localCheckpoint()`` every few rounds to
+  cut lineage (Spark has no recursive CTE; the driver loop is the
+  idiomatic answer — SURVEY.md §4). Large-star/small-star style
+  alternation is unnecessary at our diameter; plain label propagation
+  with doubling via label-of-label joins converges in O(log d) rounds.
+- **UUID reconciliation**: broadcast map join on subj and obj with
+  coalesce (`_sbom.py:203-230`).
+- **roots**: left_anti of nodes against edge children
+  (`cmd/merge.py:157-202`); the reference's order-dependent DFS cycle
+  rule is ported exactly in :func:`get_roots_check_cycles_py` for
+  small-graph parity, while the distributed path uses a deterministic
+  min-uuid representative per rootless component.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Set
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# connected components (G2)
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Undirected connected components by iterative min-label
+    propagation. Returns (id, component) where component is the
+    lexicographic min id in the node's component.
+
+    Each round: label(v) <- min(label(v), min over neighbors u of
+    label(u)) on the symmetrized edge set, until no label changes.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    logical plan — without it the self-join lineage grows
+    exponentially and the optimizer stalls (the 'iterative DataFrame
+    self-join with checkpointing' required by the north rule).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    nodes = (
+        sym.select(F.col("a").alias("id"))
+        .unionByName(sym.select(F.col("b").alias("id")))
+        .dropDuplicates()
+    )
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+
+    for i in range(max_iter):
+        # candidate labels from neighbors
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: label <- label of my label (halves chain length)
+        lbl_of_lbl = new_labels.select(
+            F.col("id").alias("component"), F.col("component").alias("parent")
+        )
+        doubled = (
+            new_labels.join(lbl_of_lbl, "component", "left")
+            .select("id", F.least(F.col("component"), F.coalesce("parent", "component")).alias("component"))
+        )
+        doubled = doubled.localCheckpoint(eager=True) if (i % checkpoint_every == 0) else doubled
+
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled if changed else labels
+        if not changed:
+            break
+    return labels
+
+
+def alias_entity_map(alias_dict: DataFrame) -> DataFrame:
+    """alias -> canonical entity after unioning entities that share an
+    alias (the canonicalization CC over the alias graph). Returns
+    (alias, entity)."""
+    # edges between entities sharing an alias: self-join on alias
+    a = alias_dict.select("alias", F.col("canon_name").alias("e1"))
+    b = alias_dict.select("alias", F.col("canon_name").alias("e2"))
+    ent_edges = (
+        a.join(b, "alias").where(F.col("e1") < F.col("e2")).select("e1", "e2").dropDuplicates()
+    )
+    comp = connected_components(ent_edges, "e1", "e2")
+    return (
+        alias_dict.join(comp, alias_dict["canon_name"] == comp["id"], "left")
+        .select(
+            "alias",
+            F.coalesce("component", "canon_name").alias("entity"),
+        )
+        .dropDuplicates(["alias", "entity"])
+    )
+
+
+# --------------------------------------------------------------------------
+# UUID reconciliation (U2)
+# --------------------------------------------------------------------------
+def rewrite_edge_uuids(edges: DataFrame, uuid_map: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints through (old_uuid -> new_uuid), then dedup
+    — the reference rewrites *before* dedup (`_sbom.py:203-217`); that
+    order is preserved (SURVEY §7.3 hard part 6)."""
+    m = F.broadcast(uuid_map)
+    out = (
+        edges.join(m.withColumnRenamed("old_uuid", "subj_uuid"), "subj_uuid", "left")
+        .withColumn("subj_uuid", F.coalesce("new_uuid", "subj_uuid"))
+        .drop("new_uuid")
+        .join(
+            m.select(
+                F.col("old_uuid").alias("obj_uuid"), F.col("new_uuid").alias("_new_obj")
+            ),
+            "obj_uuid",
+            "left",
+        )
+        .withColumn("obj_uuid", F.coalesce("_new_obj", "obj_uuid"))
+        .drop("_new_obj")
+    )
+    return out.dropDuplicates(["subj_uuid", "pred", "obj_uuid"])
+
+
+def rewrite_container_paths(software: DataFrame, uuid_map: DataFrame) -> DataFrame:
+    """Rewrite the 36-char UUID prefix inside every containerPath string
+    (`_sbom.py:219-230`), then dedup each array."""
+    # single-row map literal broadcast to every partition
+    map_df = uuid_map.agg(
+        F.map_from_entries(F.collect_list(F.struct("old_uuid", "new_uuid"))).alias("_uuid_map")
+    )
+    rewritten = (
+        software.crossJoin(F.broadcast(map_df))
+        .withColumn(
+            "containerPath",
+            F.when(
+                F.col("containerPath").isNull(), F.col("containerPath")
+            ).otherwise(
+                F.array_distinct(
+                    F.transform(
+                        "containerPath",
+                        lambda p: F.concat(
+                            F.coalesce(
+                                F.element_at(F.col("_uuid_map"), F.substring(p, 1, 36)),
+                                F.substring(p, 1, 36),
+                            ),
+                            F.substr(p, F.lit(37), F.length(p)),
+                        ),
+                    )
+                )
+            ),
+        )
+        .drop("_uuid_map")
+    )
+    return rewritten
+
+
+# --------------------------------------------------------------------------
+# graph merge (U1; `_sbom.py:173-255`)
+# --------------------------------------------------------------------------
+def merge_software(base: DataFrame, incoming: DataFrame) -> tuple:
+    """Merge an incoming software table into a base one.
+
+    Match rule (`_sbom.py:280-319`): an incoming entry with any hash
+    matches a base entry iff any same-kind hash is equal (sha256 OR md5
+    OR sha1); an entry with no hashes matches by UUID. The base entry's
+    UUID survives (`_software.py:112-113`). Returns
+    (merged_software, uuid_map) where uuid_map is (old_uuid, new_uuid)
+    for incoming entries that collapsed into base entries.
+
+    Field merge: array fields union (order: base first), scalar fields
+    take the incoming value when it differs (`_software.py:131-136`
+    last-wins), containerPath entries get their UUID prefix rewritten to
+    the surviving UUID (`_software.py:148-152`).
+    """
+    scalar_cols = [c for c in base.columns if c in ("name", "version", "description", "comments")]
+    array_cols = [
+        c
+        for c in base.columns
+        if c in ("fileName", "installPath", "containerPath", "vendor")
+    ]
+    hash_cols = [c for c in ("sha256", "md5", "sha1") if c in base.columns]
+
+    b = base.alias("b")
+    i = incoming.alias("i")
+    hash_match = None
+    for h in hash_cols:
+        cond = F.col(f"b.{h}").isNotNull() & F.col(f"i.{h}").isNotNull() & (
+            F.col(f"b.{h}") == F.col(f"i.{h}")
+        )
+        hash_match = cond if hash_match is None else (hash_match | cond)
+    has_hash = None
+    for h in hash_cols:
+        c = F.col(f"i.{h}").isNotNull()
+        has_hash = c if has_hash is None else (has_hash | c)
+    if hash_match is None:
+        hash_match = F.lit(False)
+        has_hash = F.lit(False)
+    uuid_match = (~has_hash) & (F.col("b.uuid") == F.col("i.uuid"))
+
+    pairs = b.join(i, hash_match | uuid_match, "inner").select(
+        F.col("b.uuid").alias("base_uuid"), F.col("i.uuid").alias("inc_uuid")
+    )
+    # one base target per incoming entry (deterministic min)
+    pairs = pairs.groupBy("inc_uuid").agg(F.min("base_uuid").alias("base_uuid"))
+    uuid_map = pairs.select(
+        F.col("inc_uuid").alias("old_uuid"), F.col("base_uuid").alias("new_uuid")
+    ).where(F.col("old_uuid") != F.col("new_uuid"))
+
+    matched_inc = incoming.join(
+        pairs.withColumnRenamed("inc_uuid", "uuid"), "uuid", "inner"
+    )
+    unmatched_inc = incoming.join(pairs.withColumnRenamed("inc_uuid", "uuid"), "uuid", "left_anti")
+
+    # merge matched incoming into their base rows
+    inc_for_merge = matched_inc.withColumn(
+        "containerPath",
+        F.when(F.col("containerPath").isNull(), None).otherwise(
+            F.transform(
+                "containerPath",
+                lambda p: F.when(
+                    p.startswith(F.col("uuid")),
+                    F.concat(F.col("base_uuid"), F.substr(p, F.length("uuid") + 1, F.length(p))),
+                ).otherwise(p),
+            )
+        )
+        if "containerPath" in incoming.columns
+        else F.lit(None),
+    )
+    merged_cols = [F.col("b.uuid").alias("uuid")]
+    for c in base.columns:
+        if c == "uuid":
+            continue
+        if c in array_cols:
+            merged_cols.append(
+                F.when(
+                    F.col(f"m.{c}").isNull(), F.col(f"b.{c}")
+                )
+                .when(F.col(f"b.{c}").isNull(), F.col(f"m.{c}"))
+                .otherwise(
+                    F.concat(
+                        F.col(f"b.{c}"),
+                        F.filter(
+                            F.col(f"m.{c}"),
+                            lambda x: ~F.array_contains(F.col(f"b.{c}"), x),
+                        ),
+                    )
+                )
+                .alias(c)
+            )
+        elif c in scalar_cols:
+            # incoming wins when it differs (reference last-wins)
+            merged_cols.append(
+                F.when(F.col("m.uuid").isNotNull(), F.col(f"m.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+            )
+        else:
+            merged_cols.append(F.coalesce(F.col(f"b.{c}"), F.col(f"m.{c}")).alias(c))
+    merged_base = (
+        b.join(
+            inc_for_merge.select(
+                F.col("base_uuid"), *[F.col(c).alias(c) for c in incoming.columns]
+            ).alias("m"),
+            F.col("b.uuid") == F.col("m.base_uuid"),
+            "left",
+        ).select(*merged_cols)
+    )
+    merged = merged_base.unionByName(unmatched_inc.select(*base.columns), allowMissingColumns=True)
+    return merged, uuid_map
+
+
+# --------------------------------------------------------------------------
+# roots (G1-G3)
+# --------------------------------------------------------------------------
+def find_roots(nodes: DataFrame, edges: DataFrame, id_col: str = "uuid") -> DataFrame:
+    """Nodes that never appear as a child (yUUID) — left_anti, the
+    set-at-a-time form of `cmd/merge.py:157-202` for acyclic graphs."""
+    children = edges.select(F.col("obj_uuid").alias(id_col)).dropDuplicates()
+    return nodes.select(id_col).join(children, id_col, "left_anti")
+
+
+def find_roots_with_cycles(nodes: DataFrame, edges: DataFrame, id_col: str = "uuid") -> DataFrame:
+    """Distributed root finding with cycle handling: true roots via
+    left_anti; components (over undirected reachability) containing no
+    root elect their min-uuid node as root. Deterministic; diverges from
+    the reference's insertion-order DFS rule only on pure cycles (the
+    reference's choice depends on Python dict order — not meaningful for
+    a distributed table; see get_roots_check_cycles_py for exact
+    parity on driver-sized graphs)."""
+    roots = find_roots(nodes, edges, id_col)
+    comp = connected_components(edges, "subj_uuid", "obj_uuid")
+    comp_with_root = (
+        comp.join(roots.withColumnRenamed(id_col, "id"), "id", "inner")
+        .select("component")
+        .dropDuplicates()
+    )
+    rootless_elected = (
+        comp.join(comp_with_root, "component", "left_anti")
+        .groupBy("component")
+        .agg(F.min("id").alias(id_col))
+        .select(id_col)
+    )
+    isolated = nodes.select(id_col).join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    # isolated nodes are roots too (no edges at all); avoid double-count
+    return roots.unionByName(rootless_elected).unionByName(
+        isolated.join(roots, id_col, "left_anti")
+    ).dropDuplicates()
+
+
+def attach_system(edges: DataFrame, roots: DataFrame, system_uuid: str, rel: str = "Contains") -> DataFrame:
+    """G3 — (system_uuid, rel, root) for each root (`cmd/merge.py:111-127`)."""
+    sys_edges = roots.select(
+        F.lit(system_uuid).alias("subj_uuid"),
+        F.lit(rel).alias("pred"),
+        F.col(roots.columns[0]).alias("obj_uuid"),
+    )
+    return edges.select("subj_uuid", "pred", "obj_uuid").unionByName(sys_edges).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# exact reference-parity DFS (driver-side, small graphs / tests)
+# --------------------------------------------------------------------------
+def get_roots_check_cycles_py(rel_graph: Dict[str, List[str]]) -> Set[str]:
+    """Behavioral port of the reference's root/cycle rule
+    (`cmd/merge.py:157-202`): walk parent pointers depth-first in dict
+    insertion order; a node with no parents is a root; when a cycle is
+    detected and none of a node's parents leads to a definite root, that
+    node becomes the root. Driver-side, for small graphs / test parity —
+    the distributed path is :func:`find_roots_with_cycles`.
+    """
+    import sys
+
+    sys.setrecursionlimit(max(10000, 4 * len(rel_graph) + 100))
+    visited: Set[str] = set()
+    roots: Set[str] = set()
+    root_found: Set[str] = set()
+    rec_stack: deque = deque()
+
+    def walk(node: str) -> bool:
+        rec_stack.append(node)
+        if node in visited:
+            rec_stack.pop()
+            return node in root_found
+        visited.add(node)
+        if not rel_graph[node]:
+            roots.add(node)
+            root_found.add(node)
+            rec_stack.pop()
+            return True
+        saw_cycle = False
+        for parent in rel_graph[node]:
+            if parent in rec_stack:
+                saw_cycle = True
+            if walk(parent):
+                root_found.add(node)
+        if saw_cycle and node not in root_found:
+            roots.add(node)
+            root_found.add(node)
+        rec_stack.pop()
+        return node in root_found
+
+    for n in rel_graph:
+        walk(n)
+    return roots
+
+
+def build_rel_graph(node_ids: List[str], edges: List[tuple]) -> Dict[str, List[str]]:
+    """Adjacency with inverted edges (child -> parents), insertion order
+    preserved (`cmd/merge.py:131-154`)."""
+    g: Dict[str, List[str]] = {n: [] for n in node_ids}
+    for x, y in edges:
+        if x not in g or y not in g:
+            continue
+        g[y].append(x)
+    return g
