@@ -53,18 +53,12 @@ def portable_hash64(s: str) -> int:
 
 
 # --- MinHash ---------------------------------------------------------------
-# k independent universal-hash permutations h_i(x) = (a_i*x + b_i) mod p,
-# p = 2^61-1, over portable_hash64 shingle fingerprints. a_i/b_i are
-# derived deterministically from the index so Spark and oracle agree.
-
-
-def _minhash_coeffs(k: int) -> List[tuple]:
-    coeffs = []
-    for i in range(k):
-        a = (portable_hash64(f"minhash-a-{i}") % (_MERSENNE61 - 1)) + 1
-        b = portable_hash64(f"minhash-b-{i}") % _MERSENNE61
-        coeffs.append((a, b))
-    return coeffs
+# k independent hash families realized as salted md5 fingerprints:
+# h_i(shingle) = portable_hash64(f"{i}:{shingle}"). Unlike the classic
+# affine-permutation scheme ((a*x+b) mod p), this needs no 128-bit
+# multiply, so the *identical* signature is computable in Spark SQL and
+# DuckDB SQL (concat + md5 + hex-prefix cast) — the whole MinHash/LSH
+# dedup pipeline stays oracle-checkable.
 
 
 def shingles(text: str, n: int = 3) -> List[str]:
@@ -75,21 +69,18 @@ def shingles(text: str, n: int = 3) -> List[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def minhash_signature(text: str, k: int = 32, n: int = 3) -> List[int]:
-    sh = {portable_hash64(s) for s in shingles(text, n)}
+def minhash_signature(text: str, k: int = 16, n: int = 3) -> List[int]:
+    sh = set(shingles(text, n))
     if not sh:
         return [_MERSENNE61] * k
-    out = []
-    for a, b in _minhash_coeffs(k):
-        out.append(min((a * x + b) % _MERSENNE61 for x in sh))
-    return out
+    return [min(portable_hash64(f"{i}:{s}") for s in sh) for i in range(k)]
 
 
-def minhash_bands(sig: Sequence[int], bands: int = 8) -> List[int]:
+def minhash_bands(sig: Sequence[int], bands: int = 4) -> List[int]:
     """LSH band keys: hash of each signature band (rows = k/bands)."""
     rows = len(sig) // bands
     return [
-        portable_hash64(",".join(str(v) for v in sig[i * rows : (i + 1) * rows]) + f"|band{i}")
+        portable_hash64(f"band{i}:" + ",".join(str(v) for v in sig[i * rows : (i + 1) * rows]))
         for i in range(bands)
     ]
 

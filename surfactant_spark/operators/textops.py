@@ -1,0 +1,97 @@
+"""Text analysis operators over a documents corpus.
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+JVM Column expressions (whole-stage codegen; zero Python in the hot
+path) with DuckDB-replayable semantics. The pure-Python twins in
+functions/textlib.py serve the synthetic-pages path; these serve the
+driver's documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import norm_text_col, portable_hash64_col
+
+TOKEN_REGEX = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+_STOP = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "dans"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "en"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def _stop_score(text: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in _STOP[lang]])
+    return F.size(F.filter(_tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Stopword-vote language id (fixed tie order en>de>fr>es; 'und'
+    when nothing matches). SQL-replayable: greatest over per-language
+    counts with deterministic tie-break by declaration order."""
+    scores = {lang: _stop_score(text, lang) for lang in ("en", "de", "fr", "es")}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed: earlier languages win ties because later whens only fire
+    # when strictly greater... build with first-match-wins ordering:
+    expr = (
+        F.when(best <= 0, "und")
+        .when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    _ = out
+    return expr
+
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish token count (same regex as functions.textlib.token_count)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score; every term is a plain SQL
+    expression (length score, alpha ratio, en-stopword ratio, mean word
+    length band)."""
+    n = F.length(text)
+    toks = _tokens(text)
+    n_toks = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n
+    stop_ratio = _stop_score(text, "en") / n_toks
+    mean_wl = F.aggregate(toks, F.lit(0.0), lambda s, t: s + F.length(t)) / n_toks
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.5)
+    score = (
+        0.35 * len_score
+        + 0.3 * alpha
+        + 0.2 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.15 * wl_score
+    )
+    return F.when((n == 0) | (n_toks == 0), 0.0).otherwise(F.round(score, 6))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: portable 60-bit hash of normalized text —
+    the cheap cross-engine fingerprint (the rolling winnow variant
+    lives in functions.hashing.rolling_fingerprint for Python-side use)."""
+    return portable_hash64_col(norm_text_col(text))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis projection (all columns share the scan)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        lang_id_col(t).alias("lang_pred"),
+        token_count_col(t).alias("n_tokens"),
+        quality_score_col(t).alias("quality"),
+        fingerprint_col(t).alias("fingerprint"),
+    )

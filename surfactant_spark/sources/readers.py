@@ -1,0 +1,52 @@
+"""Table readers — the engine's scan surface (S1-S6, S11).
+
+The corpus *is* a table (`spark.read.parquet(...)`), which replaces the
+reference's recursive directory walk (`surfactant/cmd/generate.py:
+411-522`) with a partitioned columnar scan that Catalyst can prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: the driver's ``documents`` table as a pages-shaped
+    corpus (FIXTURES.md §1: ``url := source || '/' || doc_id``). The
+    ``html`` column is the utf-8 text bytes; ``warc_ts`` is a
+    deterministic function of doc_id so runs are reproducible."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias(
+            "warc_ts"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def single_page(pages: DataFrame, url: str) -> DataFrame:
+    """S2 — single-document scan: predicate pushed to the parquet scan
+    (`cmd/generate.py:384-408` analogue)."""
+    return pages.where(F.col("url") == F.lit(url))

@@ -1,0 +1,86 @@
+"""Sinks and export projections (S7-S10).
+
+The canonical sink is partitioned parquet (Iceberg-shaped; see
+plans/pipeline.SnapshotStore for the snapshot seam). The CSV/JSON
+export writers are *projections* of the node/edge tables, mirroring the
+reference's writer plugins:
+
+- CSV: one output row per install path — an explode
+  (`surfactant/output/csv_writer.py:55-74`);
+- CyTRICS-style JSON: nested document per node
+  (`surfactant/output/cytrics_writer.py:12-15`);
+- SPDX-like: relationship triples with namespaced predicates
+  (`surfactant/output/spdx_writer.py:31-613`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_nodes(nodes: DataFrame, path: str) -> None:
+    """Nodes bucketed by hash prefix of sha256 — at 100 TB this gives
+    uniformly sized files and lets a downstream join on sha256 prune."""
+    nodes.withColumn("bucket", F.pmod(F.xxhash64("sha256"), F.lit(64))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def write_edges(edges: DataFrame, path: str) -> None:
+    """Edges partitioned by predicate (low-cardinality; partition
+    pruning for per-predicate consumers)."""
+    edges.write.mode("overwrite").partitionBy("pred").parquet(path)
+
+
+def csv_export(nodes: DataFrame) -> DataFrame:
+    """One row per (node, alias path) — the reference CSV writer's
+    explode (`output/csv_writer.py:55-74`)."""
+    return nodes.select(
+        F.col("canon_uuid"),
+        F.col("sha256"),
+        F.explode("aliases").alias("path"),
+        F.element_at(F.col("names"), 1).alias("name"),
+        F.col("first_seen"),
+    )
+
+
+def json_export(nodes: DataFrame, edges: DataFrame):
+    """CyTRICS-shaped nested JSON projections (node docs + edge docs)."""
+    node_docs = nodes.select(
+        F.to_json(
+            F.struct(
+                F.col("canon_uuid").alias("UUID"),
+                F.col("sha256"),
+                F.col("names").alias("fileName"),
+                F.col("aliases").alias("installPath"),
+                F.col("n_sources"),
+            )
+        ).alias("json")
+    )
+    edge_docs = edges.select(
+        F.to_json(
+            F.struct(
+                F.col("subj_uuid").alias("xUUID"),
+                F.col("obj_uuid").alias("yUUID"),
+                F.col("pred").alias("relationship"),
+            )
+        ).alias("json")
+    )
+    return node_docs, edge_docs
+
+
+def spdx_like_export(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """SPDX-flavoured relationship projection: predicates mapped to the
+    SPDX vocabulary, container duplicates collapsed
+    (`output/spdx_writer.py:66-73` dedup analogue)."""
+    pred_map = F.when(F.col("pred") == "Contains", "CONTAINS").when(
+        F.col("pred") == "Uses", "DEPENDS_ON"
+    ).otherwise(F.upper(F.col("pred")))
+    return (
+        edges.select(
+            F.concat(F.lit("SPDXRef-"), F.col("subj_uuid")).alias("spdxElementId"),
+            pred_map.alias("relationshipType"),
+            F.concat(F.lit("SPDXRef-"), F.col("obj_uuid")).alias("relatedSpdxElement"),
+        )
+        .dropDuplicates()
+    )
