@@ -50,8 +50,8 @@ def connected_components(
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
     sym = sym.localCheckpoint(eager=True)

@@ -59,11 +59,25 @@ class SnapshotStore:
         writer.parquet(self.path(stage))
         snapshot_id = f"{stage}-{int(time.time() * 1000)}"
         with open(self.marker(stage), "w", encoding="utf-8") as f:
-            json.dump({"snapshot_id": snapshot_id, "stage": stage}, f)
+            # schema persisted so an all-empty stage (zero parquet files)
+            # still reads back on resume
+            json.dump(
+                {"snapshot_id": snapshot_id, "stage": stage, "schema": df.schema.json()},
+                f,
+            )
         return snapshot_id
 
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(stage))
+        reader = self.spark.read
+        marker = self.marker(stage)
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                info = json.load(f)
+            if "schema" in info:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(info["schema"])))
+        return reader.parquet(self.path(stage))
 
     def snapshot_id(self, stage: str) -> str:
         with open(self.marker(stage), encoding="utf-8") as f:

@@ -1,0 +1,144 @@
+"""Canonicalization stage: connected components, UUID reconciliation,
+merge semantics, root finding — the reference's merge-test contract
+(`/root/reference/tests/cmd/test_merge.py:163-350`, `cmd/merge.py:131-202`)
+in DataFrame form, plus CC property tests on chains/cycles."""
+
+from pyspark.sql import Row, functions as F
+
+from surfactant_spark.operators.canon import (
+    alias_entity_map,
+    attach_system,
+    build_rel_graph,
+    connected_components,
+    find_roots,
+    find_roots_with_cycles,
+    get_roots_check_cycles_py,
+    rewrite_edge_uuids,
+)
+
+
+def _cc_map(spark, edges, max_iter=50):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.id: r.component for r in connected_components(df, max_iter=max_iter).collect()}
+
+
+def test_cc_two_components(spark):
+    comp = _cc_map(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    comp = _cc_map(spark, edges)
+    assert set(comp.values()) == {"n000"}
+
+
+def test_cc_cycle_and_self_loop(spark):
+    comp = _cc_map(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("z", "z")])
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert "z" not in comp  # self-loops carry no connectivity
+
+
+def test_alias_entity_map_unions_shared_alias(spark):
+    alias = spark.createDataFrame(
+        [("e1", "e1", "k"), ("shared", "e1", "k"), ("shared", "e2", "k"), ("e3", "e3", "k")],
+        ["alias", "canon_name", "entity_kind"],
+    )
+    m = {r.alias: r.entity for r in alias_entity_map(alias).collect()}
+    assert m["shared"] == "e1" and m["e1"] == "e1" and m["e3"] == "e3"
+
+
+def test_rewrite_edge_uuids_then_dedup(spark):
+    # rewrite-before-dedup order (`_sbom.py:203-217`; SURVEY §7.3 #6)
+    edges = spark.createDataFrame(
+        [("old1", "Uses", "b", 1, ["u"]), ("new1", "Uses", "b", 1, ["u"]), ("b", "Uses", "old1", 1, ["u"])],
+        ["subj_uuid", "pred", "obj_uuid", "n_evidence", "sources"],
+    )
+    umap = spark.createDataFrame([("old1", "new1")], ["old_uuid", "new_uuid"])
+    got = {
+        (r.subj_uuid, r.pred, r.obj_uuid)
+        for r in rewrite_edge_uuids(edges, umap).collect()
+    }
+    assert got == {("new1", "Uses", "b"), ("b", "Uses", "new1")}
+
+
+def test_find_roots_left_anti(spark):
+    nodes = spark.createDataFrame([Row(uuid=u) for u in "abcd"])
+    edges = spark.createDataFrame(
+        [("a", "Contains", "b"), ("b", "Contains", "c")],
+        ["subj_uuid", "pred", "obj_uuid"],
+    )
+    assert {r.uuid for r in find_roots(nodes, edges).collect()} == {"a", "d"}
+
+
+def test_find_roots_with_cycles_elects_min(spark):
+    nodes = spark.createDataFrame([Row(uuid=u) for u in ["c1", "c2", "c3", "iso"]])
+    edges = spark.createDataFrame(
+        [("c1", "Contains", "c2"), ("c2", "Contains", "c3"), ("c3", "Contains", "c1")],
+        ["subj_uuid", "pred", "obj_uuid"],
+    )
+    got = {r.uuid for r in find_roots_with_cycles(nodes, edges).collect()}
+    assert got == {"c1", "iso"}  # pure cycle elects min uuid; isolated node is a root
+
+
+def test_attach_system(spark):
+    edges = spark.createDataFrame(
+        [("a", "Contains", "b")], ["subj_uuid", "pred", "obj_uuid"]
+    )
+    roots = spark.createDataFrame([Row(uuid="a")])
+    got = {
+        (r.subj_uuid, r.pred, r.obj_uuid)
+        for r in attach_system(edges, roots, "sys-1", "Includes").collect()
+    }
+    assert got == {("a", "Contains", "b"), ("sys-1", "Includes", "a")}
+
+
+def test_reference_dfs_cycle_rule_parity():
+    # acyclic: roots are parentless nodes (`cmd/merge.py:157-185`)
+    g = build_rel_graph(["a", "b", "c", "d"], [("a", "b"), ("b", "c")])
+    assert get_roots_check_cycles_py(g) == {"a", "d"}
+    # pure cycle: entry node of the walk becomes root (`cmd/merge.py:186-196`)
+    g2 = build_rel_graph(["a", "b", "c"], [("a", "b"), ("b", "c"), ("c", "a")])
+    assert len(get_roots_check_cycles_py(g2)) >= 1
+    # cycle with an external root: only the true root remains
+    g3 = build_rel_graph(["r", "a", "b"], [("r", "a"), ("a", "b"), ("b", "a")])
+    assert get_roots_check_cycles_py(g3) == {"r"}
+
+
+def test_merge_software_hash_and_uuid_matching(spark):
+    from surfactant_spark.operators.canon import merge_software
+
+    schema = (
+        "uuid string, sha256 string, md5 string, fileName array<string>, "
+        "installPath array<string>, containerPath array<string>, name string"
+    )
+    base = spark.createDataFrame(
+        [
+            ("u1", "h1", None, ["f1"], ["/a/f1"], ["u1/f1"], "one"),
+            ("u2", "h2", "m2", ["f2"], ["/a/f2"], None, "two"),
+        ],
+        schema,
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("u9", "h1", None, ["f1", "f1b"], ["/b/f1"], ["u9/f1"], "one-renamed"),  # sha match
+            ("u2", None, None, ["f2x"], None, None, "two"),  # uuid match (no hashes)
+            ("u5", "h5", None, ["f5"], ["/a/f5"], None, "five"),  # new
+        ],
+        schema,
+    )
+    merged, umap = merge_software(base, incoming)
+    mp = {r.uuid: r for r in merged.collect()}
+    assert set(mp) == {"u1", "u2", "u5"}
+    assert {(r.old_uuid, r.new_uuid) for r in umap.collect()} == {("u9", "u1")}
+    # array union keeps base order then appends new items
+    assert mp["u1"].fileName == ["f1", "f1b"]
+    assert mp["u1"].installPath == ["/a/f1", "/b/f1"]
+    # containerPath UUID prefix rewritten to surviving uuid (`_software.py:148-152`)
+    assert mp["u1"].containerPath == ["u1/f1"]
+    # scalar: incoming wins when matched (`_software.py:131-136` last-wins)
+    assert mp["u1"].name == "one-renamed"
+    assert mp["u2"].fileName == ["f2", "f2x"]
+    assert mp["u5"].name == "five"

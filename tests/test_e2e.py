@@ -1,0 +1,62 @@
+"""Golden end-to-end: synthetic pages -> full pipeline vs the pure
+pandas oracle (P/R == 1.0 at this scale; contract is >= 0.95,
+BASELINE.md), plus snapshot resume and lineage (the reference's
+restart-from-scratch gap, SURVEY §4)."""
+
+import os
+
+from surfactant_spark.oracle import precision_recall, run_oracle
+from surfactant_spark.plans.pipeline import run_pipeline
+
+
+def test_pipeline_matches_oracle(spark, spark_pages, spark_alias, corpus, tmp_path):
+    pages_pdf, alias_pdf = corpus
+    res = run_pipeline(spark, spark_pages, spark_alias, str(tmp_path / "wd"))
+    edges = res.edges.toPandas()
+    nodes = res.nodes.toPandas()
+
+    onodes, oedges, otriples = run_oracle(pages_pdf, alias_pdf)
+    got = set(zip(edges.subj_uuid, edges.pred, edges.obj_uuid))
+    p, r = precision_recall(got, otriples)
+    assert p == 1.0 and r == 1.0
+    assert len(nodes) == len(onodes)
+
+    # evidence counts match the oracle exactly
+    oev = {(e.subj_uuid, e.pred, e.obj_uuid): e.n_evidence for e in oedges.itertuples()}
+    for e in edges.itertuples():
+        assert e.n_evidence == oev[(e.subj_uuid, e.pred, e.obj_uuid)]
+
+    # lineage rows exist for every executed stage
+    stages = {r_.stage for r_ in res.lineage.toPandas().itertuples()}
+    assert {"extract", "nodes", "edges"} <= stages
+
+
+def test_pipeline_resume_skips_completed_stages(spark, spark_pages, spark_alias, tmp_path):
+    wd = str(tmp_path / "wd2")
+    first = run_pipeline(spark, spark_pages, spark_alias, wd)
+    assert first.stages_resumed == []
+    n_edges = first.edges.count()
+
+    # simulate a crash after 'extract': remove later-stage markers
+    for stage in ("nodes", "edges"):
+        os.remove(os.path.join(wd, f"_{stage}_OK"))
+    second = run_pipeline(spark, spark_pages, spark_alias, wd)
+    assert "extract" in second.stages_resumed
+    assert {"nodes", "edges"} <= set(second.stages_run)
+    assert second.edges.count() == n_edges
+
+    # full resume: nothing recomputed, identical output
+    third = run_pipeline(spark, spark_pages, spark_alias, wd)
+    assert set(third.stages_resumed) >= {"extract", "nodes", "edges"}
+    assert third.edges.count() == n_edges
+
+
+def test_duplicate_pages_share_canonical_node(spark, spark_pages, corpus):
+    """Byte-identical pages under different urls collapse; edges from a
+    duplicate url attribute to the canonical node (content identity,
+    `_sbom.py:75-83`)."""
+    from surfactant_spark.functions.hashing import sha256_hex
+
+    pages_pdf, _ = corpus
+    shas = pages_pdf.html.map(bytes).map(sha256_hex)
+    assert shas.nunique() < len(pages_pdf)  # synth guarantees duplicates
