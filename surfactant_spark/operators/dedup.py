@@ -225,13 +225,27 @@ def dedup_simhash(
 
 
 def cosine_col(a: Column, b: Column) -> Column:
+    # cast each float to double BEFORE multiplying: better numerics and
+    # bit-identical to the DuckDB oracle's expression tree (queries.py)
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, x: s + x))
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 

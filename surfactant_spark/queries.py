@@ -1,0 +1,693 @@
+"""Driver-contract query surface: one entry per SURVEY.md §2 operator
+family, each as ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) a DuckDB oracle returning identical columns/values.
+
+Cross-engine determinism rules used throughout (SURVEY §7.3):
+
+- money/quantity aggregates go through ``decimal(18,2)`` casts so sums
+  are exact and order-independent, then one final cast-to-double+round;
+- every float output is either exact-derived (int/decimal arithmetic)
+  or produced by the *same* IEEE expression tree in both engines;
+- hashes use the SQL-portable md5-prefix hash (functions/hashing.py);
+- timestamps are emitted as epoch seconds (bigint);
+- arrays are sorted before emission;
+- rankings order by the *rounded* score with an id tie-break.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_normalized,
+    dedup_simhash,
+    norm_text_col,
+)
+from .operators.multimodal import documents_as_media, extract_media_features
+from .operators.similarity import topk_bruteforce, topk_ivf, topk_lsh
+from .operators.textops import analyze_documents
+
+TOKEN_PAT = r"[a-z][a-z0-9_.\-]{3,}"
+
+_D = "decimal(18,2)"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: token-mention KG construction over the documents corpus
+# (stage 1 extract -> stage 2 link -> stage 3 canonical edges, the
+# documents-table twin of plans/pipeline.run_pipeline; reference shape:
+# per-file mention extraction + import/export linking,
+# `surfactant/relationships/java_relationship.py:11-51`)
+# ---------------------------------------------------------------------------
+def _kg_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat("source", F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PAT), 0).alias("toks"),
+    )
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> Uses edges: each doc *exports* its top token (the
+    analogue of a library's soname), *mentions* every distinct token;
+    mention links to the min-canonical-id exporter (J4 broadcast-join
+    pattern, single deterministic supplier per symbol)."""
+    base = _kg_base(spark, sf_dir)
+    canon = base.groupBy("sha").agg(F.min("doc_id").alias("canonical_id"))
+    base2 = base.join(canon, "sha")
+
+    tok_counts = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (
+        tok_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"))
+    )
+    exporters = (
+        top.join(base2.select("doc_id", "canonical_id"), "doc_id")
+        .groupBy(F.col("top_token").alias("tok"))
+        .agg(F.min("canonical_id").alias("obj_id"))
+    )
+    mentions = base2.select(
+        F.col("canonical_id").alias("subj_id"),
+        "url",
+        F.explode(F.array_distinct("toks")).alias("tok"),
+    )
+    return (
+        mentions.join(F.broadcast(exporters), "tok")
+        .where(F.col("subj_id") != F.col("obj_id"))
+        .groupBy("subj_id", "obj_id")
+        .agg(
+            F.countDistinct("url").alias("n_evidence"),
+            F.array_sort(F.collect_set("url")).alias("sources"),
+        )
+        .select("subj_id", F.lit("Uses").alias("pred"), "obj_id", "n_evidence", "sources")
+    )
+
+
+SQL_KG_BASE = f"""
+base AS (
+  SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         sha256(text) AS sha,
+         regexp_extract_all(lower(text), '{TOKEN_PAT}') AS toks
+  FROM documents
+)"""
+
+SQL_KG_EDGES = f"""
+WITH {SQL_KG_BASE},
+canon AS (SELECT sha, MIN(doc_id) AS canonical_id FROM base GROUP BY sha),
+base2 AS (SELECT b.*, c.canonical_id FROM base b JOIN canon c USING (sha)),
+tok_counts AS (
+  SELECT doc_id, t.tok AS tok, COUNT(*) AS cnt
+  FROM base, UNNEST(toks) AS t(tok) GROUP BY doc_id, t.tok),
+top AS (
+  SELECT doc_id, tok AS top_token FROM (
+    SELECT doc_id, tok,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn
+    FROM tok_counts) WHERE rn = 1),
+exporters AS (
+  SELECT top_token AS tok, MIN(canonical_id) AS obj_id
+  FROM top JOIN base2 USING (doc_id) GROUP BY top_token),
+mentions AS (
+  SELECT DISTINCT b.canonical_id AS subj_id, b.url, t.tok
+  FROM base2 b, UNNEST(b.toks) AS t(tok))
+SELECT m.subj_id, 'Uses' AS pred, e.obj_id,
+       COUNT(DISTINCT m.url) AS n_evidence,
+       list_sort(list(DISTINCT m.url)) AS sources
+FROM mentions m JOIN exporters e USING (tok)
+WHERE m.subj_id <> e.obj_id
+GROUP BY m.subj_id, e.obj_id
+"""
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-dedup node table (A1/J5: groupBy sha, min-id canonical,
+    alias union, source count)."""
+    base = _kg_base(spark, sf_dir)
+    return base.groupBy("sha").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.array_sort(F.collect_set("url")).alias("aliases"),
+        F.countDistinct("url").alias("n_sources"),
+    )
+
+
+SQL_KG_NODES = f"""
+WITH {SQL_KG_BASE}
+SELECT sha, MIN(doc_id) AS canonical_id,
+       list_sort(list(DISTINCT url)) AS aliases,
+       COUNT(DISTINCT url) AS n_sources
+FROM base GROUP BY sha
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data operators)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_sha256, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY sha256(text)
+"""
+
+def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_normalized(_read(spark, sf_dir, "documents"))
+
+
+SQL_NORM_TEXT = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+SQL_DEDUP_NORM = f"""
+SELECT md5({SQL_NORM_TEXT}) AS norm_md5, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY md5({SQL_NORM_TEXT})
+"""
+
+MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD = 16, 4, 0.25
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash(
+        _read(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+SQL_SHINGLES_FROM_TOKS = """CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in range(1, len(toks) - 1)] END"""
+
+SQL_TOKS_SUBSELECT = (
+    r"SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS toks"
+    r" FROM documents"
+)
+
+
+_H = "('0x' || substr(md5({expr}), 1, 15))::bigint"
+
+
+def _sql_minhash_tables() -> str:
+    mh_cols = ",\n    ".join(
+        "list_min(["
+        + _H.format(expr=f"'{i}:' || s")
+        + " for s in sh]) AS mh" + str(i)
+        for i in range(MINHASH_K)
+    )
+    rows = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        slice_exprs = " || ',' || ".join(
+            f"CAST(mh{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        key = _H.format(expr=f"'band{b}:' || {slice_exprs}")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+sh AS (
+  SELECT doc_id, list_distinct({SQL_SHINGLES_FROM_TOKS}) AS sh
+  FROM ({SQL_TOKS_SUBSELECT})),
+sigs AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh),
+bands AS ({bands_sql}),
+sized AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+pairs AS (
+  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+  FROM bands b1
+  JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
+  JOIN sized s ON b1.band = s.band AND b1.band_key = s.band_key
+  WHERE b1.doc_id < b2.doc_id)"""
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_sql_minhash_tables()}
+SELECT p.id1, p.id2,
+       round(len(list_intersect(a.sh, b.sh)) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id1
+JOIN sh b ON b.doc_id = p.id2
+WHERE len(list_intersect(a.sh, b.sh)) /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= {MINHASH_THRESHOLD}
+"""
+
+NGRAM_THRESHOLD = 0.25
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(
+        _read(spark, sf_dir, "documents"),
+        threshold=NGRAM_THRESHOLD,
+        block_col="source",
+    )
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH sh AS (
+  SELECT doc_id, source AS blk, list_distinct({SQL_SHINGLES_FROM_TOKS}) AS sh
+  FROM ({SQL_TOKS_SUBSELECT}))
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+             ELSE len(list_intersect(a.sh, b.sh)) /
+                  len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+      ELSE len(list_intersect(a.sh, b.sh)) /
+           len(list_distinct(list_concat(a.sh, b.sh))) END >= {NGRAM_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle: the 64-bit simhash accumulator is Python-side
+    # (Arrow-batched); correctness is pinned by tests/test_dedup_ops.py
+    return dedup_simhash(_read(spark, sf_dir, "documents"), max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analyze_documents(_read(spark, sf_dir, "documents"))
+
+
+def _sql_stop(lang_words) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in lang_words) + "]"
+    return (
+        "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" t -> t <> ''), t -> list_contains({arr}, t)))"
+    )
+
+
+def _sql_text_analysis() -> str:
+    from .operators.textops import _STOP, TOKEN_REGEX
+
+    s_en, s_de, s_fr, s_es = (_sql_stop(_STOP[lang]) for lang in ("en", "de", "fr", "es"))
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    n_toks = f"len({toks})"
+    alpha = "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text)"
+    mean_wl = f"list_sum([len(t) for t in {toks}]) / {n_toks}"
+    len_score = "least(len(text) / 500.0, 1.0)"
+    wl_score = f"CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 10.0 THEN 1.0 ELSE 0.5 END"
+    stop_ratio = f"{s_en} / {n_toks}"
+    score = (
+        f"0.35 * {len_score} + 0.3 * {alpha} + 0.2 * least({stop_ratio} * 4, 1.0)"
+        f" + 0.15 * {wl_score}"
+    )
+    best = f"greatest({s_en}, {s_de}, {s_fr}, {s_es})"
+    lang_pred = f"""CASE WHEN {best} <= 0 THEN 'und'
+         WHEN {s_en} = {best} THEN 'en'
+         WHEN {s_de} = {best} THEN 'de'
+         WHEN {s_fr} = {best} THEN 'fr'
+         ELSE 'es' END"""
+    fingerprint = _H.format(expr=SQL_NORM_TEXT)
+    return f"""
+SELECT doc_id,
+       {lang_pred} AS lang_pred,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_tokens,
+       CASE WHEN len(text) = 0 OR {n_toks} = 0 THEN 0.0
+            ELSE round({score}, 6) END AS quality,
+       {fingerprint} AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+N_QUERIES, TOP_K = 10, 5
+
+
+def _emb(spark, sf_dir):
+    return _read(spark, sf_dir, "embeddings")
+
+
+def q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return topk_bruteforce(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K)
+
+
+SQL_COSINE = """(
+  CASE WHEN sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}])) = 0
+         OR sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in {b}])) = 0
+       THEN 0.0
+       ELSE list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                      for i in range(1, len({a}) + 1)])
+            / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}]))
+               * sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in {b}])))
+  END)"""
+
+SQL_TOPK_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         round({SQL_COSINE.format(a='q.qv', b='c.embedding')}, 6) AS cosine
+  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, match_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle: centroid doubles depend on aggregation order;
+    # recall-vs-bruteforce is pinned by tests/test_similarity.py
+    emb = _emb(spark, sf_dir)
+    return topk_ivf(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, nprobe=3)
+
+
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle: 6x64 hash-plane expansion is impractical in one
+    # SQL statement; recall bound pinned by tests/test_similarity.py
+    emb = _emb(spark, sf_dir)
+    return topk_lsh(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — scan + filter pushdown + 8-way aggregation
+    (A3 conditional-count analogue). Decimal-exact cross-engine."""
+    li = _read(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_D)
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    tax = F.col("l_tax").cast(_D)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast(_D) - disc)).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price * (F.lit(1).cast(_D) - disc) * (F.lit(1).cast(_D) + tax)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle hash join chain + aggregation (J1-J3 join-shape twin)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(_D)).cast("double"), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, COUNT(*) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join (S11/J4 pattern)."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+        )
+    )
+
+
+SQL_REGION_NATIONS = """
+SELECT r_name, COUNT(*) AS n_nations, list_sort(list(n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the root-finding primitive (G2, `cmd/merge.py:157-202`)."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_latest_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 window pick: first-per-group by (date desc, key asc)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+    )
+
+
+SQL_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_party_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union + set-dedup (`_sbom.py:173-255` merge-union shape)."""
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_name").alias("party"), F.lit("customer").alias("kind"))
+        .unionByName(
+            supplier.select(F.col("s_name").alias("party"), F.lit("supplier").alias("kind"))
+        )
+        .dropDuplicates()
+    )
+
+
+SQL_PARTY_UNION = """
+SELECT c_name AS party, 'customer' AS kind FROM customer
+UNION
+SELECT s_name AS party, 'supplier' AS kind FROM supplier
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 capture-window + set-agg per user over the events stream table."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("first_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.round(F.sum(F.col("value").cast(_D)).cast("double"), 2).alias("total_value"),
+    )
+
+
+SQL_EVENT_SESSIONS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_epoch,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_epoch,
+       list_sort(list(DISTINCT event_type)) AS types,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# connected components (G2) with a recursive-CTE oracle
+# ---------------------------------------------------------------------------
+CC_MIN_CODOCS_FRAC = 0.35
+
+
+def q_cc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence graph -> connected components (min-label),
+    the SQL-checkable twin of canon.connected_components: tokens
+    co-occurring in >= 35% of docs are linked; isolated tokens are
+    their own component."""
+    from .operators.canon import connected_components
+
+    base = _kg_base(spark, sf_dir)
+    n_docs = base.count()
+    thresh = int(n_docs * CC_MIN_CODOCS_FRAC)
+    toks = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    edges = (
+        toks.alias("a")
+        .join(toks.alias("b"), "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(F.col("a.tok").alias("t1"), F.col("b.tok").alias("t2"))
+        .agg(F.countDistinct("doc_id").alias("n_codocs"))
+        .where(F.col("n_codocs") >= thresh)
+        .select("t1", "t2")
+    )
+    comp = connected_components(edges, "t1", "t2")
+    all_toks = toks.select(F.col("tok")).dropDuplicates()
+    return (
+        all_toks.join(comp, all_toks.tok == comp.id, "left")
+        .select("tok", F.coalesce("component", "tok").alias("component"))
+    )
+
+
+SQL_CC_TOKENS = f"""
+WITH RECURSIVE {SQL_KG_BASE},
+toks AS (SELECT DISTINCT doc_id, t.tok AS tok FROM base, UNNEST(toks) AS t(tok)),
+n AS (SELECT COUNT(*) AS n_docs FROM base),
+edges AS (
+  SELECT a.tok AS t1, b.tok AS t2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING COUNT(DISTINCT a.doc_id) >= (SELECT CAST(FLOOR(n_docs * {CC_MIN_CODOCS_FRAC}) AS BIGINT) FROM n)),
+sym AS (SELECT t1 AS a, t2 AS b FROM edges UNION SELECT t2, t1 FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (
+  SELECT a AS tok, LEAST(MIN(b), a) AS component FROM reach GROUP BY a)
+SELECT t.tok, COALESCE(c.component, t.tok) AS component
+FROM (SELECT DISTINCT tok FROM toks) t LEFT JOIN comp c USING (tok)
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload Arrow pass; the oracle checks the deterministic
+    identity columns (hash/length); the feature vector itself is
+    pinned by tests/test_multimodal.py."""
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return extract_media_features(media).select("media_id", "kind", "n_bytes", "sha256")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "kg_edges": q_kg_edges,
+    "kg_nodes": q_kg_nodes,
+    "dedup_exact": q_dedup_exact,
+    "dedup_norm": q_dedup_norm,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "text_analysis": q_text_analysis,
+    "topk_bruteforce": q_topk_bruteforce,
+    "topk_ivf": q_topk_ivf,
+    "topk_lsh": q_topk_lsh,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "region_nations": q_region_nations,
+    "customers_no_orders": q_customers_no_orders,
+    "latest_order_per_cust": q_latest_order_per_cust,
+    "party_union": q_party_union,
+    "event_sessions": q_event_sessions,
+    "cc_tokens": q_cc_tokens,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL = {
+    "kg_edges": SQL_KG_EDGES,
+    "kg_nodes": SQL_KG_NODES,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_norm": SQL_DEDUP_NORM,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_ngram": SQL_DEDUP_NGRAM,
+    "text_analysis": _sql_text_analysis(),
+    "topk_bruteforce": SQL_TOPK_BRUTEFORCE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "region_nations": SQL_REGION_NATIONS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "latest_order_per_cust": SQL_LATEST_ORDER,
+    "party_union": SQL_PARTY_UNION,
+    "event_sessions": SQL_EVENT_SESSIONS,
+    "cc_tokens": SQL_CC_TOKENS,
+    "media_features": SQL_MEDIA_FEATURES,
+}

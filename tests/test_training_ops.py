@@ -1,0 +1,184 @@
+"""Training-data operators not covered by a DuckDB oracle: simhash
+dedup (Python-side hash), IVF/LSH approximate search (recall vs the
+exact baseline), multimodal plumbing, streaming ingest, salted join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"
+        rows.append((i, " ".join(words), "src"))
+    # two exact near-dup pairs
+    rows.append((100, base + " extra", "src"))
+    rows.append((101, base + " extra", "src"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string").cache()
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    from surfactant_spark.functions.hashing import simhash64
+    from surfactant_spark.operators.dedup import dedup_simhash
+
+    got = {(r.id1, r.id2): r.hamming for r in dedup_simhash(docs, max_hamming=10).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh(t):
+        return simhash64(t.lower().split())
+
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sh(texts[a]) ^ sh(texts[b])).count("1")
+            if h <= 10:
+                want[(a, b)] = h
+    # blocking guarantees recall only for hamming <= n_blocks-1 = 3;
+    # everything found must be exact, and all <=3 pairs must be found
+    for pair, h in got.items():
+        assert want.get(pair) == h
+    for pair, h in want.items():
+        if h <= 3:
+            assert pair in got
+    assert (100, 101) in got and got[(100, 101)] == 0
+
+
+def test_embedding_dedup_and_blocking(spark):
+    from surfactant_spark.operators.dedup import dedup_embedding
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near-dup of 1, same block
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),      # identical to 1 but other block: not paired
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.id1, r.id2) for r in dedup_embedding(df, threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [i % 5 for i in range(200)],
+        }
+    )
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    from surfactant_spark.operators.similarity import topk_bruteforce
+
+    q = emb.where(F.col("vec_id") < 3)
+    got = topk_bruteforce(q, emb, k=3).toPandas()
+    pdf = emb.toPandas()
+    mat = np.array(pdf.embedding.tolist(), dtype="float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = mat @ mat[qid]
+        sims[qid] = -np.inf
+        want = set(np.argsort(-np.round(sims, 6))[:3])
+        got_ids = set(got[got.query_id == qid].match_id)
+        assert got_ids == {int(x) for x in want}
+
+
+def test_ivf_and_lsh_recall(spark, emb):
+    from surfactant_spark.operators.similarity import topk_bruteforce, topk_ivf, topk_lsh
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = topk_bruteforce(q, emb, k=5).toPandas()
+    ivf = topk_ivf(q, emb, k=5, nprobe=3).toPandas()
+    lsh = topk_lsh(q, emb, k=5, n_planes=3).toPandas()
+
+    def recall(approx):
+        hits = tot = 0
+        for qid in range(10):
+            want = set(exact[exact.query_id == qid].match_id)
+            got = set(approx[approx.query_id == qid].match_id)
+            hits += len(want & got)
+            tot += len(want)
+        return hits / tot
+
+    assert recall(ivf) >= 0.5   # nprobe=3 of 5 lists
+    assert recall(lsh) >= 0.2   # 8 buckets; recall traded for 8x scan cut
+    # every approximate hit must carry the exact cosine score
+    merged = ivf.merge(exact, on=["query_id", "match_id"], suffixes=("_ivf", "_exact"))
+    assert (merged.cosine_ivf == merged.cosine_exact).all()
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    from surfactant_spark.operators.multimodal import (
+        decode_image,
+        documents_as_media,
+        extract_media_features,
+        frame_sample,
+    )
+
+    media = documents_as_media(docs)
+    feats = extract_media_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert all(len(f) == 16 for f in feats.features)
+    again = extract_media_features(media).toPandas().set_index("media_id")
+    byid = feats.set_index("media_id")
+    for mid in byid.index:
+        assert list(byid.loc[mid, "features"]) == list(again.loc[mid, "features"])
+        assert byid.loc[mid, "sha256"] == again.loc[mid, "sha256"]
+    # real codec is stubbed (no imaging libs in this container)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    # frame sampling explodes n_frames and keeps every n-th
+    m = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), (None, None, None, 30))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    frames = frame_sample(m, every_n=10).collect()
+    assert sorted(r.frame_idx for r in frames) == [0, 10, 20]
+
+
+def test_streaming_incremental_equals_batch(spark, docs, tmp_path):
+    from surfactant_spark.operators.extract import extract_pages
+    from surfactant_spark.streaming.incremental import run_incremental_batch
+
+    pages = docs.select(
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = run_incremental_batch(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    batch = extract_pages(pages).select("url", "content_sha256").toPandas()
+    stream = out.select("url", "content_sha256").toPandas()
+    assert (
+        batch.sort_values("url").reset_index(drop=True).equals(
+            stream.sort_values("url").reset_index(drop=True)
+        )
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    from surfactant_spark.operators.link import salted_join
+
+    big = spark.createDataFrame(
+        [(k % 3, i) for i, k in enumerate(range(300))], "key int, val int"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "key int, tag string")
+    plain = {(r.key, r.val, r.tag) for r in big.join(small, "key").collect()}
+    salted = {(r.key, r.val, r.tag) for r in salted_join(big, small, "key", n_salt=4).collect()}
+    assert salted == plain
