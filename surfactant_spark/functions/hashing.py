@@ -53,12 +53,28 @@ def portable_hash64(s: str) -> int:
 
 
 # --- MinHash ---------------------------------------------------------------
-# k independent hash families realized as salted md5 fingerprints:
-# h_i(shingle) = portable_hash64(f"{i}:{shingle}"). Unlike the classic
-# affine-permutation scheme ((a*x+b) mod p), this needs no 128-bit
-# multiply, so the *identical* signature is computable in Spark SQL and
-# DuckDB SQL (concat + md5 + hex-prefix cast) — the whole MinHash/LSH
-# dedup pipeline stays oracle-checkable.
+# One md5-derived base hash per shingle, then k affine permutations
+# h_i(x) = (a_i * x + b_i) mod P31 over the 31-bit base hash. All
+# operands stay < 2^31 so products fit in a signed 64-bit long with no
+# overflow — the *identical* signature is computable in Spark SQL,
+# DuckDB SQL and Python (exact integer arithmetic), keeping the whole
+# MinHash/LSH dedup pipeline oracle-checkable while doing 1 md5 per
+# shingle instead of k.
+
+P31 = 2147483647  # 2^31 - 1 (prime)
+
+
+def mh_params(k: int) -> List[tuple]:
+    """Deterministic (a_i, b_i) affine coefficients, derived from the
+    portable hash so every engine inlines the same literals."""
+    return [
+        (portable_hash64(f"mh-a:{i}") % (P31 - 1) + 1, portable_hash64(f"mh-b:{i}") % P31)
+        for i in range(k)
+    ]
+
+
+def shingle_base_hash(s: str) -> int:
+    return portable_hash64(s) % P31
 
 
 def shingles(text: str, n: int = 3) -> List[str]:
@@ -72,8 +88,9 @@ def shingles(text: str, n: int = 3) -> List[str]:
 def minhash_signature(text: str, k: int = 16, n: int = 3) -> List[int]:
     sh = set(shingles(text, n))
     if not sh:
-        return [_MERSENNE61] * k
-    return [min(portable_hash64(f"{i}:{s}") for s in sh) for i in range(k)]
+        return [P31] * k
+    hv = [shingle_base_hash(s) for s in sh]
+    return [min((a * h + b) % P31 for h in hv) for (a, b) in mh_params(k)]
 
 
 def minhash_bands(sig: Sequence[int], bands: int = 4) -> List[int]:

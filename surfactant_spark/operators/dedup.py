@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 _MERSENNE61 = (1 << 61) - 1
+_P31 = 2147483647  # functions.hashing.P31
 
 
 def portable_hash64_col(c: Column) -> Column:
@@ -62,9 +63,66 @@ def dedup_normalized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def shingles_from_toks(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a *materialized* token-array column.
+
+    ``toks`` MUST be a plain column reference, not a computed
+    expression: Catalyst does no common-subexpression elimination
+    inside higher-order-function lambdas, so ``element_at(expr, i)``
+    re-evaluates ``expr`` once per element — with a computed split
+    that turns shingling O(len^2) (measured 5x slowdown). Use
+    :func:`tokenized` to materialize the tokens first.
+    """
+    k = F.size(toks)
+    return F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+
+
+def tokenized(docs: DataFrame, text_col: str = "text", keep: tuple = ()) -> DataFrame:
+    """Project (keep..., _toks) with the whitespace tokens materialized
+    — the mandatory prelude to :func:`shingles_from_toks`."""
+    return docs.select(
+        *[F.col(c) for c in keep],
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    block_col: str = None, hashed: bool = False,
+) -> DataFrame:
+    """(id[, blk], sh) with distinct shingles, built via the two-phase
+    tokenize-then-shingle plan (see shingles_from_toks).
+
+    ``hashed=True`` maps each shingle to its portable 31-bit base hash
+    before dedup: set intersections then compare longs instead of
+    strings (~2x faster Jaccard), with identical results in the DuckDB
+    oracle since the hash is engine-portable (collisions would have to
+    collide identically on both sides — they are the same function)."""
+    keep = (id_col,) + ((block_col,) if block_col else ())
+    tok = tokenized(docs, text_col, keep=keep)
+    cols = [F.col(id_col)] + ([F.col(block_col).alias("blk")] if block_col else [])
+    sh = shingles_from_toks(F.col("_toks"), n)
+    if hashed:
+        # materialize the string shingles first: the hash lambda must
+        # not re-evaluate the shingle construction per element
+        out_cols = [id_col] + (["blk"] if block_col else [])
+        step = tok.select(*cols, sh.alias("_sh"))
+        return step.select(
+            *out_cols, F.array_distinct(base_hash_array(F.col("_sh"))).alias("sh")
+        )
+    return tok.select(*cols, F.array_distinct(sh).alias("sh"))
+
+
 def shingles_col(text_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of lowercased text as array<string> —
-    matches functions.hashing.shingles. Pure JVM (split + transform)."""
+    """Single-expression shingles — ONLY for tiny inputs/tests; see
+    shingles_from_toks for why this is slow on real data."""
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     k = F.size(toks)
     return F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
@@ -77,51 +135,92 @@ def shingles_col(text_col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_sig_cols(text_col: Column, k: int = 16, n: int = 3) -> list:
-    """k minhash signature Columns. sig_i = min over distinct shingles
-    of portable_hash64(f"{i}:{shingle}")."""
-    sh = F.array_distinct(shingles_col(text_col, n))
-    sigs = []
-    for i in range(k):
-        hashed = F.transform(
-            sh, lambda s, i=i: portable_hash64_col(F.concat(F.lit(f"{i}:"), s))
-        )
-        sigs.append(
-            F.coalesce(F.array_min(hashed), F.lit(_MERSENNE61)).alias(f"mh{i}")
-        )
-    return sigs
+def base_hash_array(sh_col: Column) -> Column:
+    """31-bit base hash per shingle (functions.hashing.shingle_base_hash
+    twin): one md5 per shingle, the only expensive step of MinHash."""
+    return F.transform(sh_col, lambda s: F.pmod(portable_hash64_col(s), F.lit(_P31)))
+
+
+def minhash_sig_array(hv_col: Column, k: int = 16) -> Column:
+    """Array of k minhash values from a *materialized* base-hash array
+    column (see shingles_from_toks for why materialization matters):
+    sig[i] = min over h of (a_i*h + b_i) mod P31, P31 for empty docs.
+    Affine coefficients are deterministic literals shared with the
+    Python/DuckDB twins (functions.hashing.mh_params); operands stay
+    < 2^31 so the arithmetic is exact in 64-bit everywhere."""
+    from ..functions.hashing import mh_params
+
+    params = mh_params(k)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    hv_col,
+                    lambda h: F.pmod(
+                        F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1),
+                        F.lit(_P31),
+                    ),
+                )
+            ),
+            F.lit(_P31),
+        ),
+    )
 
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
 ) -> DataFrame:
-    return docs.select(F.col(id_col), *minhash_sig_cols(F.col(text_col), k, n))
+    """(id, mh0..mh{k-1}) — kept for oracle/debug use."""
+    hv_df = shingle_table(docs, id_col, text_col, n).select(
+        F.col(id_col), base_hash_array(F.col("sh")).alias("hv")
+    )
+    sig = minhash_sig_array(F.col("hv"), k)
+    return hv_df.select(
+        F.col(id_col), *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def band_keys_array(sig_col: Column, k: int = 16, bands: int = 4) -> Column:
+    """Array of LSH band keys from a signature array: band b hashes the
+    comma-joined decimal strings of its signature slice — matches
+    functions.hashing.minhash_bands."""
+    rows = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: portable_hash64_col(
+            F.concat(
+                F.lit("band"),
+                b.cast("string"),
+                F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        F.slice(sig_col, b * rows + 1, rows), lambda v: v.cast("string")
+                    ),
+                    ",",
+                ),
+            )
+        ),
+    )
 
 
 def minhash_band_keys(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+    sigs_or_docs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(id, band, band_key): band_key = portable hash of the joined
-    band slice — matches functions.hashing.minhash_bands."""
-    rows = k // bands
-    outs = []
-    for b in range(bands):
-        slice_cols = [F.col(f"mh{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
-        key = portable_hash64_col(
-            F.concat(F.lit(f"band{b}:"), F.concat_ws(",", *slice_cols))
-        )
-        outs.append(
-            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    """(id, band, band_key) from a (id, mh0..mhk) signature table."""
+    sig = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    return sigs_or_docs.select(
+        F.col(id_col), F.posexplode(band_keys_array(sig, k, bands)).alias("band", "band_key")
+    )
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays. |union| is derived
+    as |a|+|b|-|inter| — half the cost of materializing array_union."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
@@ -144,8 +243,16 @@ def dedup_minhash(
     single mega-bucket would otherwise quadratically explode one task.
     Returns (id1, id2, jaccard).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, k, n)
-    bands_df = minhash_band_keys(sigs, id_col, k, bands)
+    # chained narrow projections (tokens -> shingles -> base hashes ->
+    # signatures -> band keys): each array is materialized before the
+    # next lambda touches it, so nothing is re-evaluated per element
+    # (Catalyst does no CSE inside higher-order-function lambdas)
+    sh_df = shingle_table(docs, id_col, text_col, n, hashed=True)
+    sig_df = sh_df.select(F.col(id_col), minhash_sig_array(F.col("sh"), k).alias("sig"))
+    bands_df = sig_df.select(
+        F.col(id_col),
+        F.posexplode(band_keys_array(F.col("sig"), k, bands)).alias("band", "band_key"),
+    )
     sized = bands_df.groupBy("band", "band_key").agg(
         F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("width")
     ).where((F.col("width") > 1) & (F.col("width") <= max_bucket))
@@ -155,10 +262,7 @@ def dedup_minhash(
         .where(F.col("id1") < F.col("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(shingles_col(F.col(text_col), n)).alias("sh"),
-    )
+    sh = sh_df
     verified = (
         pairs.join(sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2")), "id2")
@@ -283,11 +387,12 @@ def dedup_ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup within blocks (brute force inside a
     block — the verification baseline for the MinHash path)."""
-    sh = docs.select(
-        F.col(id_col),
-        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-        F.array_distinct(shingles_col(F.col(text_col), n)).alias("sh"),
-    )
+    if block_col:
+        sh = shingle_table(docs, id_col, text_col, n, block_col=block_col, hashed=True)
+    else:
+        sh = shingle_table(docs, id_col, text_col, n, hashed=True).withColumn(
+            "blk", F.lit(1)
+        )
     a = sh.select(F.col(id_col).alias("id1"), F.col("blk"), F.col("sh").alias("sh1"))
     b = sh.select(F.col(id_col).alias("id2"), F.col("blk"), F.col("sh").alias("sh2"))
     return (

@@ -208,11 +208,12 @@ _H = "('0x' || substr(md5({expr}), 1, 15))::bigint"
 
 
 def _sql_minhash_tables() -> str:
+    from .functions.hashing import P31, mh_params
+
+    params = mh_params(MINHASH_K)
     mh_cols = ",\n    ".join(
-        "list_min(["
-        + _H.format(expr=f"'{i}:' || s")
-        + " for s in sh]) AS mh" + str(i)
-        for i in range(MINHASH_K)
+        f"coalesce(list_min([({a} * h + {b}) % {P31} for h in sh]), {P31}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
     )
     rows = MINHASH_K // MINHASH_BANDS
     band_selects = []
@@ -227,7 +228,9 @@ def _sql_minhash_tables() -> str:
     bands_sql = "\nUNION ALL\n".join(band_selects)
     return f"""
 sh AS (
-  SELECT doc_id, list_distinct({SQL_SHINGLES_FROM_TOKS}) AS sh
+  SELECT doc_id,
+         list_distinct([{_H.format(expr='s')} % {P31}
+                        for s in {SQL_SHINGLES_FROM_TOKS}]) AS sh
   FROM ({SQL_TOKS_SUBSELECT})),
 sigs AS (
   SELECT doc_id,
@@ -245,16 +248,20 @@ pairs AS (
   WHERE b1.doc_id < b2.doc_id)"""
 
 
+SQL_JACCARD = (
+    "CASE WHEN len({a}) + len({b}) - len(list_intersect({a}, {b})) = 0 THEN 1.0"
+    " ELSE len(list_intersect({a}, {b}))"
+    " / (len({a}) + len({b}) - len(list_intersect({a}, {b}))) END"
+)
+
 SQL_DEDUP_MINHASH = f"""
 WITH {_sql_minhash_tables()}
 SELECT p.id1, p.id2,
-       round(len(list_intersect(a.sh, b.sh)) /
-             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) AS jaccard
 FROM pairs p
 JOIN sh a ON a.doc_id = p.id1
 JOIN sh b ON b.doc_id = p.id2
-WHERE len(list_intersect(a.sh, b.sh)) /
-      len(list_distinct(list_concat(a.sh, b.sh))) >= {MINHASH_THRESHOLD}
+WHERE {SQL_JACCARD.format(a='a.sh', b='b.sh')} >= {MINHASH_THRESHOLD}
 """
 
 NGRAM_THRESHOLD = 0.25
@@ -272,16 +279,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM = f"""
 WITH sh AS (
-  SELECT doc_id, source AS blk, list_distinct({SQL_SHINGLES_FROM_TOKS}) AS sh
+  SELECT doc_id, source AS blk,
+         list_distinct([{_H.format(expr='s')} % 2147483647
+                        for s in {SQL_SHINGLES_FROM_TOKS}]) AS sh
   FROM ({SQL_TOKS_SUBSELECT}))
 SELECT a.doc_id AS id1, b.doc_id AS id2,
-       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
-             ELSE len(list_intersect(a.sh, b.sh)) /
-                  len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+       round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) AS jaccard
 FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
-      ELSE len(list_intersect(a.sh, b.sh)) /
-           len(list_distinct(list_concat(a.sh, b.sh))) END >= {NGRAM_THRESHOLD}
+WHERE {SQL_JACCARD.format(a='a.sh', b='b.sh')} >= {NGRAM_THRESHOLD}
 """
 
 
