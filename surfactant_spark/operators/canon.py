@@ -22,7 +22,7 @@ _sbom.py:173-255`, `cmd/merge.py:131-202`) re-expressed as:
 from __future__ import annotations
 
 from collections import deque
-from typing import Dict, List, Set
+from typing import Dict, List, Optional, Set
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -102,6 +102,49 @@ def connected_components(
     return labels
 
 
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    small_threshold: int = 200_000,
+) -> DataFrame:
+    """Dispatch: distributed min-label propagation for big edge sets,
+    driver-side union-find below ``small_threshold`` edges. The small
+    path is the idiomatic treatment of a *dimension-sized* graph (like
+    the alias dictionary): one collect + O(E α(E)) on the driver beats
+    ~15 shuffle jobs of tiny data by an order of magnitude in wall
+    time, exactly like broadcasting a small join side. Both paths
+    produce identical (id, component=min-id) labels."""
+    # take() short-circuits: one job that stops scanning at the
+    # threshold, instead of a full count followed by a collect
+    rows = edges.select(src, dst).take(small_threshold + 1)
+    if len(rows) > small_threshold:
+        return connected_components(edges, src, dst)
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(x, find(x)) for x in list(parent)]
+    spark = edges.sparkSession
+    if not labels:
+        return spark.createDataFrame([], "id string, component string")
+    return spark.createDataFrame(labels, "id string, component string")
+
+
 def alias_entity_map(alias_dict: DataFrame) -> DataFrame:
     """alias -> canonical entity after unioning entities that share an
     alias (the canonicalization CC over the alias graph). Returns
@@ -112,7 +155,7 @@ def alias_entity_map(alias_dict: DataFrame) -> DataFrame:
     ent_edges = (
         a.join(b, "alias").where(F.col("e1") < F.col("e2")).select("e1", "e2").dropDuplicates()
     )
-    comp = connected_components(ent_edges, "e1", "e2")
+    comp = connected_components_auto(ent_edges, "e1", "e2")
     return (
         alias_dict.join(comp, alias_dict["canon_name"] == comp["id"], "left")
         .select(
@@ -315,7 +358,7 @@ def find_roots_with_cycles(nodes: DataFrame, edges: DataFrame, id_col: str = "uu
     a distributed table; see get_roots_check_cycles_py for exact
     parity on driver-sized graphs)."""
     roots = find_roots(nodes, edges, id_col)
-    comp = connected_components(edges, "subj_uuid", "obj_uuid")
+    comp = connected_components_auto(edges, "subj_uuid", "obj_uuid")
     comp_with_root = (
         comp.join(roots.withColumnRenamed(id_col, "id"), "id", "inner")
         .select("component")
@@ -344,6 +387,55 @@ def attach_system(edges: DataFrame, roots: DataFrame, system_uuid: str, rel: str
         F.col(roots.columns[0]).alias("obj_uuid"),
     )
     return edges.select("subj_uuid", "pred", "obj_uuid").unionByName(sys_edges).dropDuplicates()
+
+
+def merge_graphs(
+    graphs: List[tuple],
+    add_system: bool = False,
+    system_uuid: Optional[str] = None,
+    system_relationship: str = "Contains",
+) -> tuple:
+    """The full merge command (`cmd/merge.py:56-128`): fold a list of
+    (software_df, edges_df) graphs into one, rewrite edge endpoints
+    through the collision map, find roots, and optionally attach a
+    top-level system node.
+
+    Reference semantics preserved:
+    - pairwise fold with base-UUID-wins collision handling (U1/J6,
+      `cmd/merge.py:95-98` -> `_sbom.py:173-255`);
+    - edges rewritten *before* dedup (`_sbom.py:203-217`);
+    - a system edge (system_uuid, rel, root) per root
+      (`cmd/merge.py:111-127`); when no system_uuid is given one is
+      derived deterministically from the merged content (uuid5 of the
+      sorted root set) instead of the reference's random uuid4 —
+      SURVEY §2.9 deliberate divergence for resume idempotency;
+    - add_system=False with an explicit system_uuid still creates the
+      relationships, like the reference ("--no_add_system" with UUID,
+      `cmd/merge.py:100-127`); with neither, no system edges are added.
+
+    Returns (software_df, edges_df, roots_df, system_row_or_None).
+    """
+    from ..functions.hashing import entity_uuid
+
+    software, edges = graphs[0]
+    for inc_software, inc_edges in graphs[1:]:
+        software, uuid_map = merge_software(software, inc_software)
+        incoming_edges = rewrite_edge_uuids(inc_edges, uuid_map)
+        edges = (
+            edges.unionByName(incoming_edges)
+            .dropDuplicates(["subj_uuid", "pred", "obj_uuid"])
+        )
+
+    roots = find_roots_with_cycles(software, edges, id_col="uuid")
+
+    system = None
+    if add_system or system_uuid is not None:
+        if system_uuid is None:
+            root_ids = sorted(r[0] for r in roots.collect())
+            system_uuid = entity_uuid("system:" + ",".join(root_ids))
+        system = {"UUID": system_uuid, "name": ""}
+        edges = attach_system(edges, roots, system_uuid, system_relationship)
+    return software, edges, roots, (system if add_system else None)
 
 
 # --------------------------------------------------------------------------

@@ -16,11 +16,44 @@ reference's uuid4.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from ..functions.hashing import canon_uuid, entity_uuid
+from ..functions.hashing import SURFACTANT_SPARK_NS, canon_uuid, entity_uuid
 
 
+def _uuid5_col(name_col: Column) -> Column:
+    """RFC-4122 uuid5 as a pure JVM expression: SHA-1 of
+    (namespace bytes || name), hex-sliced into 8-4-4-4-12 with the
+    version nibble forced to 5 and the variant nibble to 8..b.
+    Identical to Python's ``uuid.uuid5`` (functions/hashing.canon_uuid)
+    but with zero Python round-trip — the identity path stays inside
+    whole-stage codegen."""
+    h = F.sha1(F.concat(F.lit(SURFACTANT_SPARK_NS.bytes), F.encode(name_col, "UTF-8")))
+    variant = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        (F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4) + 1,
+    )
+    return F.concat(
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.lit("5"), F.substring(h, 14, 3), F.lit("-"),
+        variant, F.substring(h, 18, 3), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+
+
+def canon_uuid_col(sha256_col: Column) -> Column:
+    """JVM twin of functions.hashing.canon_uuid (uuid5 of the content
+    hash); parity pinned by tests/test_extract_identity.py."""
+    return _uuid5_col(F.concat(F.lit("sha256:"), sha256_col))
+
+
+def entity_uuid_col(name_col: Column) -> Column:
+    """JVM twin of functions.hashing.entity_uuid."""
+    return _uuid5_col(F.concat(F.lit("entity:"), name_col))
+
+
+# Arrow-batched fallbacks (kept for API compatibility / sanity checks)
 @F.pandas_udf(T.StringType())
 def canon_uuid_udf(sha256: pd.Series) -> pd.Series:
     return sha256.map(canon_uuid)
@@ -53,7 +86,7 @@ def dedup_nodes(extracted: DataFrame) -> DataFrame:
             F.countDistinct("url").alias("n_sources"),
         )
         .select(
-            canon_uuid_udf(F.col("content_sha256")).alias("canon_uuid"),
+            canon_uuid_col(F.col("content_sha256")).alias("canon_uuid"),
             F.col("content_sha256").alias("sha256"),
             "names",
             "aliases",
@@ -67,7 +100,7 @@ def url_to_canon(extracted: DataFrame) -> DataFrame:
     """(url, canon_uuid) mapping — the rewrite map applied to mention
     endpoints (the analogue of uuid_updates, `_sbom.py:173-231`)."""
     return extracted.select(
-        "url", canon_uuid_udf(F.col("content_sha256")).alias("canon_uuid")
+        "url", canon_uuid_col(F.col("content_sha256")).alias("canon_uuid")
     )
 
 

@@ -76,17 +76,76 @@ def exporters_table(extracted: DataFrame, alias_canon: DataFrame) -> DataFrame:
     """(entity, canon_uuid) — which canonical node exports which
     canonical entity. ``alias_canon`` is (alias, entity) AFTER
     connected-components canonicalization (canon.alias_entity_map)."""
-    from .identity import canon_uuid_udf
+    from .identity import canon_uuid_col
 
     return (
         extracted.where(F.col("title") != "")
         .select(
-            canon_uuid_udf(F.col("content_sha256")).alias("canon_uuid"),
+            canon_uuid_col(F.col("content_sha256")).alias("canon_uuid"),
             F.col("title").alias("alias"),
         )
-        .join(F.broadcast(alias_canon), "alias")
+        .join(alias_canon, "alias")
         .select("entity", "canon_uuid")
         .dropDuplicates()
+    )
+
+
+def link_extracted(
+    extracted: DataFrame,
+    alias_canon: DataFrame,
+    exporters: DataFrame,
+) -> DataFrame:
+    """extracted -> edges (subj_uuid, pred, obj_uuid, n_evidence, sources).
+
+    Uses-mentions resolve alias -> canonical entity -> every exporter
+    node of that entity via two dictionary joins (J4 pattern). The
+    joins are left to AQE: it broadcasts when the runtime size is
+    genuinely small and falls back to shuffle otherwise — a *forced*
+    broadcast of a half-million-row export table measurably loses to
+    the shuffle join (serialized driver-side hash build). At true web
+    scale use :func:`salted_join` if the entity keys are hot. The subject UUID is derived
+    inline from the row's own content hash — no join against a url map
+    for the Uses path. Contains-mentions (bundle links) resolve the
+    mentioned url through the url->uuid map; that side is small.
+    Self-edges dropped (`java_relationship.py:47`); (subj,pred,obj)
+    dedup-aggregated (`_sbom.py:33` set semantics) with evidence kept.
+    """
+    from .identity import canon_uuid_col
+
+    m = extracted.select(
+        canon_uuid_col(F.col("content_sha256")).alias("subj_uuid"),
+        "url",
+        F.explode("mentions").alias("m"),
+    ).select(
+        "subj_uuid",
+        "url",
+        F.col("m.pred").alias("pred"),
+        F.col("m.alias").alias("alias"),
+    )
+
+    uses = (
+        m.where(F.col("pred") == "Uses")
+        .join(alias_canon, "alias")
+        .join(exporters, "entity")
+        .withColumnRenamed("canon_uuid", "obj_uuid")
+    )
+
+    url_map = extracted.select(
+        F.col("url").alias("alias"),
+        canon_uuid_col(F.col("content_sha256")).alias("obj_uuid"),
+    )
+    contains = m.where(F.col("pred") == "Contains").join(url_map, "alias")
+
+    both = uses.select("subj_uuid", "pred", "obj_uuid", "url").unionByName(
+        contains.select("subj_uuid", "pred", "obj_uuid", "url")
+    )
+    return (
+        both.where(F.col("subj_uuid") != F.col("obj_uuid"))
+        .groupBy("subj_uuid", "pred", "obj_uuid")
+        .agg(
+            F.countDistinct("url").alias("n_evidence"),
+            F.array_sort(F.collect_set("url")).alias("sources"),
+        )
     )
 
 
@@ -96,20 +155,14 @@ def link_mentions(
     alias_canon: DataFrame,
     exporters: DataFrame,
 ) -> DataFrame:
-    """mentions -> edges (subj_uuid, pred, obj_uuid, n_evidence, sources).
-
-    Uses-mentions resolve alias -> canonical entity (broadcast join, J4
-    pattern) -> every exporter node of that entity; Contains-mentions
-    resolve the mentioned url directly. Self-edges dropped
-    (`java_relationship.py:47`); (subj,pred,obj) dedup-aggregated
-    (`_sbom.py:33` set semantics) with evidence counts kept.
-    """
+    """Legacy shape of :func:`link_extracted` taking a pre-exploded
+    mentions table + url map (kept for API compatibility)."""
     m = mentions.join(url_map, "url").withColumnRenamed("canon_uuid", "subj_uuid")
 
     uses = (
         m.where(F.col("pred") == "Uses")
         .join(F.broadcast(alias_canon), "alias")
-        .join(exporters, "entity")
+        .join(F.broadcast(exporters), "entity")
         .withColumnRenamed("canon_uuid", "obj_uuid")
     )
 

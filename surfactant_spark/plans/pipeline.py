@@ -25,9 +25,9 @@ from typing import Callable, Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.canon import alias_entity_map
-from ..operators.extract import extract_pages, mentions_table
-from ..operators.identity import dedup_nodes, url_to_canon
-from ..operators.link import exporters_table, link_mentions
+from ..operators.extract import extract_pages
+from ..operators.identity import dedup_nodes
+from ..operators.link import exporters_table, link_extracted
 
 
 class SnapshotStore:
@@ -146,15 +146,34 @@ def run_pipeline(
         return out
 
     n_pages = pages.count()
+
+    # extract and alias_cc have independent inputs: run them as
+    # concurrent Spark jobs (two driver threads) so the small
+    # alias-canonicalization stage hides entirely behind the big
+    # Arrow extraction pass instead of adding fixed latency
+    import threading
+
+    alias_result: Dict[str, object] = {}
+
+    def _alias_job():
+        try:
+            alias_result["df"] = stage("alias_cc", lambda: alias_entity_map(alias_dict))
+        except Exception as exc:  # surfaced after join
+            alias_result["error"] = exc
+
+    alias_thread = threading.Thread(target=_alias_job, daemon=True)
+    alias_thread.start()
     extracted = stage("extract", lambda: extract_pages(pages), input_rows=n_pages)
-    alias_canon = stage("alias_cc", lambda: alias_entity_map(alias_dict))
+    alias_thread.join()
+    if "error" in alias_result:
+        raise alias_result["error"]
+    alias_canon = alias_result["df"]
     nodes = stage(
         "nodes", lambda: dedup_nodes(extracted), input_rows=n_pages
     )
     def _edges() -> DataFrame:
-        umap = url_to_canon(extracted)
         exporters = exporters_table(extracted, alias_canon)
-        return link_mentions(mentions_table(extracted), umap, alias_canon, exporters)
+        return link_extracted(extracted, alias_canon, exporters)
 
     edges = stage("edges", _edges, input_rows=n_pages, partition_by=["pred"])
 

@@ -26,9 +26,27 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # independent pipeline stages run as concurrent driver threads
+        # (plans/pipeline.py); FAIR keeps a small dimension job from
+        # queueing behind hundreds of tasks of the big Arrow pass
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local-bench corpora are a few GB: the 128m default packs the
+        # scan into ~a dozen splits and starves cores; 16m keeps every
+        # core fed. On a real 100 TB cluster the default is fine (800k
+        # splits) — override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        # same reasoning post-shuffle: AQE's 64m advisory target would
+        # coalesce a ~1 GB shuffle into fewer partitions than cores
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -58,15 +58,26 @@ def make_alias_dict(n_entities: int, seed: int = 42) -> pd.DataFrame:
 
 
 def _page_html(title: str, mention_tags: list, filler_words: list) -> bytes:
-    body = " ".join(filler_words[:10])
+    """Realistically-weighted page: multi-paragraph body with markup,
+    inline style/script noise and comment boilerplate, so per-page
+    extraction cost resembles Common-Crawl pages rather than
+    microbenchmark stubs."""
+    third = max(len(filler_words) // 3, 1)
+    paras = "".join(
+        f"<p class='c{i}'>{' '.join(filler_words[i * third:(i + 1) * third])}</p>"
+        for i in range(3)
+    )
     links = " ".join(f'<a href="{m}">{m.split("//", 1)[1]}</a>' for m in mention_tags)
     html = (
         "<!DOCTYPE html><html><head>"
         f"<title>{title}</title>"
-        "<style>body { color: #222; }</style>"
-        "<script>var tracker = 'noise';</script>"
-        f"</head><body><h1>{title}</h1><p>{body}</p><div>{links}</div>"
-        f"<p>{' '.join(filler_words[10:18])}</p></body></html>"
+        "<style>body { color: #222; } .nav { display: none; } "
+        "p { margin: 0 0 1em 0; font-family: sans-serif; }</style>"
+        "<script>var tracker = 'noise'; function f(){return 42;} "
+        "window.addEventListener('load', f);</script>"
+        "<!-- generated page; layout boilerplate below -->"
+        f"</head><body><h1>{title}</h1>{paras}<div class='links'>{links}</div>"
+        f"<p>{' '.join(filler_words[3 * third:])}</p></body></html>"
     )
     return html.encode("utf-8")
 
@@ -77,6 +88,7 @@ def make_corpus(
     hot_frac: float = 0.3,
     dup_frac: float = 0.08,
     n_entities: int | None = None,
+    page_words: int = 120,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (pages_pdf, alias_dict_pdf)."""
     if n_entities is None:
@@ -111,7 +123,7 @@ def make_corpus(
             if j % 25 == 0 and j > 0:
                 for member in range(max(0, j - 3), j):
                     mention_tags.append(f"bundle://{urls[member]}")
-            filler = list(rng.choice(_FILLER, size=18))
+            filler = list(rng.choice(_FILLER, size=page_words))
             htmls.append(_page_html(str(title), mention_tags, filler))
         urls.append(url)
         tss.append(ts)
@@ -127,6 +139,85 @@ def make_corpus(
         }
     )
     return pages, alias_pdf
+
+
+def synth_pages_distributed(
+    spark,
+    n_pages: int,
+    seed: int = 42,
+    hot_frac: float = 0.3,
+    dup_frac: float = 0.08,
+    n_entities: int | None = None,
+    page_words: int = 120,
+    partitions: int | None = None,
+):
+    """Distributed corpus synthesis for large benches: every page's
+    content is a pure function of its index (per-row seeded rng), so
+    generation parallelizes over ``spark.range`` with no driver
+    bottleneck and is deterministic regardless of partitioning.
+    Duplicate pages re-generate their target index's content instead of
+    copying a driver-side buffer. Bundle pages reference the previous
+    three urls (index arithmetic only). Returns (pages_df, alias_pdf).
+    """
+    from typing import Iterator
+
+    if n_entities is None:
+        n_entities = max(20, n_pages // 5)
+    alias_pdf = make_alias_dict(n_entities, seed)
+    aliases_by_ent = alias_pdf.groupby("canon_name")["alias"].apply(list).to_dict()
+    ent_names = [f"ent{i:06d}" for i in range(n_entities)]
+    n_domains = max(4, n_pages // 50)
+
+    def url_of(j: int, rng) -> str:
+        domain = (
+            "hot.example.com"
+            if rng.random() < hot_frac
+            else f"site{int(rng.integers(0, n_domains))}.example.org"
+        )
+        return f"https://{domain}/p/{j}.html"
+
+    def content_of(j: int) -> bytes:
+        rng = np.random.default_rng((seed << 24) ^ (j * 2 + 1))
+        ent = ent_names[j % n_entities]
+        title = rng.choice(aliases_by_ent[ent])
+        mention_tags = [
+            f"lib://{rng.choice(aliases_by_ent[ent_names[int(rng.integers(0, n_entities))]])}"
+            for _ in range(int(rng.integers(1, 6)))
+        ]
+        if j % 25 == 0 and j > 0:
+            for member in range(max(0, j - 3), j):
+                mrng = np.random.default_rng((seed << 24) ^ member)
+                mention_tags.append(f"bundle://{url_of(member, mrng)}")
+        filler = list(rng.choice(_FILLER, size=page_words))
+        return _page_html(str(title), mention_tags, filler)
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for j in pdf["id"]:
+                j = int(j)
+                urng = np.random.default_rng((seed << 24) ^ j)
+                url = url_of(j, urng)
+                if j > 10 and urng.random() < dup_frac:
+                    html = content_of(int(urng.integers(0, j - 1)))
+                else:
+                    html = content_of(j)
+                urls.append(url)
+                tss.append(_BASE_TS + datetime.timedelta(seconds=j))
+                htmls.append(html)
+                texts.append(extract_text(html))
+                langs.append(_LANGS[j % len(_LANGS)])
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+            )
+
+    from .schema import PAGES
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    return (
+        spark.range(0, n_pages, numPartitions=parts).mapInPandas(gen, schema=PAGES),
+        alias_pdf,
+    )
 
 
 def pages_to_spark(spark, pages_pdf: pd.DataFrame):

@@ -107,6 +107,55 @@ def test_reference_dfs_cycle_rule_parity():
     assert get_roots_check_cycles_py(g3) == {"r"}
 
 
+def test_merge_graphs_full_command(spark):
+    """The merge-command composition (`cmd/merge.py:56-128`): fold,
+    rewrite, roots, system attachment — reference test contract
+    `tests/cmd/test_merge.py:163-350` (add_system true/false, custom
+    relationship, specified/derived system UUID, orphan prevention)."""
+    from surfactant_spark.operators.canon import merge_graphs
+
+    schema = "uuid string, sha256 string, fileName array<string>"
+    s1 = spark.createDataFrame([("a", "h1", ["a"]), ("b", "h2", ["b"])], schema)
+    e1 = spark.createDataFrame(
+        [("a", "Contains", "b")], "subj_uuid string, pred string, obj_uuid string"
+    )
+    s2 = spark.createDataFrame([("a2", "h1", ["a-copy"]), ("c", "h3", ["c"])], schema)
+    e2 = spark.createDataFrame(
+        [("a2", "Contains", "c")], "subj_uuid string, pred string, obj_uuid string"
+    )
+
+    # 1. simple merge: a2 collapses into a (sha match); its edge is rewritten
+    sw, ed, roots, system = merge_graphs([(s1, e1), (s2, e2)])
+    assert {r.uuid for r in sw.collect()} == {"a", "b", "c"}
+    got_edges = {(r.subj_uuid, r.pred, r.obj_uuid) for r in ed.collect()}
+    assert got_edges == {("a", "Contains", "b"), ("a", "Contains", "c")}
+    assert {r.uuid for r in roots.collect()} == {"a"}
+    assert system is None  # no add_system -> no system (orphan prevention)
+
+    # 2. add_system with specified UUID + custom relationship
+    sw, ed, roots, system = merge_graphs(
+        [(s1, e1), (s2, e2)],
+        add_system=True,
+        system_uuid="sys-123",
+        system_relationship="DependsOn",
+    )
+    assert system["UUID"] == "sys-123"
+    got_edges = {(r.subj_uuid, r.pred, r.obj_uuid) for r in ed.collect()}
+    assert ("sys-123", "DependsOn", "a") in got_edges
+
+    # 3. add_system without UUID -> deterministic derived UUID
+    _, _, _, sys_a = merge_graphs([(s1, e1), (s2, e2)], add_system=True)
+    _, _, _, sys_b = merge_graphs([(s1, e1), (s2, e2)], add_system=True)
+    assert sys_a["UUID"] == sys_b["UUID"]  # idempotent across runs
+
+    # 4. no add_system but explicit UUID -> relationships still created
+    _, ed, _, system = merge_graphs([(s1, e1), (s2, e2)], system_uuid="sys-9")
+    assert system is None
+    assert ("sys-9", "Contains", "a") in {
+        (r.subj_uuid, r.pred, r.obj_uuid) for r in ed.collect()
+    }
+
+
 def test_merge_software_hash_and_uuid_matching(spark):
     from surfactant_spark.operators.canon import merge_software
 

@@ -57,6 +57,30 @@ def test_dedup_nodes_collapses_identical_content(spark, spark_pages, corpus):
         assert row.first_seen == want_first[row.sha256].to_pydatetime().replace(tzinfo=None)
 
 
+def test_jvm_uuid5_matches_python(spark):
+    """canon_uuid_col/entity_uuid_col (pure-codegen uuid5) must be
+    bit-identical to Python uuid.uuid5 (functions/hashing.py)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.functions.hashing import canon_uuid, entity_uuid
+    from surfactant_spark.operators.identity import canon_uuid_col, entity_uuid_col
+
+    shas = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in shas], "sha string")
+    got = {
+        r.sha: (r.cu, r.eu)
+        for r in df.select(
+            "sha",
+            canon_uuid_col(F.col("sha")).alias("cu"),
+            entity_uuid_col(F.col("sha")).alias("eu"),
+        ).collect()
+    }
+    for s in shas:
+        assert got[s] == (canon_uuid(s), entity_uuid(s))
+
+
 def test_mentions_table_shape(spark_pages):
     m = mentions_table(extract_pages(spark_pages))
     assert m.columns == ["url", "pred", "alias", "span", "conf"]
