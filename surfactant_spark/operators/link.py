@@ -142,10 +142,8 @@ def link_extracted(
     return (
         both.where(F.col("subj_uuid") != F.col("obj_uuid"))
         .groupBy("subj_uuid", "pred", "obj_uuid")
-        .agg(
-            F.countDistinct("url").alias("n_evidence"),
-            F.array_sort(F.collect_set("url")).alias("sources"),
-        )
+        .agg(F.array_sort(F.collect_set("url")).alias("sources"))
+        .withColumn("n_evidence", F.size("sources").cast("long"))
     )
 
 
@@ -180,10 +178,8 @@ def link_mentions(
     return (
         both.where(F.col("subj_uuid") != F.col("obj_uuid"))
         .groupBy("subj_uuid", "pred", "obj_uuid")
-        .agg(
-            F.countDistinct("url").alias("n_evidence"),
-            F.array_sort(F.collect_set("url")).alias("sources"),
-        )
+        .agg(F.array_sort(F.collect_set("url")).alias("sources"))
+        .withColumn("n_evidence", F.size("sources").cast("long"))
     )
 
 

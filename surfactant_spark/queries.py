@@ -91,10 +91,8 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         mentions.join(F.broadcast(exporters), "tok")
         .where(F.col("subj_id") != F.col("obj_id"))
         .groupBy("subj_id", "obj_id")
-        .agg(
-            F.countDistinct("url").alias("n_evidence"),
-            F.array_sort(F.collect_set("url")).alias("sources"),
-        )
+        .agg(F.array_sort(F.collect_set("url")).alias("sources"))
+        .withColumn("n_evidence", F.size("sources").cast("long"))
         .select("subj_id", F.lit("Uses").alias("pred"), "obj_id", "n_evidence", "sources")
     )
 
