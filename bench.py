@@ -175,6 +175,13 @@ def scaling_mode(n_pages: int = 600000):
     os.environ.setdefault(
         "SPARK_LOCAL_DIRS", tempfile.mkdtemp(prefix="spark-local-", dir=base)
     )
+    # fixed pre-touched heap: guest pages of this VM are lazily
+    # host-backed and first touch is very slow; fault the whole heap in
+    # once at JVM start (untimed) instead of mid-measurement
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
+    )
     shared = tempfile.mkdtemp(prefix="scalebench-", dir=base)
     src = os.path.join(shared, "pages")
     results = {}
@@ -217,9 +224,9 @@ def scaling_mode(n_pages: int = 600000):
                     .dropDuplicates()
                     .collect()
                 }
-            import shutil
-
-            shutil.rmtree(workdir, ignore_errors=True)
+            # NOTE: rep workdirs are deleted only at the very end —
+            # freeing tmpfs pages mid-bench hands them back to the host
+            # and the next allocation pays the slow first-touch again
         wall = min(walls)
         results[cpus] = {
             "docs_per_sec": round(n_pages / wall, 1),
@@ -230,6 +237,11 @@ def scaling_mode(n_pages: int = 600000):
             "stage_wall_ms": stage_walls,
         }
         spark.stop()
+    import shutil
+
+    for cpus in (8, 32):
+        for rep in range(3):
+            shutil.rmtree(os.path.join(shared, f"work{cpus}-{rep}"), ignore_errors=True)
     eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     out = {
         "metric": "scaling efficiency local[8] -> local[32] (N vs 4N stand-in)",

@@ -575,6 +575,63 @@ FROM events GROUP BY user_id
 """
 
 
+def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 include/exclude filter surface (`cmd/generate.py:486-500`):
+    pure column predicates pushed into the parquet scan."""
+    from .operators.expand import filter_pages
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat("source", F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("url"),
+        "doc_id",
+        "lang",
+        "n_chars",
+    )
+    return filter_pages(
+        pages.withColumn("html", F.lit(None).cast("binary")),
+        include_suffixes=[".txt"],
+        exclude_suffixes=["3.txt"],
+        langs=["en", "de"],
+    ).select("url", "doc_id", "lang", "n_chars")
+
+
+SQL_DOC_FILTER = """
+SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS url,
+       doc_id, lang, n_chars
+FROM documents
+WHERE ends_with(source || '/' || CAST(doc_id AS VARCHAR) || '.txt', '.txt')
+  AND NOT ends_with(source || '/' || CAST(doc_id AS VARCHAR) || '.txt', '3.txt')
+  AND lang IN ('en', 'de')
+"""
+
+
+def q_longest_doc_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F6 max-confidence precedence shape (`cmd/generate.py:92-122`):
+    max_by with a deterministic (value, id) tie-break."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.max_by("doc_id", F.struct(F.col("n_chars"), F.col("doc_id"))).alias(
+            "longest_doc_id"
+        ),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_LONGEST_DOC = """
+WITH agg AS (
+  SELECT lang, MAX(n_chars) AS max_chars, COUNT(*) AS n_docs
+  FROM documents GROUP BY lang),
+top AS (
+  SELECT lang, doc_id AS longest_doc_id FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC) AS rn
+    FROM documents) WHERE rn = 1)
+SELECT a.lang, t.longest_doc_id, a.max_chars, a.n_docs
+FROM agg a JOIN top t USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # connected components (G2) with a recursive-CTE oracle
 # ---------------------------------------------------------------------------
@@ -673,9 +730,13 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "cc_tokens": q_cc_tokens,
     "media_features": q_media_features,
+    "doc_filter": q_doc_filter,
+    "longest_doc_per_lang": q_longest_doc_per_lang,
 }
 
 ORACLE_SQL = {
+    "doc_filter": SQL_DOC_FILTER,
+    "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,
     "kg_nodes": SQL_KG_NODES,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # this sandbox VM has lazily host-backed memory: first touch of
+        # a new page costs 1-9 s/GB (host-side fault). A fixed,
+        # pre-touched heap (set e.g. "-Xms24g -XX:+AlwaysPreTouch" via
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS) pays that once at startup
+        # instead of mid-benchmark. Harmless on normal hosts.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
