@@ -160,7 +160,7 @@ def _warm(spark):
     ).count()
 
 
-def scaling_mode(n_pages: int = 600000):
+def scaling_mode(n_pages: int = 600000, levels=(8, 32)):
     """Same job, two parallelism levels, same staged input. The corpus
     is synthesized distributed (per-row deterministic) and written to
     parquet ONCE; both levels read the identical files."""
@@ -186,7 +186,8 @@ def scaling_mode(n_pages: int = 600000):
     src = os.path.join(shared, "pages")
     results = {}
     alias_pdf = None
-    for cpus in (8, 32):
+    lo, hi = levels
+    for cpus in levels:
         spark = get_spark(
             f"bench-scaling-{cpus}",
             master=f"local[{cpus}]",
@@ -239,12 +240,12 @@ def scaling_mode(n_pages: int = 600000):
         spark.stop()
     import shutil
 
-    for cpus in (8, 32):
+    for cpus in levels:
         for rep in range(3):
             shutil.rmtree(os.path.join(shared, f"work{cpus}-{rep}"), ignore_errors=True)
-    eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+    eff = results[hi]["docs_per_sec"] / ((hi // lo) * results[lo]["docs_per_sec"])
     out = {
-        "metric": "scaling efficiency local[8] -> local[32] (N vs 4N stand-in)",
+        "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (N vs {hi // lo}N stand-in)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "n_pages": n_pages,
@@ -255,10 +256,12 @@ def scaling_mode(n_pages: int = 600000):
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        n = 600000
+        n, levels = 600000, (8, 32)
         for a in sys.argv:
             if a.startswith("--pages="):
                 n = int(a.split("=")[1])
-        scaling_mode(n)
+            if a.startswith("--levels="):
+                levels = tuple(int(x) for x in a.split("=")[1].split(","))
+        scaling_mode(n, levels)
     else:
         default_mode()
