@@ -706,6 +706,62 @@ FROM documents
 """
 
 
+def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest (SURVEY §2.10): documents-as-pages
+    through readStream -> Arrow extraction -> availableNow file sink;
+    returns the materialized batch. No SQL oracle (stateful streaming);
+    batch-equivalence is pinned by tests/test_training_ops.py."""
+    import tempfile
+
+    from .sources.readers import documents_as_pages
+    from .streaming.incremental import run_incremental_batch
+
+    wd = tempfile.mkdtemp(prefix="q_stream-")
+    src = os.path.join(wd, "pages")
+    documents_as_pages(spark, sf_dir).write.parquet(src)
+    out = run_incremental_batch(
+        spark, src, os.path.join(wd, "out"), os.path.join(wd, "ckpt")
+    )
+    return out.select("url", "content_sha256", "n_mentions")
+
+
+def q_archive_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive archive expansion (S4/S5 work-queue analogue): gzip
+    each document's bytes into a synthetic archive page, expand, return
+    member pages + Contains edges count columns. No SQL oracle (binary
+    codec); semantics pinned by tests/test_expand_plugin.py."""
+    import gzip as _gzip
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .operators.expand import expand_archives
+
+    docs = _read(spark, sf_dir, "documents").limit(200)
+
+    def gz(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": ["doc://" + str(d) + ".gz" for d in pdf["doc_id"]],
+                    "warc_ts": pd.Series([pd.Timestamp("2024-01-01")] * len(pdf)),
+                    "html": [
+                        _gzip.compress(t.encode("utf-8"), mtime=0) for t in pdf["text"]
+                    ],
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    pages = docs.mapInPandas(
+        gz, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    all_pages, edges = expand_archives(pages)
+    return all_pages.select("url").join(
+        edges.select(F.col("obj").alias("url"), "pred"), "url", "left"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -732,6 +788,8 @@ QUERIES = {
     "media_features": q_media_features,
     "doc_filter": q_doc_filter,
     "longest_doc_per_lang": q_longest_doc_per_lang,
+    "streaming_extract": q_streaming_extract,
+    "archive_expand": q_archive_expand,
 }
 
 ORACLE_SQL = {
