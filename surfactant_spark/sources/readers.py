@@ -50,3 +50,31 @@ def single_page(pages: DataFrame, url: str) -> DataFrame:
     """S2 — single-document scan: predicate pushed to the parquet scan
     (`cmd/generate.py:384-408` analogue)."""
     return pages.where(F.col("url") == F.lit(url))
+
+
+def read_cytrics_json(spark: SparkSession, path: str):
+    """S6 — read a CyTRICS-shaped JSON-lines export back into
+    (nodes, edges) DataFrames with declared schemas (the analogue of
+    `input_readers/cytrics_reader.py:12-14`; schema declared, never
+    inferred)."""
+    node_schema = (
+        "UUID string, sha256 string, fileName array<string>, "
+        "installPath array<string>, n_sources long"
+    )
+    edge_schema = "xUUID string, yUUID string, relationship string"
+    nodes = spark.read.schema(node_schema).json(os.path.join(path, "nodes"))
+    edges = spark.read.schema(edge_schema).json(os.path.join(path, "edges"))
+    return (
+        nodes.select(
+            F.col("UUID").alias("canon_uuid"),
+            "sha256",
+            F.col("fileName").alias("names"),
+            F.col("installPath").alias("aliases"),
+            "n_sources",
+        ),
+        edges.select(
+            F.col("xUUID").alias("subj_uuid"),
+            F.col("relationship").alias("pred"),
+            F.col("yUUID").alias("obj_uuid"),
+        ),
+    )

@@ -84,3 +84,24 @@ def spdx_like_export(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         .dropDuplicates()
     )
+
+
+def cyclonedx_like_export(nodes: DataFrame, edges: DataFrame):
+    """CycloneDX-flavoured projections (`output/cyclonedx_writer.py:19-320`
+    analogue): a components table and a dependencies table keyed by
+    bom-ref, container duplicates collapsed (`:66-73`)."""
+    components = nodes.select(
+        F.concat(F.lit("ref-"), F.col("canon_uuid")).alias("bom_ref"),
+        F.element_at(F.col("names"), 1).alias("name"),
+        F.col("sha256").alias("hash_sha256"),
+        F.lit("library").alias("type"),
+    )
+    dependencies = (
+        edges.where(F.col("pred") == "Uses")
+        .select(
+            F.concat(F.lit("ref-"), F.col("subj_uuid")).alias("ref"),
+            F.concat(F.lit("ref-"), F.col("obj_uuid")).alias("dependsOn"),
+        )
+        .dropDuplicates()
+    )
+    return components, dependencies
