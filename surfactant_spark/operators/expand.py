@@ -265,3 +265,51 @@ def attach_url_aliases(nodes: DataFrame, resolved: DataFrame, url_map: DataFrame
         )
         .drop("_extra")
     )
+
+
+# ---------------------------------------------------------------------------
+# `cli add` analogues (`cmd/cli.py:164-215`)
+# ---------------------------------------------------------------------------
+def add_relationship(edges: DataFrame, subj: str, pred: str, obj: str) -> DataFrame:
+    """Append one edge with set semantics (`cli.py:200-201` +
+    `_sbom.py:44-50` duplicate suppression)."""
+    new = edges.sparkSession.createDataFrame(
+        [(subj, pred, obj)], "subj_uuid string, pred string, obj_uuid string"
+    )
+    return (
+        edges.select("subj_uuid", "pred", "obj_uuid")
+        .unionByName(new)
+        .dropDuplicates(["subj_uuid", "pred", "obj_uuid"])
+    )
+
+
+def add_entry(nodes: DataFrame, entry: dict) -> DataFrame:
+    """Append one node row from a dict (`cli.py:206-207`); missing
+    fields null, extra fields rejected by the schema."""
+    spark = nodes.sparkSession
+    row = tuple(entry.get(f.name) for f in nodes.schema.fields)
+    return nodes.unionByName(spark.createDataFrame([row], nodes.schema))
+
+
+def add_installpath(
+    nodes: DataFrame,
+    container_prefix: str,
+    install_prefix: str,
+    container_col: str = "containerPath",
+    install_col: str = "installPath",
+) -> DataFrame:
+    """For every containerPath containing the prefix, append the
+    rewritten installPath (`cli.py:209-215`): substring containment,
+    prefix replace, trailing slashes stripped."""
+    cp = container_prefix.rstrip("/")
+    ip = install_prefix.rstrip("/")
+    additions = F.transform(
+        F.filter(F.col(container_col), lambda p: p.contains(cp)),
+        lambda p: F.replace(p, F.lit(cp), F.lit(ip)),
+    )
+    return nodes.withColumn(
+        install_col,
+        F.when(F.col(container_col).isNull(), F.col(install_col)).otherwise(
+            F.concat(F.coalesce(F.col(install_col), F.array()), additions)
+        ),
+    )

@@ -61,8 +61,13 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> Uses edges: each doc *exports* its top token (the
     analogue of a library's soname), *mentions* every distinct token;
     mention links to the min-canonical-id exporter (J4 broadcast-join
-    pattern, single deterministic supplier per symbol)."""
-    base = _kg_base(spark, sf_dir)
+    pattern, single deterministic supplier per symbol).
+
+    ``base`` feeds four consumers (canon, counts, exporters, mentions);
+    localCheckpoint materializes the regex token extraction once
+    instead of four times (6.4 -> 1.7 s at sf0.1). At 100 TB the same
+    role is played by the pipeline's parquet stage snapshot."""
+    base = _kg_base(spark, sf_dir).localCheckpoint(eager=True)
     canon = base.groupBy("sha").agg(F.min("doc_id").alias("canonical_id"))
     base2 = base.join(canon, "sha")
 
@@ -645,7 +650,7 @@ def q_cc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own component."""
     from .operators.canon import connected_components
 
-    base = _kg_base(spark, sf_dir)
+    base = _kg_base(spark, sf_dir).localCheckpoint(eager=True)
     n_docs = base.count()
     thresh = int(n_docs * CC_MIN_CODOCS_FRAC)
     toks = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))

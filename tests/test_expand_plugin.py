@@ -185,3 +185,33 @@ def test_hook_registry_classify_extract_link(spark):
 
     got2 = {(r.subj, r.pred, r.obj) for r in reg.run_link(nodes).collect()}
     assert ("x", "TestRel", "y") in got2 and ("c", "Uses", "s") in got2
+
+
+def test_cli_add_operations(spark):
+    """`cli add` analogues (`/root/reference/surfactant/cmd/cli.py:164-215`,
+    contract `tests/cmd/test_cli.py:126-184`)."""
+    from surfactant_spark.operators.expand import (
+        add_entry,
+        add_installpath,
+        add_relationship,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "Uses", "b")], "subj_uuid string, pred string, obj_uuid string"
+    )
+    e2 = add_relationship(edges, "x", "Contains", "y")
+    assert e2.count() == 2
+    # set semantics: re-adding an existing edge is a no-op
+    assert add_relationship(e2, "a", "Uses", "b").count() == 2
+
+    nodes = spark.createDataFrame(
+        [("u1", ["f1"], ["/i/f1"], ["u1/c/f1", "other/x"])],
+        "uuid string, fileName array<string>, installPath array<string>, "
+        "containerPath array<string>",
+    )
+    n2 = add_entry(nodes, {"uuid": "u2", "fileName": ["f2"]})
+    assert {r.uuid for r in n2.collect()} == {"u1", "u2"}
+
+    n3 = add_installpath(nodes, "u1/c", "/opt/app")
+    row = n3.collect()[0]
+    assert row.installPath == ["/i/f1", "/opt/app/f1"]
