@@ -22,7 +22,7 @@ import zipfile
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 # ---------------------------------------------------------------------------

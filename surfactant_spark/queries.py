@@ -25,7 +25,6 @@ from .operators.dedup import (
     dedup_minhash,
     dedup_normalized,
     dedup_simhash,
-    norm_text_col,
 )
 from .operators.multimodal import documents_as_media, extract_media_features
 from .operators.similarity import topk_bruteforce, topk_ivf, topk_lsh
