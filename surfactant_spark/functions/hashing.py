@@ -78,10 +78,15 @@ def shingle_base_hash(s: str) -> int:
 
 
 def shingles(text: str, n: int = 3) -> List[str]:
-    """Word n-gram shingles over whitespace tokens (lowercased)."""
+    """Word n-gram shingles over whitespace tokens (lowercased).
+
+    An empty/whitespace-only text yields the single empty-string shingle
+    [""] — matching the Spark (`split(trim(...))` -> [""]) and DuckDB
+    (`string_split_regex`) sides exactly, so the tri-engine signature
+    parity holds for empty docs too."""
     toks = text.lower().split()
     if len(toks) < n:
-        return [" ".join(toks)] if toks else []
+        return [" ".join(toks)]
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 

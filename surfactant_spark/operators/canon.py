@@ -431,8 +431,21 @@ def merge_graphs(
     system = None
     if add_system or system_uuid is not None:
         if system_uuid is None:
-            root_ids = sorted(r[0] for r in roots.collect())
-            system_uuid = entity_uuid("system:" + ",".join(root_ids))
+            # derive the system UUID from the root set WITHOUT collecting
+            # it (root sets at web scale can be millions of rows): sum of
+            # per-root 60-bit hashes is an order-independent commutative
+            # combine that aggregates partially map-side — one row ever
+            # reaches the driver. Deterministic across runs/partitionings.
+            rid = F.col(roots.columns[0])
+            digest = roots.agg(
+                F.sum(
+                    F.conv(F.substring(F.sha2(rid, 256), 1, 15), 16, 10).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            system_uuid = entity_uuid(f"system:{digest['n']}:{digest['s']}")
         system = {"UUID": system_uuid, "name": ""}
         edges = attach_system(edges, roots, system_uuid, system_relationship)
     return software, edges, roots, (system if add_system else None)

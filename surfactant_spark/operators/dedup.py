@@ -317,24 +317,41 @@ def dedup_simhash(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit simhash slices (a pair
     within hamming distance <= n_blocks-1 shares at least one block by
-    pigeonhole), verify exact hamming distance."""
+    pigeonhole), verify exact hamming distance.
+
+    Buckets wider than ``max_bucket`` are dropped before the self-join
+    (same guard as dedup_minhash): a hot block_key — e.g. simhash 0 for
+    empty/near-empty docs — would otherwise make one bucket quadratic at
+    100 TB. The width filter is a count-only aggregation joined back, so
+    no aggregation buffer ever holds a full degenerate bucket either."""
     with_sh = docs.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
-    blocks = None
-    for b in range(n_blocks):
-        blk = with_sh.select(
-            F.col(id_col),
-            "simhash",
-            F.lit(b).alias("block"),
-            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("block_key"),
-        )
-        blocks = blk if blocks is None else blocks.unionByName(blk)
-    a = blocks.select(
+    blocks = with_sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_key"),
+    )
+    sized = (
+        blocks.groupBy("block", "block_key")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where((F.col("width") > 1) & (F.col("width") <= max_bucket))
+        .select("block", "block_key")
+    )
+    kept = blocks.join(sized, ["block", "block_key"])
+    a = kept.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "block", "block_key"
     )
-    b2 = blocks.select(
+    b2 = kept.select(
         F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "block", "block_key"
     )
     pairs = (
@@ -404,12 +421,24 @@ def dedup_ngram_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str = None,
+    allow_full_cartesian: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup within blocks (brute force inside a
-    block — the verification baseline for the MinHash path)."""
+    block — the verification baseline for the MinHash path).
+
+    Without a ``block_col`` the whole corpus is one block, i.e. a full
+    O(n^2) cartesian — never viable at scale, so it must be requested
+    explicitly with ``allow_full_cartesian=True`` (tiny verification
+    runs only); otherwise pass a block column or use dedup_minhash."""
     if block_col:
         sh = shingle_table(docs, id_col, text_col, n, block_col=block_col, hashed=True)
     else:
+        if not allow_full_cartesian:
+            raise ValueError(
+                "dedup_ngram_jaccard without block_col is a full O(n^2) "
+                "cartesian; pass block_col=... or allow_full_cartesian=True "
+                "for a small verification run (use dedup_minhash at scale)"
+            )
         sh = shingle_table(docs, id_col, text_col, n, hashed=True).withColumn(
             "blk", F.lit(1)
         )

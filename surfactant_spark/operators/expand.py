@@ -41,7 +41,7 @@ def _expand_one(url: str, payload: bytes) -> List[Tuple[str, bytes]]:
                         out.append((f"{url}!/{name}", zf.read(name)))
         elif payload[:2] == b"\x1f\x8b":
             inner = gzip.decompress(payload)
-            if inner[:5] == b"ustar" or _is_tar(inner):
+            if _is_tar(inner):  # ustar magic lives at offset 257
                 out.extend(_tar_members(url, inner))
             else:
                 out.append((f"{url}!/gunzipped", inner))

@@ -197,71 +197,83 @@ def _iter_meta(pdf: pd.DataFrame):
         yield uuid, ipaths, md
 
 
-def _elf_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows: List[tuple] = []
-        for uuid, ipaths, md in _iter_meta(pdf):
-            if "elfDependencies" not in md:
-                continue
-            flags1 = md.get("elfDynamicFlags1")
-            nodeflib = bool(flags1.get("DF_1_NODEFLIB")) if isinstance(flags1, dict) else False
-            for dep in md["elfDependencies"]:
-                for fname, fpath in elf_probe_pairs(
-                    ipaths, dep, md.get("elfRpath"), md.get("elfRunpath"), nodeflib
-                ):
-                    rows.append((uuid, fname, fpath))
-        yield pd.DataFrame(rows, columns=["uuid", "fname", "probe_path"])
+def elf_probe_rows(uuid: str, ipaths: List[str], md: dict) -> List[tuple]:
+    """One node's ELF probes as (uuid, fname, probe_path) rows — shared
+    by the Spark mapInPandas batches and the fixture-staging oracle so
+    both sides generate identical probe keys by construction."""
+    rows: List[tuple] = []
+    if "elfDependencies" not in md:
+        return rows
+    flags1 = md.get("elfDynamicFlags1")
+    nodeflib = bool(flags1.get("DF_1_NODEFLIB")) if isinstance(flags1, dict) else False
+    for dep in md["elfDependencies"]:
+        for fname, fpath in elf_probe_pairs(
+            ipaths, dep, md.get("elfRpath"), md.get("elfRunpath"), nodeflib
+        ):
+            rows.append((uuid, fname, fpath))
+    return rows
 
 
-def _pe_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def pe_probe_rows(uuid: str, ipaths: List[str], md: dict) -> List[tuple]:
     from ..functions.winpaths import pe_probe_keys
 
-    for pdf in batches:
-        rows: List[tuple] = []
-        for uuid, ipaths, md in _iter_meta(pdf):
-            for key in ("peImport", "peBoundImport", "peDelayImport"):
-                for fname in md.get(key) or []:
-                    for probe in pe_probe_keys(ipaths, fname):
-                        rows.append((uuid, fname, probe))
-        yield pd.DataFrame(rows, columns=["uuid", "fname", "probe_path"])
+    rows: List[tuple] = []
+    for key in ("peImport", "peBoundImport", "peDelayImport"):
+        for fname in md.get(key) or []:
+            for probe in pe_probe_keys(ipaths, fname):
+                rows.append((uuid, fname, probe))
+    return rows
 
 
-def _dotnet_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows: List[tuple] = []
-        for uuid, ipaths, md in _iter_meta(pdf):
-            if "dotnetAssemblyRef" not in md:
+def dotnet_probe_rows(uuid: str, ipaths: List[str], md: dict) -> List[tuple]:
+    rows: List[tuple] = []
+    if "dotnetAssemblyRef" not in md:
+        return rows
+    probing_paths = None
+    wac = md.get("appConfigFile") or {}
+    binding = (wac.get("runtime") or {}).get("assemblyBinding") or {}
+    dep_assemblies = binding.get("dependentAssembly")
+    probing = binding.get("probing") or {}
+    if "privatePath" in probing:
+        probing_paths = parse_private_paths(probing["privatePath"])
+
+    if "dotnetImplMap" in md:
+        for asm_ref in md["dotnetImplMap"]:
+            if "Name" not in asm_ref:
                 continue
-            probing_paths = None
-            dep_assemblies = None
-            wac = md.get("appConfigFile") or {}
-            binding = (wac.get("runtime") or {}).get("assemblyBinding") or {}
-            dep_assemblies = binding.get("dependentAssembly")
-            probing = binding.get("probing") or {}
-            if "privatePath" in probing:
-                probing_paths = parse_private_paths(probing["privatePath"])
+            for probe in dotnet_implmap_probe_keys(ipaths, asm_ref["Name"]):
+                rows.append((uuid, asm_ref["Name"], probe))
 
-            if "dotnetImplMap" in md:
-                for asm_ref in md["dotnetImplMap"]:
-                    if "Name" not in asm_ref:
-                        continue
-                    for probe in dotnet_implmap_probe_keys(ipaths, asm_ref["Name"]):
-                        rows.append((uuid, asm_ref["Name"], probe))
+    for asm_ref in md["dotnetAssemblyRef"]:
+        if "Name" not in asm_ref:
+            continue
+        name = asm_ref["Name"]
+        culture = asm_ref.get("Culture")
+        if dep_assemblies is not None:
+            for dep in dep_assemblies:
+                href = (dep.get("codeBase") or {}).get("href")
+                if href and not href.startswith(("http://", "https://", "file://")):
+                    for probe in dotnet_codebase_probe_keys(ipaths, href):
+                        rows.append((uuid, name, probe))
+        for probe in dotnet_assemblyref_probe_keys(ipaths, name, culture, probing_paths):
+            rows.append((uuid, name, probe))
+    return rows
 
-            for asm_ref in md["dotnetAssemblyRef"]:
-                if "Name" not in asm_ref:
-                    continue
-                name = asm_ref["Name"]
-                culture = asm_ref.get("Culture")
-                if dep_assemblies is not None:
-                    for dep in dep_assemblies:
-                        href = (dep.get("codeBase") or {}).get("href")
-                        if href and not href.startswith(("http://", "https://", "file://")):
-                            for probe in dotnet_codebase_probe_keys(ipaths, href):
-                                rows.append((uuid, name, probe))
-                for probe in dotnet_assemblyref_probe_keys(ipaths, name, culture, probing_paths):
-                    rows.append((uuid, name, probe))
-        yield pd.DataFrame(rows, columns=["uuid", "fname", "probe_path"])
+
+def _make_probe_batches(row_fn):
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for uuid, ipaths, md in _iter_meta(pdf):
+                rows.extend(row_fn(uuid, ipaths, md))
+            yield pd.DataFrame(rows, columns=["uuid", "fname", "probe_path"])
+
+    return batches_fn
+
+
+_elf_probe_batches = _make_probe_batches(elf_probe_rows)
+_pe_probe_batches = _make_probe_batches(pe_probe_rows)
+_dotnet_probe_batches = _make_probe_batches(dotnet_probe_rows)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

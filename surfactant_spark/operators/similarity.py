@@ -46,19 +46,23 @@ def topk_bruteforce(
 
 
 def label_centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
-    """Per-list centroids — the IVF coarse quantizer. Aggregation is a
-    single shuffle on the (low-cardinality) list id."""
-    dim_sums = corpus.groupBy(label_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.aggregate(
-            F.collect_list(vec_col),
-            F.array_repeat(F.lit(0.0), 64),
-            lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
-        ).alias("sums"),
+    """Per-list centroids — the IVF coarse quantizer.
+
+    posexplode + per-(list, dim) avg keeps every aggregation buffer a
+    single double (a collect_list of member vectors would put a whole
+    hot inverted list in one buffer — executor OOM at 100 TB), and the
+    dimensionality comes from the data, not a constant. The second
+    groupBy reassembles the centroid ordered by dimension index
+    (array_sort on (dim, mean) structs orders by the first field)."""
+    dim_means = (
+        corpus.select(F.col(label_col).alias("list_id"), F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("list_id", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
     )
-    return dim_sums.select(
-        F.col(label_col).alias("list_id"),
-        F.transform("sums", lambda s: s / F.col("n")).alias("centroid"),
+    return dim_means.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("centroid")
     )
 
 
@@ -108,30 +112,35 @@ def topk_ivf(
     )
 
 
-def _pseudo_plane_sign(vec: Column, plane_idx: int) -> Column:
-    """Sign bit of <v, r_i> where r_i is a deterministic pseudo-random
-    hyperplane: component j of plane i is +1 if the portable hash of
-    "plane:i:j" is odd else -1. No stored plane matrix, no randomness —
-    reproducible across engines and retries."""
-    signed = F.zip_with(
-        vec,
-        F.sequence(F.lit(0), F.size(vec) - 1),
-        lambda x, j: F.when(
-            portable_hash64_col(F.concat_ws(":", F.lit("plane"), F.lit(plane_idx), j.cast("string")))
-            .bitwiseAND(F.lit(1))
-            == 1,
-            x.cast("double"),
-        ).otherwise(-x.cast("double")),
+def plane_sign_literals(plane_idx: int, dim: int) -> Column:
+    """The deterministic pseudo-random hyperplane as a ±1 literal array:
+    component j of plane i is +1 if the portable hash of "plane:i:j" is
+    odd else -1. Hashed ONCE on the driver (the values depend only on
+    (plane, j)) instead of dim×planes md5s per row; no stored plane
+    matrix, no randomness — reproducible across engines and retries."""
+    from ..functions.hashing import portable_hash64
+
+    return F.array(
+        *[
+            F.lit(1.0 if (portable_hash64(f"plane:{plane_idx}:{j}") & 1) == 1 else -1.0)
+            for j in range(dim)
+        ]
     )
+
+
+def _pseudo_plane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
+    """Sign bit of <v, r_i>. x*(+1.0)/x*(-1.0) are IEEE-exact, so the
+    dot product is bit-identical to the former per-row-hash variant."""
+    signed = F.zip_with(vec, plane_sign_literals(plane_idx, dim), lambda x, s: x.cast("double") * s)
     dot = F.aggregate(signed, F.lit(0.0), lambda s, x: s + x)
     return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec_col: Column, n_planes: int = 8) -> Column:
+def lsh_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (0..2^n_planes-1)."""
     bucket = F.lit(0)
     for i in range(n_planes):
-        bucket = bucket + F.shiftleft(_pseudo_plane_sign(vec_col, i), i)
+        bucket = bucket + F.shiftleft(_pseudo_plane_sign(vec_col, i, dim), i)
     return bucket
 
 
@@ -145,15 +154,19 @@ def topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket. Recall traded for a (corpus/2^n_planes) scan."""
+    # one-row probe for the dimensionality (bounded driver action) so
+    # the plane literals match the data
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else 0
     cb = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = qb.join(cb, "bucket").where(F.col("query_id") != F.col("match_id")).select(
         "query_id",

@@ -158,16 +158,22 @@ def run_pipeline(
     def _alias_job():
         try:
             alias_result["df"] = stage("alias_cc", lambda: alias_entity_map(alias_dict))
-        except Exception as exc:  # surfaced after join
+        except BaseException as exc:  # surfaced after join
             alias_result["error"] = exc
 
     alias_thread = threading.Thread(target=_alias_job, daemon=True)
     alias_thread.start()
-    extracted = stage("extract", lambda: extract_pages(pages), input_rows=n_pages)
-    alias_thread.join()
+    try:
+        extracted = stage("extract", lambda: extract_pages(pages), input_rows=n_pages)
+    finally:
+        # always reap the alias job — an extract failure must not leave
+        # its Spark job running detached
+        alias_thread.join()
     if "error" in alias_result:
         raise alias_result["error"]
-    alias_canon = alias_result["df"]
+    alias_canon = alias_result.get("df")
+    if alias_canon is None:
+        raise RuntimeError("alias_cc stage produced no result (thread never ran?)")
     nodes = stage(
         "nodes", lambda: dedup_nodes(extracted), input_rows=n_pages
     )

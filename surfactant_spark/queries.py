@@ -95,8 +95,11 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         mentions.join(F.broadcast(exporters), "tok")
         .where(F.col("subj_id") != F.col("obj_id"))
         .groupBy("subj_id", "obj_id")
-        .agg(F.array_sort(F.collect_set("url")).alias("sources"))
-        .withColumn("n_evidence", F.size("sources").cast("long"))
+        .agg(F.array_sort(F.collect_set("url")).alias("src_arr"))
+        .withColumn("n_evidence", F.size("src_arr").cast("long"))
+        # joined string, not array: the driver canonicalizer sorts result
+        # columns with pandas and arrays are unhashable there
+        .withColumn("sources", F.array_join("src_arr", "|"))
         .select("subj_id", F.lit("Uses").alias("pred"), "obj_id", "n_evidence", "sources")
     )
 
@@ -129,7 +132,7 @@ mentions AS (
   FROM base2 b, UNNEST(b.toks) AS t(tok))
 SELECT m.subj_id, 'Uses' AS pred, e.obj_id,
        COUNT(DISTINCT m.url) AS n_evidence,
-       list_sort(list(DISTINCT m.url)) AS sources
+       array_to_string(list_sort(list(DISTINCT m.url)), '|') AS sources
 FROM mentions m JOIN exporters e USING (tok)
 WHERE m.subj_id <> e.obj_id
 GROUP BY m.subj_id, e.obj_id
@@ -142,7 +145,7 @@ def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _kg_base(spark, sf_dir)
     return base.groupBy("sha").agg(
         F.min("doc_id").alias("canonical_id"),
-        F.array_sort(F.collect_set("url")).alias("aliases"),
+        F.array_join(F.array_sort(F.collect_set("url")), "|").alias("aliases"),
         F.countDistinct("url").alias("n_sources"),
     )
 
@@ -150,7 +153,7 @@ def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KG_NODES = f"""
 WITH {SQL_KG_BASE}
 SELECT sha, MIN(doc_id) AS canonical_id,
-       list_sort(list(DISTINCT url)) AS aliases,
+       array_to_string(list_sort(list(DISTINCT url)), '|') AS aliases,
        COUNT(DISTINCT url) AS n_sources
 FROM base GROUP BY sha
 """
@@ -263,7 +266,7 @@ SELECT p.id1, p.id2,
 FROM pairs p
 JOIN sh a ON a.doc_id = p.id1
 JOIN sh b ON b.doc_id = p.id2
-WHERE {SQL_JACCARD.format(a='a.sh', b='b.sh')} >= {MINHASH_THRESHOLD}
+WHERE round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) >= {MINHASH_THRESHOLD}
 """
 
 NGRAM_THRESHOLD = 0.25
@@ -288,7 +291,7 @@ WITH sh AS (
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) AS jaccard
 FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE {SQL_JACCARD.format(a='a.sh', b='b.sh')} >= {NGRAM_THRESHOLD}
+WHERE round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) >= {NGRAM_THRESHOLD}
 """
 
 
@@ -486,13 +489,14 @@ def q_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_nations"),
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
         )
     )
 
 
 SQL_REGION_NATIONS = """
-SELECT r_name, COUNT(*) AS n_nations, list_sort(list(n_name)) AS nations
+SELECT r_name, COUNT(*) AS n_nations,
+       array_to_string(list_sort(list(n_name)), '|') AS nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
@@ -564,7 +568,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.unix_timestamp(F.min("ts")).alias("first_epoch"),
         F.unix_timestamp(F.max("ts")).alias("last_epoch"),
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias("types"),
         F.round(F.sum(F.col("value").cast(_D)).cast("double"), 2).alias("total_value"),
     )
 
@@ -573,7 +577,7 @@ SQL_EVENT_SESSIONS = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_epoch,
        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_epoch,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
        round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
 FROM events GROUP BY user_id
 """
@@ -653,9 +657,22 @@ def q_cc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = base.count()
     thresh = int(n_docs * CC_MIN_CODOCS_FRAC)
     toks = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    # pre-prune BEFORE the quadratic self-join: a pair needs
+    # countDistinct(doc_id) >= thresh, so each member token must itself
+    # appear in >= thresh docs. Tokens in >= 35% of ALL docs are an
+    # inherently tiny set -> broadcast semi-join; the per-doc pair
+    # explosion then runs over a handful of tokens instead of the full
+    # vocabulary (the O(tokens^2)-per-doc blowup flagged at 100x scale).
+    frequent = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= thresh)
+        .select("tok")
+    )
+    ftoks = toks.join(F.broadcast(frequent), "tok").localCheckpoint(eager=True)
     edges = (
-        toks.alias("a")
-        .join(toks.alias("b"), "doc_id")
+        ftoks.alias("a")
+        .join(ftoks.alias("b"), "doc_id")
         .where(F.col("a.tok") < F.col("b.tok"))
         .groupBy(F.col("a.tok").alias("t1"), F.col("b.tok").alias("t2"))
         .agg(F.countDistinct("doc_id").alias("n_codocs"))

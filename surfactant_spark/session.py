@@ -34,7 +34,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local-bench corpora are a few GB: the 128m default packs the
-        # scan into ~a dozen splits and starves cores; 16m keeps every
+        # scan into ~a dozen splits and starves cores; 8m keeps every
         # core fed. On a real 100 TB cluster the default is fine (800k
         # splits) — override via SPARK_GRAFT_MAX_PARTITION_BYTES.
         .config(
