@@ -32,4 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the link-family oracles SELECT from staged fixture parquets;
+    # staging is idempotent and cheap, so ensure it here in case the
+    # oracle side runs before the Spark side
+    from surfactant_spark.fixtures import stage_link_fixtures
+
+    stage_link_fixtures()
     return dict(ORACLE_SQL)

@@ -1,0 +1,254 @@
+"""Deterministic link-family fixture corpus + oracle staging.
+
+The reference's relationship tests run over hand-built SBOMs
+(`tests/relationships/test_elf.py:9-83`, `test_pe.py`, `test_dotnet.py`,
+`test_java.py`); the driver's CORRECTNESS gate needs the same families
+exercised against a DuckDB oracle. This module synthesises a
+deterministic SOFTWARE_NODES corpus per family (a few hundred nodes,
+literal arithmetic — no randomness, no external data) and stages it as
+parquet so that:
+
+- the Spark side reads the nodes parquet and runs the REAL distributed
+  linkers (operators/link.py: mapInPandas probe expansion + explode +
+  equi join + dedup);
+- the DuckDB side reads the same nodes parquet plus a staged probe
+  table and performs the join/filter/dedup in SQL.
+
+The probe rows are produced by the SAME pure per-row functions
+(link.elf_probe_rows / pe_probe_rows / dotnet_probe_rows) that the
+Spark batches call, so the oracle validates the *distributed plumbing*
+(explode, join, fileName-membership, case-folded keys, self-edge drop,
+set dedup) cross-engine; probe-generation semantics themselves are
+pinned against the reference by tests/test_link_families.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Dict, List, Tuple
+
+FIXTURE_VERSION = "r2b"
+
+NodeRow = Tuple[str, List[str], List[str], dict]
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpora (pure literal arithmetic, seedless)
+# ---------------------------------------------------------------------------
+def synth_elf_nodes(n: int = 400) -> List[NodeRow]:
+    """ELF library web: bare deps resolved via runpath/default dirs,
+    absolute-path deps, $ORIGIN expansion, DF_1_NODEFLIB suppression —
+    every probe family of `elf_relationship.py:41-198`."""
+    rows: List[NodeRow] = []
+    for i in range(n):
+        uuid = f"elf-{i:04d}"
+        fname = f"lib{i}.so"
+        m = i % 4
+        if m == 0:
+            ipath = [f"/usr/lib/{fname}"]
+        elif m == 1:
+            ipath = [f"/lib/{fname}"]
+        elif m == 2:
+            ipath = [f"/opt/app{i % 8}/lib/{fname}"]
+        else:
+            ipath = [f"/custom/abs/{fname}"]
+        deps = [f"lib{(i * 7 + 1) % n}.so"]
+        if i % 3 == 0:
+            deps.append(f"/custom/abs/lib{(i * 13 + 3) % n}.so")
+        if i % 5 == 0:
+            deps.append(f"../lib{(i * 11 + 5) % n}.so")  # relative-path dep
+        md: dict = {"elfDependencies": deps, "elfRpath": [], "elfRunpath": []}
+        if m == 2:
+            md["elfRunpath"] = ["$ORIGIN:$ORIGIN/../lib"]
+        if i % 16 == 3:
+            md["elfRunpath"] = ["$ORIGIN/$LIB"]
+        if i % 17 == 0:
+            md["elfDynamicFlags1"] = {"DF_1_NODEFLIB": True}
+        rows.append((uuid, [fname], ipath, md))
+    return rows
+
+
+def synth_pe_nodes(n: int = 240) -> List[NodeRow]:
+    """PE import web: same-dir probing with case-insensitive path
+    equality (`pe_relationship.py:19-78`); mixed-case dirs and import
+    names force the win_norm fold to matter."""
+    rows: List[NodeRow] = []
+    for i in range(n):
+        uuid = f"pe-{i:03d}"
+        fname = f"mod{i}.dll"
+        app = i % 12
+        case_dir = "Apps" if i % 2 else "APPS"
+        ipath = [f"C:\\{case_dir}\\app{app}\\{fname}"]
+        md: dict = {
+            # (i+12) keeps the same app dir modulo 12 -> guaranteed hit;
+            # the second import usually lands in another app dir -> miss
+            "peImport": [f"MOD{(i + 12) % n}.DLL", f"mod{(i * 5 + 2) % n}.dll"]
+        }
+        if i % 4 == 0:
+            md["peDelayImport"] = [f"mod{(i * 7 + 24) % n}.dll"]
+        rows.append((uuid, [fname], ipath, md))
+    return rows
+
+
+def synth_dotnet_nodes(n_libs: int = 60, n_apps: int = 60) -> List[NodeRow]:
+    """.NET probing corpus: same-dir / subdir / culture-dir libs,
+    assemblyRef with and without Culture, ImplMap native-name
+    combinations, appConfig privatePath probing
+    (`dotnet_relationship.py:20-243`)."""
+    rows: List[NodeRow] = []
+    for i in range(n_libs):
+        name = f"dnlib{i}"
+        variant = i % 4
+        app = i % 6
+        if variant == 0:
+            ipath = f"C:\\dn\\app{app}\\{name}.dll"
+        elif variant == 1:
+            ipath = f"C:\\dn\\app{app}\\{name}\\{name}.dll"
+        elif variant == 2:
+            ipath = f"C:\\dn\\app{app}\\cult{i % 2}\\{name}.dll"
+        else:
+            ipath = f"C:\\dn\\app{app}\\plugins\\{name}.dll"
+        rows.append((f"dnl-{i:03d}", [f"{name}.dll"], [ipath], {}))
+    for k in range(12):  # native libs for the ImplMap combinations
+        rows.append(
+            (f"dnn-{k:02d}", [f"natlib{k}.dll"], [f"C:\\dn\\app{k % 6}\\natlib{k}.dll"], {})
+        )
+    for i in range(n_apps):
+        app = i % 6
+        # offset by a multiple of 6 so app and lib share an app dir —
+        # whether the probe then HITS depends on the lib's variant
+        # (same-dir/subdir/culture/plugins) vs the ref shape
+        j = (i + 6 * ((i % 7) + 1)) % n_libs
+        ref: dict = {"Name": f"dnlib{j}"}
+        if j % 4 == 2:
+            ref["Culture"] = f"cult{j % 2}"
+        md: dict = {"dotnetAssemblyRef": [ref]}
+        if i % 4 == 0:
+            md["dotnetImplMap"] = [{"Name": f"natlib{(i * 5 + 2) % 12}"}]
+        binding: dict = {}
+        if i % 5 == 0:
+            binding["probing"] = {"privatePath": "plugins;ext"}
+        if i % 9 == 0:
+            binding["dependentAssembly"] = [
+                {"codeBase": {"href": f"dnlib{j}\\dnlib{j}.dll"}},
+                {"codeBase": {"href": "https://example.invalid/skip.dll"}},
+            ]
+        if binding:
+            md["appConfigFile"] = {"runtime": {"assemblyBinding": binding}}
+        rows.append(
+            (f"dna-{i:03d}", [f"dnapp{i}.exe"], [f"C:\\dn\\app{app}\\dnapp{i}.exe"], md)
+        )
+    return rows
+
+
+def synth_java_nodes(n: int = 150) -> List[NodeRow]:
+    """Java import/export web incl. multi-exporter symbols (the
+    min-uuid supplier rule) and self-edge suppression
+    (`java_relationship.py:11-51`)."""
+    rows: List[NodeRow] = []
+    for i in range(n):
+        exports = [f"sym{i}():void"]
+        if i % 7 == 0:
+            exports.append(f"shared{i % 10}():void")
+        imports = [f"sym{(i * 3 + 1) % n}():void", f"sym{(i + 17) % n}():void"]
+        if i % 11 == 0:
+            imports.append(f"shared{i % 10}():void")
+        md = {"javaClasses": {f"Cls{i}": {"javaExports": exports, "javaImports": imports}}}
+        rows.append((f"jv-{i:03d}", [f"jv{i}.class"], [f"/java/jv{i}.class"], md))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# staging
+# ---------------------------------------------------------------------------
+def fixture_dir() -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"surfactant_spark_fixtures_{FIXTURE_VERSION}"
+    )
+
+
+def _write_parquet(path: str, columns: Dict[str, list]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(columns), path)
+
+
+def _nodes_columns(rows: List[NodeRow]) -> Dict[str, list]:
+    from .functions.paths import win_norm
+
+    return {
+        "uuid": [r[0] for r in rows],
+        "fileName": [r[1] for r in rows],
+        "installPath": [r[2] for r in rows],
+        # pre-folded keys for the Windows-family oracle join (the Spark
+        # side folds with win_norm_paths_udf at runtime)
+        "installPath_norm": [[win_norm(p) for p in r[2]] for r in rows],
+        "metadata_json": [json.dumps(r[3]) for r in rows],
+    }
+
+
+def _probe_columns(rows: List[tuple]) -> Dict[str, list]:
+    return {
+        "uuid": [r[0] for r in rows],
+        "fname": [r[1] for r in rows],
+        "probe_path": [r[2] for r in rows],
+    }
+
+
+def stage_link_fixtures() -> Dict[str, str]:
+    """Write the fixture parquets once (idempotent, marker-guarded);
+    returns {name: path}. Called by both the Spark queries and
+    oracle_sql() so either side can run first."""
+    d = fixture_dir()
+    marker = os.path.join(d, "_OK")
+    names = [
+        "elf_nodes", "elf_probes", "pe_nodes", "pe_probes",
+        "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
+    ]
+    paths = {n: os.path.join(d, f"{n}.parquet") for n in names}
+    if os.path.exists(marker):
+        return paths
+    from .operators.link import dotnet_probe_rows, elf_probe_rows, pe_probe_rows
+
+    os.makedirs(d, exist_ok=True)
+
+    def probes_of(rows: List[NodeRow], row_fn) -> List[tuple]:
+        out: List[tuple] = []
+        for uuid, fnames, ipaths, md in rows:
+            out.extend(row_fn(uuid, ipaths, md))
+        return out
+
+    elf = synth_elf_nodes()
+    pe = synth_pe_nodes()
+    dn = synth_dotnet_nodes()
+    jv = synth_java_nodes()
+    _write_parquet(paths["elf_nodes"], _nodes_columns(elf))
+    _write_parquet(paths["elf_probes"], _probe_columns(probes_of(elf, elf_probe_rows)))
+    _write_parquet(paths["pe_nodes"], _nodes_columns(pe))
+    _write_parquet(paths["pe_probes"], _probe_columns(probes_of(pe, pe_probe_rows)))
+    _write_parquet(paths["dotnet_nodes"], _nodes_columns(dn))
+    _write_parquet(
+        paths["dotnet_probes"], _probe_columns(probes_of(dn, dotnet_probe_rows))
+    )
+    _write_parquet(paths["java_nodes"], _nodes_columns(jv))
+    symbols: List[tuple] = []
+    for uuid, _fn, _ip, md in jv:
+        for info in (md.get("javaClasses") or {}).values():
+            for s in info.get("javaExports") or []:
+                symbols.append((uuid, s, "export"))
+            for s in info.get("javaImports") or []:
+                symbols.append((uuid, s, "import"))
+    _write_parquet(
+        paths["java_symbols"],
+        {
+            "uuid": [s[0] for s in symbols],
+            "symbol": [s[1] for s in symbols],
+            "kind": [s[2] for s in symbols],
+        },
+    )
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(FIXTURE_VERSION)
+    return paths

@@ -1,0 +1,74 @@
+"""Pattern-database mention detection (E4/E5 + S11).
+
+The reference detects library mentions by running a versioned regex
+database against file content — RetireJS for JavaScript
+(`surfactant/infoextractors/js_file.py:89-126`) and EMBA patterns for
+native libraries (`native_lib_file.py:100-158`) — with the database
+downloaded, hash-versioned and cached by
+`database_manager/database_utils.py:25-288`.
+
+Spark-first re-expression: the pattern DB is a small **versioned
+dimension table** (library, regex, pattern_version) broadcast against
+the corpus; matching is a broadcast nested-loop join with an RLIKE
+condition (non-foldable regex patterns are supported by the JVM RLike
+expression — no Python in the hot path), and the DB version is stamped
+on every emitted mention for lineage, like the reference records the
+database hash/version it matched against.
+
+Scale: |patterns| is dimension-sized (dozens-thousands), so the join is
+|corpus| x |patterns| regex evaluations fanned across executors — the
+same work the reference does single-threaded. For very large DBs,
+pre-filter with a cheap token prefilter (e.g. rlike of the union of
+literal prefixes) before the full-pattern join.
+
+The regex dialect is kept in the Java-regex/RE2 common subset
+(literal words, alternation, single capture group) so the DuckDB
+`regexp_matches`/`regexp_extract` oracle replays matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# deterministic built-in DB over the synthetic corpus vocabulary; the
+# analogue of a pinned RetireJS snapshot. Alternatives are disjoint at
+# any match position (distinct words) so Java regex (leftmost-first)
+# and RE2 (leftmost-longest) agree.
+PATTERN_DB = [
+    ("spark-engine", "spark (window|stream|data)", "1.2.0"),
+    ("hash-ops", "hash (join|value|table)", "0.9.1"),
+    ("vector-ops", "vector (table|scan|value)", "2.0.0"),
+    ("fast-path", "fast (scan|key|merge)", "3.1.4"),
+    ("agg-kernel", "agg (row|join|window)", "0.4.2"),
+]
+
+PATTERN_DB_VERSION = "2026.08.0"
+
+
+def pattern_dim(spark: SparkSession, db=None) -> DataFrame:
+    """The versioned pattern dimension table (S11's broadcast shape)."""
+    return spark.createDataFrame(
+        db or PATTERN_DB, "library string, regex string, pattern_version string"
+    )
+
+
+def pattern_mentions(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    db_version: str = PATTERN_DB_VERSION,
+) -> DataFrame:
+    """(doc, library, pattern_version, match_token, db_version) for
+    every document matching a pattern — one row per (doc, pattern) hit,
+    like the reference's per-file `jsLibraries` entries."""
+    joined = docs.join(
+        F.broadcast(patterns), F.expr(f"regexp_like({text_col}, regex)")
+    )
+    return joined.select(
+        F.col(id_col),
+        "library",
+        "pattern_version",
+        F.expr(f"regexp_extract({text_col}, regex, 1)").alias("match_token"),
+        F.lit(db_version).alias("db_version"),
+    )

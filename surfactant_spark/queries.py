@@ -784,6 +784,117 @@ def q_archive_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# link families J1-J4 over the staged deterministic fixture corpus
+# (oracle-backed twins of tests/test_link_families.py; see fixtures.py
+# for why the probes are staged for the oracle side)
+# ---------------------------------------------------------------------------
+def _fixture_paths():
+    from .fixtures import stage_link_fixtures
+
+    return stage_link_fixtures()
+
+
+def q_link_elf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — ELF dependency resolution (`elf_relationship.py:41-198`):
+    mapInPandas probe expansion + explode + equi join + fileName
+    membership + self-edge drop + set dedup, distributed."""
+    from .operators.link import link_elf
+
+    p = _fixture_paths()
+    return link_elf(spark.read.parquet(p["elf_nodes"]))
+
+
+def q_link_pe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — PE import resolution, case-folded keys (`pe_relationship.py:19-78`)."""
+    from .operators.link import link_pe
+
+    p = _fixture_paths()
+    return link_pe(spark.read.parquet(p["pe_nodes"]))
+
+
+def q_link_dotnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — .NET assemblyRef/ImplMap/codeBase probing (`dotnet_relationship.py:20-243`)."""
+    from .operators.link import link_dotnet
+
+    p = _fixture_paths()
+    return link_dotnet(spark.read.parquet(p["dotnet_nodes"]))
+
+
+def q_link_java(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — Java import->export broadcast dictionary join
+    (`java_relationship.py:11-51`), min-uuid supplier rule."""
+    from .operators.link import link_java
+
+    p = _fixture_paths()
+    return link_java(spark.read.parquet(p["java_nodes"]))
+
+
+def _sql_link_posix(nodes_path: str, probes_path: str) -> str:
+    return f"""
+WITH targets AS (
+  SELECT uuid AS target_uuid, fileName,
+         unnest(installPath) AS probe_path
+  FROM read_parquet('{nodes_path}'))
+SELECT DISTINCT p.uuid AS subj, 'Uses' AS pred, t.target_uuid AS obj
+FROM read_parquet('{probes_path}') p
+JOIN targets t ON p.probe_path = t.probe_path
+WHERE list_contains(t.fileName, p.fname) AND p.uuid <> t.target_uuid
+"""
+
+
+def _sql_link_windows(nodes_path: str, probes_path: str) -> str:
+    return f"""
+WITH targets AS (
+  SELECT uuid AS target_uuid,
+         unnest(installPath_norm) AS probe_path
+  FROM read_parquet('{nodes_path}'))
+SELECT DISTINCT p.uuid AS subj, 'Uses' AS pred, t.target_uuid AS obj
+FROM read_parquet('{probes_path}') p
+JOIN targets t ON p.probe_path = t.probe_path
+WHERE p.uuid <> t.target_uuid
+"""
+
+
+def _sql_link_java(symbols_path: str) -> str:
+    return f"""
+WITH syms AS (SELECT * FROM read_parquet('{symbols_path}')),
+exports AS (
+  SELECT symbol, MIN(uuid) AS supplier_uuid FROM syms
+  WHERE kind = 'export' GROUP BY symbol)
+SELECT DISTINCT i.uuid AS subj, 'Uses' AS pred, e.supplier_uuid AS obj
+FROM syms i JOIN exports e USING (symbol)
+WHERE i.kind = 'import' AND i.uuid <> e.supplier_uuid
+"""
+
+
+# ---------------------------------------------------------------------------
+# pattern-DB mention family (E4/E5 + S11): versioned regex dimension
+# broadcast against content (`js_file.py:89-126`, `database_utils.py:25-288`)
+# ---------------------------------------------------------------------------
+def q_pattern_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.patterndb import PATTERN_DB_VERSION, pattern_dim, pattern_mentions
+
+    docs = _read(spark, sf_dir, "documents")
+    return pattern_mentions(docs, pattern_dim(spark), db_version=PATTERN_DB_VERSION)
+
+
+def _sql_pattern_mentions() -> str:
+    from .operators.patterndb import PATTERN_DB, PATTERN_DB_VERSION
+
+    values = ",\n  ".join(
+        f"('{lib}', '{rx}', '{ver}')" for (lib, rx, ver) in PATTERN_DB
+    )
+    return f"""
+WITH pat(library, regex, pattern_version) AS (VALUES
+  {values})
+SELECT d.doc_id, p.library, p.pattern_version,
+       regexp_extract(d.text, p.regex, 1) AS match_token,
+       '{PATTERN_DB_VERSION}' AS db_version
+FROM documents d JOIN pat p ON regexp_matches(d.text, p.regex)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -811,7 +922,18 @@ QUERIES = {
     "longest_doc_per_lang": q_longest_doc_per_lang,
     "streaming_extract": q_streaming_extract,
     "archive_expand": q_archive_expand,
+    "link_elf": q_link_elf,
+    "link_pe": q_link_pe,
+    "link_dotnet": q_link_dotnet,
+    "link_java": q_link_java,
+    "pattern_mentions": q_pattern_mentions,
 }
+
+
+def _fixture_file(name: str) -> str:
+    from .fixtures import fixture_dir
+
+    return os.path.join(fixture_dir(), f"{name}.parquet")
 
 ORACLE_SQL = {
     "doc_filter": SQL_DOC_FILTER,
@@ -833,4 +955,11 @@ ORACLE_SQL = {
     "event_sessions": SQL_EVENT_SESSIONS,
     "cc_tokens": SQL_CC_TOKENS,
     "media_features": SQL_MEDIA_FEATURES,
+    "link_elf": _sql_link_posix(_fixture_file("elf_nodes"), _fixture_file("elf_probes")),
+    "link_pe": _sql_link_windows(_fixture_file("pe_nodes"), _fixture_file("pe_probes")),
+    "link_dotnet": _sql_link_windows(
+        _fixture_file("dotnet_nodes"), _fixture_file("dotnet_probes")
+    ),
+    "link_java": _sql_link_java(_fixture_file("java_symbols")),
+    "pattern_mentions": _sql_pattern_mentions(),
 }
