@@ -295,10 +295,69 @@ WHERE round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) >= {NGRAM_THRESHOLD}
 """
 
 
+SIMHASH_MAX_HAMMING = 16
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle: the 64-bit simhash accumulator is Python-side
-    # (Arrow-batched); correctness is pinned by tests/test_dedup_ops.py
-    return dedup_simhash(_read(spark, sf_dir, "documents"), max_hamming=16)
+    return dedup_simhash(
+        _read(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def _sql_dedup_simhash(n_blocks: int = 4, max_bucket: int = 64) -> str:
+    """Integer-exact DuckDB replay of the whole simhash dedup pipeline:
+    the 64-bit simhash accumulator (same portable md5 hash, same
+    majority-vote bit rule as functions/hashing.simhash64 and the Arrow
+    UDF), the 16-bit pigeonhole blocking with the same width cap, and
+    hamming verification via bit_count(xor). All arithmetic is integer
+    (HUGEINT for the bit sum, arithmetic >> matches Java), so the
+    tri-engine parity is exact — no float ordering anywhere."""
+    H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+    def bit_term(src: str, b: int, shift: int) -> str:
+        return (
+            f"(CASE WHEN 2 * list_sum([CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END"
+            f" for h in {src}]) > n THEN (1::HUGEINT << {shift}) ELSE 0::HUGEINT END)"
+        )
+
+    acc = "\n      + ".join(
+        [bit_term("h1", b, b) for b in range(60)]
+        + [bit_term("h2", b, 60 + b) for b in range(4)]
+    )
+    block_vals = ",".join(f"({b})" for b in range(n_blocks))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+hs AS (
+  SELECT doc_id, len(tk) AS n,
+         [{H.format(x='t')} for t in tk] AS h1,
+         [{H.format(x="t || '|hi'")} for t in tk] AS h2
+  FROM toks),
+acc AS (
+  SELECT doc_id, CASE WHEN n = 0 THEN 0::HUGEINT ELSE {acc} END AS v
+  FROM hs),
+sim AS (
+  SELECT doc_id,
+         (CASE WHEN v >= (1::HUGEINT << 63) THEN v - (1::HUGEINT << 64) ELSE v END)::BIGINT AS simhash
+  FROM acc),
+blocks AS (
+  SELECT doc_id, simhash, b.block, (simhash >> (b.block * 16)) & 65535 AS block_key
+  FROM sim, (VALUES {block_vals}) b(block)),
+sized AS (
+  SELECT block, block_key FROM blocks GROUP BY block, block_key
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+         a.simhash AS sh1, b2.simhash AS sh2
+  FROM blocks a
+  JOIN blocks b2 ON a.block = b2.block AND a.block_key = b2.block_key
+  JOIN sized s ON a.block = s.block AND a.block_key = s.block_key
+  WHERE a.doc_id < b2.doc_id)
+SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sh1, sh2)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -396,11 +455,55 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, nprobe=3)
 
 
+LSH_PLANES, EMB_DIM = 4, 64
+
+
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle: 6x64 hash-plane expansion is impractical in one
-    # SQL statement; recall bound pinned by tests/test_similarity.py
     emb = _emb(spark, sf_dir)
-    return topk_lsh(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, n_planes=4)
+    return topk_lsh(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, n_planes=LSH_PLANES)
+
+
+def _sql_topk_lsh() -> str:
+    """Exact DuckDB replay of the LSH path: the plane-sign literals are
+    the same driver-precomputed ±1 arrays (similarity.plane_sign_literals),
+    the dot-product fold is a strict left fold (list_reduce) matching
+    Spark's F.aggregate element order, and x*(±1.0) is IEEE-exact — so
+    bucket assignment is bit-identical, and the candidate ranking uses
+    the shared rounded-cosine + id tie-break discipline."""
+    from .functions.hashing import portable_hash64
+
+    def bucket(e: str) -> str:
+        terms = []
+        for i in range(LSH_PLANES):
+            arr = "[" + ", ".join(
+                ("1.0" if (portable_hash64(f"plane:{i}:{j}") & 1) == 1 else "-1.0")
+                for j in range(EMB_DIM)
+            ) + "]"
+            dot = (
+                f"list_reduce([{e}[j]::DOUBLE * ({arr})[j]"
+                f" for j in range(1, {EMB_DIM + 1})], (s, x) -> s + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+cb AS (
+  SELECT vec_id AS match_id, embedding AS cv, {bucket('embedding')} AS bucket
+  FROM embeddings),
+scored AS (
+  SELECT q.query_id, cb.match_id,
+         round({SQL_COSINE.format(a='q.qv', b='cb.cv')}, 6) AS cosine
+  FROM q JOIN cb USING (bucket) WHERE q.query_id <> cb.match_id),
+ranked AS (
+  SELECT query_id, match_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -730,8 +833,10 @@ FROM documents
 def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming ingest (SURVEY §2.10): documents-as-pages
     through readStream -> Arrow extraction -> availableNow file sink;
-    returns the materialized batch. No SQL oracle (stateful streaming);
-    batch-equivalence is pinned by tests/test_training_ops.py."""
+    returns the materialized batch. Both sides are deterministic, so the
+    batch-extraction semantics (sha256 of the page bytes + mention
+    count) are SQL-replayable — the oracle recomputes them from the
+    documents table directly."""
     import tempfile
 
     from .sources.readers import documents_as_pages
@@ -746,11 +851,25 @@ def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "content_sha256", "n_mentions")
 
 
+# sha256 of the page bytes (html == utf-8 text) and the raw
+# `(lib|bundle)://` mention-count of functions/textlib.detect_mentions
+SQL_STREAMING_EXTRACT = r"""
+SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       sha256(text) AS content_sha256,
+       CAST(len(regexp_extract_all(text,
+            '\b(lib|bundle)://[A-Za-z0-9_.\-/:~]+')) AS INT) AS n_mentions
+FROM documents
+"""
+
+
 def q_archive_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive archive expansion (S4/S5 work-queue analogue): gzip
     each document's bytes into a synthetic archive page, expand, return
-    member pages + Contains edges count columns. No SQL oracle (binary
-    codec); semantics pinned by tests/test_expand_plugin.py."""
+    original + member pages with Contains-edge predicates and the
+    member content hash. The gzip payloads are deterministic (mtime=0)
+    and members are the uncompressed text bytes, so the oracle derives
+    the full expected (url, member_sha256, pred) table from documents
+    in SQL — round-tripping the codec end-to-end."""
     import gzip as _gzip
     from typing import Iterator
 
@@ -758,7 +877,8 @@ def q_archive_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.expand import expand_archives
 
-    docs = _read(spark, sf_dir, "documents").limit(200)
+    # predicate, not limit(): LIMIT without ORDER BY picks arbitrary rows
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
 
     def gz(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -778,9 +898,21 @@ def q_archive_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         gz, schema="url string, warc_ts timestamp, html binary, text string, lang string"
     )
     all_pages, edges = expand_archives(pages)
-    return all_pages.select("url").join(
-        edges.select(F.col("obj").alias("url"), "pred"), "url", "left"
-    )
+    return all_pages.select(
+        "url",
+        F.when(F.col("url").contains("!/"), F.sha2("html", 256)).alias("member_sha256"),
+    ).join(edges.select(F.col("obj").alias("url"), "pred"), "url", "left")
+
+
+SQL_ARCHIVE_EXPAND = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '.gz' AS url,
+       CAST(NULL AS VARCHAR) AS member_sha256, CAST(NULL AS VARCHAR) AS pred
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '.gz!/gunzipped' AS url,
+       sha256(text) AS member_sha256, 'Contains' AS pred
+FROM documents WHERE doc_id < 200
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -962,4 +1094,8 @@ ORACLE_SQL = {
     ),
     "link_java": _sql_link_java(_fixture_file("java_symbols")),
     "pattern_mentions": _sql_pattern_mentions(),
+    "streaming_extract": SQL_STREAMING_EXTRACT,
+    "archive_expand": SQL_ARCHIVE_EXPAND,
+    "dedup_simhash": _sql_dedup_simhash(),
+    "topk_lsh": _sql_topk_lsh(),
 }
