@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r2b"
+FIXTURE_VERSION = "r2c"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -160,9 +160,113 @@ def synth_java_nodes(n: int = 150) -> List[NodeRow]:
     return rows
 
 
-# ---------------------------------------------------------------------------
-# staging
-# ---------------------------------------------------------------------------
+def synth_magic_pages() -> List[Tuple[str, bytes, str]]:
+    """(url, bytes, expected_type) covering every branch of the magic
+    classifier (`id_magic.py:56-214`, `id_hex.py:71-96`) with real
+    codec output where a codec exists and hand-built headers otherwise.
+    Expected labels are derived from the format specs at synth time —
+    they are the oracle's ground truth, independent of the classifier."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import io as _io
+    import lzma as _lzma
+    import tarfile as _tarfile
+    import zipfile as _zipfile
+    import zlib as _zlib
+
+    def pad(b: bytes, k: int = 300) -> bytes:
+        return b + b"\x00" * max(0, k - len(b))
+
+    def mz(coff_addr: int, sig: bytes = b"PE\x00\x00", hdrs: bool = False) -> bytes:
+        b = bytearray(pad(b"MZ", 0x400))
+        b[0x3C:0x40] = coff_addr.to_bytes(4, "little")
+        b[coff_addr : coff_addr + 4] = sig
+        if hdrs:
+            b[0x202:0x206] = b"HdrS"
+        return bytes(b)
+
+    def zipb() -> bytes:
+        buf = _io.BytesIO()
+        with _zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("a.txt", "hello")
+        return buf.getvalue()
+
+    def tarb() -> bytes:
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w") as tf:
+            data = b"hello"
+            info = _tarfile.TarInfo("a.txt")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+        return buf.getvalue()
+
+    def uimage() -> bytes:
+        import struct
+
+        hdr = struct.pack(
+            ">IIIIIIIBBBB", 0x27051956, 0xDEAD, 1700000000, 4096, 0x8000, 0x8040,
+            0xBEEF, 5, 2, 2, 1,
+        ) + b"test-kernel".ljust(32, b"\x00")
+        return pad(hdr, 128)
+
+    z = zipb()
+    pages = [
+        ("f/elf.bin", pad(b"\x7fELF\x02\x01\x01"), "ELF"),
+        ("f/prog.exe", mz(0x80), "PE"),
+        ("f/old.exe", mz(0x80, sig=b"XX\x00\x00"), "DOS"),
+        ("f/short.exe", b"MZ" + b"\x00" * 58 + (0x500).to_bytes(4, "little"), "Malformed PE"),
+        ("f/vmlinuz", mz(0x80, hdrs=True), "Linux Kernel Image"),
+        ("f/doc.msi", pad(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"), "OLE"),
+        ("f/setup.cab", pad(b"MSCF\x00\x00"), "MSCAB"),
+        ("f/inst.cab", pad(b"ISc(\x00"), "ISCAB"),
+        ("f/data.gz", _gzip.compress(b"hello", mtime=0), "GZIP"),
+        ("f/data.bz2", _bz2.compress(b"hello"), "BZIP2"),
+        ("f/data.xz", _lzma.compress(b"hello"), "XZ"),
+        ("f/data.tar", tarb(), "TAR"),
+        ("f/arch.zip", z, "ZIP"),
+        ("f/arch.zipx", z, "ZIP"),
+        ("f/app.jar", z, "JAR"),
+        ("f/app.war", z, "WAR"),
+        ("f/app.ear", z, "EAR"),
+        ("f/app.apk", z, "APK"),
+        ("f/app.ipa", z, "IPA"),
+        ("f/app.msix", z, "MSIX"),
+        ("f/Hello.class", pad(b"\xca\xfe\xba\xbe\x00\x00\x00\x34"), "JAVACLASS"),
+        ("f/fat.bin", pad(b"\xca\xfe\xba\xbe\x00\x00\x00\x02"), "MACHOFAT"),
+        ("f/fat2.bin", pad(b"\xbe\xba\xfe\xca"), "MACHOFAT"),
+        ("f/fat64.bin", pad(b"\xca\xfe\xba\xbf"), "MACHOFAT64"),
+        ("f/fat64r.bin", pad(b"\xbf\xba\xfe\xca"), "MACHOFAT64"),
+        ("f/efi.fat", pad(b"\x0e\xf1\xfa\xb9"), "EFIFAT"),
+        ("f/m32.bin", pad(b"\xfe\xed\xfa\xce"), "MACHO32"),
+        ("f/m32r.bin", pad(b"\xce\xfa\xed\xfe"), "MACHO32"),
+        ("f/m64.bin", pad(b"\xfe\xed\xfa\xcf"), "MACHO64"),
+        ("f/m64r.bin", pad(b"\xcf\xfa\xed\xfe"), "MACHO64"),
+        ("f/mod.bc", pad(b"\xde\xc0\x17\x0b"), "LLVM_BITCODE"),
+        ("f/mod.ll.bc", pad(b"BC\xc0\xde"), "LLVM_IR"),
+        ("f/big.aout", pad(b"\x00\x02\x01\x07"), "A.OUT big"),
+        ("f/little.aout", pad(b"\x0b\x01\x64\x00"), "A.OUT little"),
+        ("f/obj.o", pad(b"\x4c\x01\x00\x00"), "COFF"),
+        ("f/obj32.xcoff", pad(b"\x1d\x00"), "XCOFF32"),
+        ("f/obj64.xcoff", pad(b"\xf7\x01"), "XCOFF64"),
+        ("f/obj.ecoff", pad(b"\x83\x01"), "ECOFF"),
+        ("f/lib.a", pad(b"!<arch>\n"), "AR_LIB"),
+        ("f/lib.omf", pad(b"\xf0\x0d\x00\x00"), "OMF_LIB"),
+        ("f/kernel.uimg", uimage(), "UIMAGE"),
+        ("f/data.zlib", _zlib.compress(b"hello"), "ZLIB"),
+        (
+            "f/fw.hex",
+            b":100000000C9434000C943E000C943E000C943E0082\n:00000001FF\n",
+            "INTEL_HEX",
+        ),
+        (
+            "f/fw.s19",
+            b"S00F000068656C6C6F20776F726C6443\nS111000048656C6C6F20776F726C642E0A9D\nS5030002FA\n",
+            "MOTOROLA_SREC",
+        ),
+        ("f/tie.hex", b"not hex at all\njust text\n", None),
+        ("f/plain.txt", b"hello world, plain text", None),
+    ]
+    return pages
 def fixture_dir() -> str:
     return os.path.join(
         tempfile.gettempdir(), f"surfactant_spark_fixtures_{FIXTURE_VERSION}"
@@ -207,6 +311,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     names = [
         "elf_nodes", "elf_probes", "pe_nodes", "pe_probes",
         "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
+        "magic_pages",
     ]
     paths = {n: os.path.join(d, f"{n}.parquet") for n in names}
     if os.path.exists(marker):
@@ -247,6 +352,15 @@ def stage_link_fixtures() -> Dict[str, str]:
             "uuid": [s[0] for s in symbols],
             "symbol": [s[1] for s in symbols],
             "kind": [s[2] for s in symbols],
+        },
+    )
+    magic = synth_magic_pages()
+    _write_parquet(
+        paths["magic_pages"],
+        {
+            "url": [m[0] for m in magic],
+            "html": [m[1] for m in magic],
+            "expected": [m[2] for m in magic],
         },
     )
     with open(marker, "w", encoding="utf-8") as f:

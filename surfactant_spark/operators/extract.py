@@ -84,6 +84,102 @@ def classify_doctype_col(prefix_col) -> "F.Column":
     )
 
 
+def classify_magic_col(url_col, html_col) -> "F.Column":
+    """JVM twin of functions/magic.classify — the reference's full
+    ~30-type ordered magic dispatch (`filetypeid/id_magic.py:56-214`)
+    plus the Intel-HEX/SREC line sampler (`id_hex.py:71-96`), as one
+    whole-stage-codegen CASE chain over the binary column. Byte values
+    are read via hex(substring(...)) -> conv; PE's COFF-pointer
+    indirection uses a dynamic substr. Identity with the pure twin is
+    pinned by tests/test_magic.py over every fixture family."""
+    from ..functions.magic import A_OUT_MAGIC, COFF_MACHINE, HEX_FILE_EXTENSIONS
+
+    h = html_col
+    n = F.length(h)
+    u = F.lower(url_col)
+
+    def byte(i0: int) -> "F.Column":
+        return F.conv(F.hex(F.substring(h, i0 + 1, 1)), 16, 10).cast("int")
+
+    def be(i0: int, width: int) -> "F.Column":
+        return F.conv(F.hex(F.substring(h, i0 + 1, width)), 16, 10).cast("long")
+
+    def starts(b: bytes) -> "F.Column":
+        return F.substring(h, 1, len(b)) == F.lit(b)
+
+    def at(i0: int, b: bytes) -> "F.Column":
+        return F.substring(h, i0 + 1, len(b)) == F.lit(b)
+
+    coff_addr = byte(0x3C) + byte(0x3D) * 256
+    pe_sig = F.substr(h, (coff_addr + 1).cast("int"), F.lit(4)) == F.lit(b"PE\x00\x00")
+    le16_0 = byte(0) + byte(1) * 256
+    aout_be = byte(2) * 256 + byte(3)
+    cmf, flg = byte(0), byte(1)
+
+    hexable = None
+    for s in sorted(HEX_FILE_EXTENSIONS):
+        c = u.endswith(s)
+        hexable = c if hexable is None else (hexable | c)
+    lines = F.slice(F.split(h.cast("string"), "\n", 101), 1, 100)
+    n_moto = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[Ss][0-9A-Fa-f]*\s*$")))
+    n_intel = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*:[0-9A-Fa-f]*\s*$")))
+
+    pk = starts(b"PK\x03\x04") | starts(b"PK\x05\x06") | starts(b"PK\x07\x08")
+    zip_suffixes = [
+        (".zip", "ZIP"), (".zipx", "ZIP"), (".jar", "JAR"), (".war", "WAR"),
+        (".ear", "EAR"), (".apk", "APK"), (".ipa", "IPA"), (".msix", "MSIX"),
+    ]
+
+    c = F.when(starts(b"\x7fELF"), "ELF")
+    c = c.when(
+        starts(b"MZ"),
+        F.when((coff_addr + 4 > n) | coff_addr.isNull(), "Malformed PE")
+        .when(~pe_sig, "DOS")
+        .when(at(0x202, b"HdrS"), "Linux Kernel Image")
+        .otherwise("PE"),
+    )
+    c = c.when(starts(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"), "OLE")
+    c = c.when(starts(b"MSCF"), "MSCAB")
+    c = c.when(starts(b"ISc("), "ISCAB")
+    c = c.when(starts(b"\x1f\x8b"), "GZIP")
+    c = c.when(starts(b"BZh"), "BZIP2")
+    c = c.when(starts(b"\xfd\x37\x7a\x58\x5a\x00"), "XZ")
+    c = c.when(at(257, b"ustar\x0000") | at(257, b"ustar  \x00"), "TAR")
+    for s, t in zip_suffixes:
+        c = c.when(pk & u.endswith(s), t)
+    c = c.when(starts(b"\xca\xfe\xba\xbe"), F.when(be(4, 4) <= 30, "MACHOFAT").otherwise("JAVACLASS"))
+    c = c.when(starts(b"\xbe\xba\xfe\xca"), "MACHOFAT")
+    c = c.when(starts(b"\xca\xfe\xba\xbf") | starts(b"\xbf\xba\xfe\xca"), "MACHOFAT64")
+    c = c.when(starts(b"\x0e\xf1\xfa\xb9"), "EFIFAT")
+    c = c.when(starts(b"\xfe\xed\xfa\xce") | starts(b"\xce\xfa\xed\xfe"), "MACHO32")
+    c = c.when(starts(b"\xfe\xed\xfa\xcf") | starts(b"\xcf\xfa\xed\xfe"), "MACHO64")
+    c = c.when(starts(b"\xde\xc0\x17\x0b"), "LLVM_BITCODE")
+    c = c.when(starts(b"BC\xc0\xde"), "LLVM_IR")
+    c = c.when((n >= 4) & aout_be.isin(list(A_OUT_MAGIC)), "A.OUT big")
+    c = c.when((n >= 4) & le16_0.isin(list(A_OUT_MAGIC)), "A.OUT little")
+    c = c.when((n >= 2) & le16_0.isin(list(COFF_MACHINE)), "COFF")
+    c = c.when(starts(b"\x1d\x00"), "XCOFF32")
+    c = c.when(starts(b"\xf7\x01"), "XCOFF64")
+    c = c.when(starts(b"\x83\x01") | starts(b"\x88\x01") | starts(b"\x8f\x01"), "ECOFF")
+    c = c.when(starts(b"!<arch>\n"), "AR_LIB")
+    c = c.when((n >= 4) & (be(0, 4).bitwiseAND(F.lit(0xFF0F80FF)) == 0xF00D0000), "OMF_LIB")
+    c = c.when(starts(b"\x27\x05\x19\x56"), "UIMAGE")
+    c = c.when(
+        (n >= 2) & (cmf.bitwiseAND(F.lit(0x0F)) == 8) & ((cmf * 256 + flg) % 31 == 0),
+        "ZLIB",
+    )
+    c = c.when(hexable & (n_intel > n_moto), "INTEL_HEX")
+    c = c.when(hexable & (n_moto > n_intel), "MOTOROLA_SREC")
+    return c
+
+
+def classify_magic_pages(pages: DataFrame) -> DataFrame:
+    """pages -> (url, filetype) via the JVM full-breadth classifier."""
+    return pages.select(
+        "url", classify_magic_col(F.col("url"), F.col("html")).alias("filetype")
+    )
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         htmls = pdf["html"]

@@ -999,6 +999,22 @@ WHERE i.kind = 'import' AND i.uuid <> e.supplier_uuid
 """
 
 
+def q_classify_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/E8 — full-breadth magic classification (`id_magic.py:56-214`
+    + `id_hex.py:71-96`) as one JVM CASE chain over the staged binary
+    fixture corpus. The oracle's ground truth is the expected label
+    derived from the format specs at synth time (fixtures.py) —
+    independent of the classifier under test."""
+    from .operators.extract import classify_magic_pages
+
+    p = _fixture_paths()
+    return classify_magic_pages(spark.read.parquet(p["magic_pages"]))
+
+
+def _sql_classify_magic(pages_path: str) -> str:
+    return f"SELECT url, expected AS filetype FROM read_parquet('{pages_path}')"
+
+
 # ---------------------------------------------------------------------------
 # pattern-DB mention family (E4/E5 + S11): versioned regex dimension
 # broadcast against content (`js_file.py:89-126`, `database_utils.py:25-288`)
@@ -1059,6 +1075,7 @@ QUERIES = {
     "link_dotnet": q_link_dotnet,
     "link_java": q_link_java,
     "pattern_mentions": q_pattern_mentions,
+    "classify_magic": q_classify_magic,
 }
 
 
@@ -1098,4 +1115,5 @@ ORACLE_SQL = {
     "archive_expand": SQL_ARCHIVE_EXPAND,
     "dedup_simhash": _sql_dedup_simhash(),
     "topk_lsh": _sql_topk_lsh(),
+    "classify_magic": _sql_classify_magic(_fixture_file("magic_pages")),
 }

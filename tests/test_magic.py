@@ -1,0 +1,101 @@
+"""Full-breadth magic classification: pure twin vs expected labels,
+JVM chain vs pure twin identity (fixtures + fuzz), zlib across
+levels/window sizes (reference `tests/file_types/test_file_magic.py`
+intent), hex sampler semantics, machine-type decodes."""
+
+import random
+import sys
+import zlib
+
+import pytest
+
+from surfactant_spark.fixtures import synth_magic_pages
+from surfactant_spark.functions.magic import (
+    aout_machine_type,
+    classify,
+    classify_hex,
+    classify_magic,
+    coff_machine_type,
+    uimage_header,
+)
+
+PAGES = synth_magic_pages()
+
+
+@pytest.mark.parametrize("url,data,expected", PAGES, ids=[p[0] for p in PAGES])
+def test_pure_classifier_matches_expected(url, data, expected):
+    assert classify(url, data) == expected
+
+
+def test_zlib_all_levels_and_windows(tmp_path):
+    for level in range(10):
+        assert classify("x.zlib", zlib.compress(b"hello", level=level)) == "ZLIB"
+    if sys.version_info >= (3, 11):
+        for level in range(10):
+            for wbits in range(9, 16):
+                data = zlib.compress(b"hello", level=level, wbits=wbits)
+                assert classify("x.zlib", data) == "ZLIB"
+
+
+def test_hex_sampler_semantics():
+    # majority vote over first 100 lines; extension-gated
+    intel = b":1000\n:00FF\nS113AB\n"
+    assert classify_hex("fw.hex", intel) == "INTEL_HEX"
+    moto = b"S113AB\ns00f\n:1000\n"
+    assert classify_hex("fw.srec", moto) == "MOTOROLA_SREC"
+    assert classify_hex("fw.txt", intel) is None  # not a hex extension
+    assert classify_hex("fw.hex", b"S1\n:0\n") is None  # tie
+    # whitespace is stripped per line; inner whitespace disqualifies
+    assert classify_hex("fw.hex", b"  :AB12  \n") == "INTEL_HEX"
+    assert classify_hex("fw.hex", b":AB 12\n") is None
+
+
+def test_machine_type_decodes():
+    assert aout_machine_type("A.OUT big", b"\x00\x02\x01\x07") == "M68020"
+    assert aout_machine_type("A.OUT little", b"\x0b\x01\x64\x00") == "386"
+    assert aout_machine_type("ELF", b"\x00\x02\x01\x07") is None
+    assert coff_machine_type(b"\x4c\x01") == "Intel 80386"
+    assert coff_machine_type(b"\x64\x86") == "Intel amd64"
+    hdr = next(d for (u, d, e) in PAGES if e == "UIMAGE")
+    info = uimage_header(hdr)
+    assert info["name"] == "test-kernel"
+    assert info["data_size"] == 4096 and info["os"] == 5 and info["arch"] == 2
+    assert uimage_header(b"\x00" * 64) is None
+
+
+def _fuzz_rows(n=120):
+    rng = random.Random(42)
+    rows = []
+    for i in range(n):
+        size = rng.choice([0, 1, 2, 3, 4, 8, 64, 300])
+        rows.append((f"fuzz/{i}.bin", bytes(rng.randrange(256) for _ in range(size))))
+        rows.append((f"fuzz/{i}.hex", bytes(rng.randrange(256) for _ in range(size))))
+    return rows
+
+
+def test_jvm_chain_identical_to_pure(spark):
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.operators.extract import classify_magic_col
+
+    rows = [(u, d) for (u, d, _e) in PAGES] + _fuzz_rows()
+    # drop rows whose bytes aren't valid utf-8 under a hex extension:
+    # the pure twin refuses to decode (None) while cast-to-string
+    # replaces — a documented divergence that regular corpora never hit
+    keep = []
+    for u, d in rows:
+        if u.endswith(".hex") or u.endswith(".s19"):
+            try:
+                d.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+        keep.append((u, bytearray(d)))
+    df = spark.createDataFrame(keep, "url string, html binary")
+    got = {
+        r.url: r.filetype
+        for r in df.select(
+            "url", classify_magic_col(F.col("url"), F.col("html")).alias("filetype")
+        ).collect()
+    }
+    for u, d in keep:
+        assert got[u] == classify(u, bytes(d)), u
