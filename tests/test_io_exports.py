@@ -65,6 +65,131 @@ def test_cytrics_json_round_trip(spark, tmp_path):
     assert got == {("c1", "Uses", "c2"), ("c1", "Contains", "c2")}
 
 
+def _software(spark):
+    return spark.createDataFrame(
+        [
+            ("arch", "archive-pkg", "1.0", ["VendorA"], "an archive",
+             ["bundle.tgz"], ["/opt/bundle.tgz"], [], "a1", "a256", "amd5"),
+            ("f1", None, None, None, None, ["inner.so"], [],
+             ["arch/lib/inner.so", "other/lib/inner.so"], "f1sha1", "f1s256", None),
+            ("f2", "loose", "2.0", None, None, ["loose.txt", "alias.txt"], [],
+             [], "f2sha1", None, None),
+        ],
+        "uuid string, name string, version string, vendor array<string>, "
+        "description string, fileName array<string>, installPath array<string>, "
+        "containerPath array<string>, sha1 string, sha256 string, md5 string",
+    )
+
+
+def _triples(spark):
+    return spark.createDataFrame(
+        [("arch", "Contains", "f1"), ("other", "Contains", "f1"),
+         ("f1", "Uses", "f2"), ("f1", "CustomRel", "f2")],
+        "subj_uuid string, pred string, obj_uuid string",
+    )
+
+
+def test_spdx_packages_vs_files_split(spark):
+    """`spdx_writer.py:69-91`: Contains-subjects become Packages (one
+    per fileName); everything else becomes Files (one per containerPath
+    with a parent, else one per fileName)."""
+    from surfactant_spark.sources.sbom_export import spdx_export
+
+    pkgs, files, rels = spdx_export(_software(spark), _triples(spark))
+    prow = pkgs.collect()
+    assert {r.uuid for r in prow} == {"arch"}
+    assert prow[0].supplier == "VendorA" and prow[0].file_name == "bundle.tgz"
+    frows = files.collect()
+    by_uuid = {}
+    for r in frows:
+        by_uuid.setdefault(r.uuid, []).append(r)
+    # f1: one File per containerPath, parent = first path segment
+    assert sorted((r.parent_uuid, r.file_path) for r in by_uuid["f1"]) == [
+        ("arch", "./lib/inner.so"), ("other", "./lib/inner.so")]
+    # f2: no containerPath -> one File per fileName, no parent
+    assert sorted(r.file_path for r in by_uuid["f2"]) == ["./alias.txt", "./loose.txt"]
+    assert all(r.parent_uuid is None for r in by_uuid["f2"])
+    # deterministic ids: same input -> same ids
+    pkgs2, files2, _ = spdx_export(_software(spark), _triples(spark))
+    assert {r.spdx_id for r in files2.collect()} == {r.spdx_id for r in frows}
+
+
+def test_spdx_relationships_dedup_and_other_mapping(spark):
+    """Container-edge dedup (`spdx_writer.py:119-125`): the file element
+    materialized from arch's containerPath must NOT get a Contains edge
+    from `other` (and vice versa). Unknown types map to OTHER with a
+    `Type: X` comment (`spdx_writer.py:126-136`); every package gets a
+    DESCRIBES row (`spdx_writer.py:93-100`)."""
+    from surfactant_spark.sources.sbom_export import SPDX_DOC_ID, spdx_export
+
+    pkgs, files, rels = spdx_export(_software(spark), _triples(spark))
+    rrows = rels.collect()
+    contains = [r for r in rrows if r.relationship_type == "CONTAINS"]
+    fparent = {r.spdx_id: r.parent_uuid for r in files.collect()}
+    pkg_uuid = {r.spdx_id: r.uuid for r in pkgs.collect()}
+    for r in contains:
+        # subject is arch's package; object must be arch's own file element
+        assert pkg_uuid[r.spdx_element_id] == "arch"
+        assert fparent[r.related_spdx_element] == "arch"
+    assert len(contains) == 1
+    others = [r for r in rrows if r.relationship_type == "OTHER"]
+    assert {r.comment for r in others} == {"Type: USES", "Type: CUSTOMREL"}
+    describes = [r for r in rrows if r.relationship_type == "DESCRIBES"]
+    assert len(describes) == len(pkgs.collect())
+    assert all(r.spdx_element_id == SPDX_DOC_ID for r in describes)
+
+
+def test_spdx_verification_code(spark):
+    """`spdx_writer.py:144-161`: sha1 over the concatenated sorted sha1s
+    of the files a package Contains."""
+    import hashlib
+
+    from surfactant_spark.sources.sbom_export import spdx_export
+
+    pkgs, files, _ = spdx_export(_software(spark), _triples(spark))
+    pkg = pkgs.collect()[0]
+    want = hashlib.sha1("f1sha1".encode()).hexdigest()  # arch contains f1 only
+    assert pkg.verification_code == want
+
+
+def test_spdx_round_trip(spark):
+    """Edges -> SPDX relationships -> edges: everything except the
+    deduped duplicate-container edge and case of custom predicates
+    survives (the reference's conversion is equally lossy)."""
+    from surfactant_spark.sources.sbom_export import spdx_export, spdx_to_edges
+
+    pkgs, files, rels = spdx_export(_software(spark), _triples(spark))
+    back = {
+        (r.subj_uuid, r.pred.upper(), r.obj_uuid)
+        for r in spdx_to_edges(rels, pkgs, files).collect()
+    }
+    # ('other','Contains','f1') is dropped: 'other' has no element
+    assert back == {
+        ("arch", "CONTAINS", "f1"), ("f1", "USES", "f2"), ("f1", "CUSTOMREL", "f2")
+    }
+
+
+def test_cyclonedx_components_and_dependencies(spark):
+    """`cyclonedx_writer.py:40-85`: container components per fileName
+    keyed by uuid; file components per containerPath; Contains dedup to
+    the primary parent; Dependency set semantics on raw uuids."""
+    from surfactant_spark.sources.sbom_export import cyclonedx_export
+
+    comps, deps = cyclonedx_export(_software(spark), _triples(spark))
+    crows = comps.collect()
+    by_ref = {}
+    for r in crows:
+        by_ref.setdefault(r.bom_ref, []).append(r)
+    assert by_ref["arch"][0].type == "container"
+    assert by_ref["arch"][0].supplier == "VendorA"
+    # two identical f1 file rows collapsed (set semantics)
+    assert len(by_uuid_rows := by_ref["f1"]) == 1
+    assert by_uuid_rows[0].file_path == "lib/inner.so"
+    drows = {(r.ref, r.dependsOn) for r in deps.collect()}
+    # primary parent of f1 is min('arch','other') = 'arch': other's edge dropped
+    assert drows == {("arch", "f1"), ("f1", "f2")}
+
+
 def test_hash_collision_audit(spark):
     from surfactant_spark.operators.identity import hash_collision_audit
 
