@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r2c"
+FIXTURE_VERSION = "r2d"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -60,6 +60,9 @@ def synth_elf_nodes(n: int = 400) -> List[NodeRow]:
         if i % 5 == 0:
             deps.append(f"../lib{(i * 11 + 5) % n}.so")  # relative-path dep
         md: dict = {"elfDependencies": deps, "elfRpath": [], "elfRunpath": []}
+        # extractor flags for the stat-command analogue (`cmd/stat.py`)
+        md["elfIsLib"] = i % 2 == 0
+        md["elfIsExe"] = i % 2 == 1
         if m == 2:
             md["elfRunpath"] = ["$ORIGIN:$ORIGIN/../lib"]
         if i % 16 == 3:
@@ -84,7 +87,11 @@ def synth_pe_nodes(n: int = 240) -> List[NodeRow]:
         md: dict = {
             # (i+12) keeps the same app dir modulo 12 -> guaranteed hit;
             # the second import usually lands in another app dir -> miss
-            "peImport": [f"MOD{(i + 12) % n}.DLL", f"mod{(i * 5 + 2) % n}.dll"]
+            "peImport": [f"MOD{(i + 12) % n}.DLL", f"mod{(i * 5 + 2) % n}.dll"],
+            # extractor flags for the stat-command analogue
+            "peIsExe": i % 3 == 0,
+            "peIsDll": i % 3 != 0,
+            "peIsClr": i % 5 == 0,
         }
         if i % 4 == 0:
             md["peDelayImport"] = [f"mod{(i * 7 + 24) % n}.dll"]

@@ -291,6 +291,46 @@ def add_entry(nodes: DataFrame, entry: dict) -> DataFrame:
     return nodes.unionByName(spark.createDataFrame([row], nodes.schema))
 
 
+def edit_nodes(
+    nodes: DataFrame,
+    set_fields: dict,
+    append_fields: Optional[dict] = None,
+    **match,
+) -> DataFrame:
+    """`cli edit` analogue (`cmd/cli.py:126-130` is an empty stub in the
+    reference — this implements the documented intent: edit specific
+    entries of a supplied SBOM). Rows matched by the find_nodes
+    predicate get scalar fields replaced via ``set_fields`` and array
+    fields appended-with-dedup via ``append_fields``; all other rows
+    pass through unchanged. Pure conditional projection — no shuffle."""
+    cond = F.lit(True)
+    if "sha256" in match and match["sha256"] is not None:
+        cond = cond & (F.col("sha256") == match["sha256"])
+    if match.get("uuid") is not None:
+        id_col = "canon_uuid" if "canon_uuid" in nodes.columns else "uuid"
+        cond = cond & (F.col(id_col) == match["uuid"])
+    if match.get("name_contains") is not None:
+        cond = cond & F.exists("names", lambda n: n.contains(match["name_contains"]))
+    out = nodes
+    for field, value in (set_fields or {}).items():
+        out = out.withColumn(field, F.when(cond, F.lit(value)).otherwise(F.col(field)))
+    for field, value in (append_fields or {}).items():
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        out = out.withColumn(
+            field,
+            F.when(
+                cond,
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col(field), F.array().cast("array<string>")),
+                        F.array(*[F.lit(v) for v in vals]),
+                    )
+                ),
+            ).otherwise(F.col(field)),
+        )
+    return out
+
+
 def add_installpath(
     nodes: DataFrame,
     container_prefix: str,

@@ -999,6 +999,73 @@ WHERE i.kind = 'import' AND i.uuid <> e.supplier_uuid
 """
 
 
+def q_stat_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — the `stat` command analogue (`cmd/stat.py:6-45`): one-pass
+    conditional aggregation of extractor flags over the node metadata."""
+    from .operators.statcmd import stat_counters
+
+    p = _fixture_paths()
+    sw = spark.read.parquet(p["elf_nodes"]).select("metadata_json").unionByName(
+        spark.read.parquet(p["pe_nodes"]).select("metadata_json")
+    )
+    return stat_counters(sw)
+
+
+def _sql_stat_counters(elf_path: str, pe_path: str) -> str:
+    def f(name):
+        return (
+            f"CAST(SUM(CASE WHEN json_extract_string(metadata_json, '$.{name}')"
+            f" = 'true' THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+
+    clr = "json_extract_string(metadata_json, '$.peIsClr') = 'true'"
+    exe = "json_extract_string(metadata_json, '$.peIsExe') = 'true'"
+    return f"""
+WITH sw AS (
+  SELECT metadata_json FROM read_parquet('{elf_path}')
+  UNION ALL
+  SELECT metadata_json FROM read_parquet('{pe_path}'))
+SELECT {f('elfIsLib')} AS elf_is_lib,
+       {f('elfIsExe')} AS elf_is_exe,
+       {f('peIsExe')} AS pe_is_exe,
+       {f('peIsDll')} AS pe_is_dll,
+       CAST(SUM(CASE WHEN {clr} AND {exe} THEN 1 ELSE 0 END) AS BIGINT) AS clr_exe,
+       CAST(SUM(CASE WHEN {clr} AND NOT ({exe}) THEN 1 ELSE 0 END) AS BIGINT) AS clr_dll
+FROM sw
+"""
+
+
+SPECIMEN_CONFIG = [
+    {"extractPaths": ["src0/", "src1/"], "installPrefix": "/opt/corpus"},
+    {"extractPaths": ["src2/"], "installPrefix": "/data"},
+]
+
+
+def q_specimen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — specimen config -> scan specs -> stamped page selection
+    (`cmd/internal/generate_utils.py:62-120`); url-prefix predicates
+    push into the parquet scan."""
+    import json as _json
+
+    from .operators.specimen import parse_specimen_config, scan_from_config
+    from .sources.readers import documents_as_pages
+
+    pages = documents_as_pages(spark, sf_dir)
+    entries = parse_specimen_config(_json.dumps(SPECIMEN_CONFIG))
+    return scan_from_config(pages, entries).select("url", "install_prefix")
+
+
+SQL_SPECIMEN_SCAN = """
+SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       '/opt/corpus' AS install_prefix
+FROM documents WHERE source IN ('src0', 'src1')
+UNION ALL
+SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       '/data' AS install_prefix
+FROM documents WHERE source = 'src2'
+"""
+
+
 def q_classify_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/E8 — full-breadth magic classification (`id_magic.py:56-214`
     + `id_hex.py:71-96`) as one JVM CASE chain over the staged binary
@@ -1076,6 +1143,8 @@ QUERIES = {
     "link_java": q_link_java,
     "pattern_mentions": q_pattern_mentions,
     "classify_magic": q_classify_magic,
+    "stat_counters": q_stat_counters,
+    "specimen_scan": q_specimen_scan,
 }
 
 
@@ -1116,4 +1185,8 @@ ORACLE_SQL = {
     "dedup_simhash": _sql_dedup_simhash(),
     "topk_lsh": _sql_topk_lsh(),
     "classify_magic": _sql_classify_magic(_fixture_file("magic_pages")),
+    "stat_counters": _sql_stat_counters(
+        _fixture_file("elf_nodes"), _fixture_file("pe_nodes")
+    ),
+    "specimen_scan": SQL_SPECIMEN_SCAN,
 }
