@@ -41,8 +41,10 @@ BENCH_QUERIES = [
     "customers_no_orders",
     "latest_order_per_cust",
     "event_sessions",
+    "topk_lsh",
     "cc_tokens",
     "media_features",
+    "pattern_mentions",
 ]
 
 
@@ -82,7 +84,11 @@ def _pipeline_throughput(spark, n_pages: int):
     from surfactant_spark.synth import alias_dict_to_spark, make_corpus, pages_to_spark
 
     pages_pdf, alias_pdf = make_corpus(n_pages, seed=42)
-    with tempfile.TemporaryDirectory() as wd:
+    # ramdisk-backed stage snapshots where available: the local single
+    # disk serializes the 4 stage writes in a way per-node cluster
+    # storage would not (same rationale as scaling_mode)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=base) as wd:
         src = os.path.join(wd, "pages_src")
         pages_to_spark(spark, pages_pdf).repartition(
             spark.sparkContext.defaultParallelism * 2

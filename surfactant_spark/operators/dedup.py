@@ -246,8 +246,14 @@ def dedup_minhash(
     # chained narrow projections (tokens -> shingles -> base hashes ->
     # signatures -> band keys): each array is materialized before the
     # next lambda touches it, so nothing is re-evaluated per element
-    # (Catalyst does no CSE inside higher-order-function lambdas)
-    sh_df = shingle_table(docs, id_col, text_col, n, hashed=True)
+    # (Catalyst does no CSE inside higher-order-function lambdas).
+    # The shingle table feeds three consumers (band path + both sides
+    # of the verify join) — localCheckpoint computes the md5s once
+    # instead of three times (6.7 -> ~4 s warm at sf0.1); at 100 TB the
+    # same role is played by a parquet stage snapshot.
+    sh_df = shingle_table(docs, id_col, text_col, n, hashed=True).localCheckpoint(
+        eager=True
+    )
     sig_df = sh_df.select(F.col(id_col), minhash_sig_array(F.col("sh"), k).alias("sig"))
     bands_df = sig_df.select(
         F.col(id_col),
@@ -328,7 +334,11 @@ def dedup_simhash(
     empty/near-empty docs — would otherwise make one bucket quadratic at
     100 TB. The width filter is a count-only aggregation joined back, so
     no aggregation buffer ever holds a full degenerate bucket either."""
-    with_sh = docs.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    # the Arrow simhash pass feeds the width agg and both join sides —
+    # checkpoint so Python runs exactly once over the corpus
+    with_sh = docs.select(
+        F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
+    ).localCheckpoint(eager=True)
     blocks = with_sh.select(
         F.col(id_col),
         "simhash",
@@ -442,6 +452,8 @@ def dedup_ngram_jaccard(
         sh = shingle_table(docs, id_col, text_col, n, hashed=True).withColumn(
             "blk", F.lit(1)
         )
+    # both sides of the self-join read the same shingle table — hash once
+    sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id1"), F.col("blk"), F.col("sh").alias("sh1"))
     b = sh.select(F.col(id_col).alias("id2"), F.col("blk"), F.col("sh").alias("sh2"))
     return (

@@ -754,7 +754,7 @@ def q_cc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL-checkable twin of canon.connected_components: tokens
     co-occurring in >= 35% of docs are linked; isolated tokens are
     their own component."""
-    from .operators.canon import connected_components
+    from .operators.canon import connected_components_auto
 
     base = _kg_base(spark, sf_dir).localCheckpoint(eager=True)
     n_docs = base.count()
@@ -766,9 +766,11 @@ def q_cc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inherently tiny set -> broadcast semi-join; the per-doc pair
     # explosion then runs over a handful of tokens instead of the full
     # vocabulary (the O(tokens^2)-per-doc blowup flagged at 100x scale).
+    # (doc_id, tok) is already distinct (array_distinct before the
+    # explode), so plain counts replace countDistinct — no dedup pass
     frequent = (
         toks.groupBy("tok")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= thresh)
         .select("tok")
     )
@@ -778,11 +780,15 @@ def q_cc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ftoks.alias("b"), "doc_id")
         .where(F.col("a.tok") < F.col("b.tok"))
         .groupBy(F.col("a.tok").alias("t1"), F.col("b.tok").alias("t2"))
-        .agg(F.countDistinct("doc_id").alias("n_codocs"))
+        .agg(F.count(F.lit(1)).alias("n_codocs"))
         .where(F.col("n_codocs") >= thresh)
         .select("t1", "t2")
     )
-    comp = connected_components(edges, "t1", "t2")
+    # auto dispatch: the pruned co-occurrence graph is dimension-sized
+    # (vocabulary, not corpus), so the driver union-find path applies;
+    # web-scale token graphs above the threshold take the distributed
+    # min-label loop automatically
+    comp = connected_components_auto(edges, "t1", "t2")
     all_toks = toks.select(F.col("tok")).dropDuplicates()
     return (
         all_toks.join(comp, all_toks.tok == comp.id, "left")
