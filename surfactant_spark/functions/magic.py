@@ -231,6 +231,44 @@ def coff_machine_type(data: bytes) -> Optional[str]:
     return COFF_MACHINE.get(int.from_bytes(data[:4][:2], "little"))
 
 
+_MACHO_CPU = {
+    7: "x86", 0x01000007: "x86_64", 12: "arm", 0x0100000C: "arm64",
+    18: "ppc", 0x01000012: "ppc64",
+}
+
+_MACHO_FILETYPE = {
+    1: "object", 2: "execute", 6: "dylib", 8: "bundle", 10: "dsym", 11: "kext",
+}
+
+
+def macho_header(data: bytes) -> Optional[dict]:
+    """Minimal Mach-O header decode (E6 analogue of
+    `infoextractors/mach_o_file.py:44-189`'s identification fields):
+    magic -> endianness/width, cputype, filetype, ncmds. Load-command
+    walking (deps/rpaths) needs a real Mach-O parser (lief in the
+    reference) — not available in this sandbox, so only the typed
+    header fields are decoded; the structure is enough for the
+    classifier/metadata join plumbing."""
+    if len(data or b"") < 16:
+        return None
+    magic = data[:4]
+    if magic in (b"\xfe\xed\xfa\xce", b"\xfe\xed\xfa\xcf"):
+        order, is64 = "big", magic[3] == 0xCF
+    elif magic in (b"\xce\xfa\xed\xfe", b"\xcf\xfa\xed\xfe"):
+        order, is64 = "little", magic[0] == 0xCF
+    else:
+        return None
+    cputype = int.from_bytes(data[4:8], order)
+    filetype = int.from_bytes(data[12:16], order)
+    return {
+        "is64": is64,
+        "endianness": order,
+        "cputype": _MACHO_CPU.get(cputype, cputype),
+        "filetype": _MACHO_FILETYPE.get(filetype, filetype),
+        "ncmds": int.from_bytes(data[16:20], order) if len(data) >= 20 else None,
+    }
+
+
 def uimage_header(data: bytes) -> Optional[dict]:
     """Legacy U-Boot image header decode (`uimage_file.py:168-205`):
     big-endian magic/crc/timestamp/size/load/ep/crc + os/arch/type/comp

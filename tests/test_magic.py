@@ -50,6 +50,26 @@ def test_hex_sampler_semantics():
     assert classify_hex("fw.hex", b":AB 12\n") is None
 
 
+def test_macho_header_decode():
+    import struct
+
+    from surfactant_spark.functions.magic import macho_header
+
+    # 64-bit little-endian x86_64 dylib
+    hdr = struct.pack("<IiiII", 0xFEEDFACF, 0x01000007, 3, 6, 14)
+    info = macho_header(hdr + b"\x00" * 16)
+    assert info == {
+        "is64": True, "endianness": "little", "cputype": "x86_64",
+        "filetype": "dylib", "ncmds": 14,
+    }
+    # 32-bit big-endian arm executable
+    hdr = struct.pack(">IiiII", 0xFEEDFACE, 12, 9, 2, 20)
+    info = macho_header(hdr + b"\x00" * 16)
+    assert info["is64"] is False and info["cputype"] == "arm"
+    assert info["filetype"] == "execute" and info["endianness"] == "big"
+    assert macho_header(b"\x7fELF") is None
+
+
 def test_machine_type_decodes():
     assert aout_machine_type("A.OUT big", b"\x00\x02\x01\x07") == "M68020"
     assert aout_machine_type("A.OUT little", b"\x0b\x01\x64\x00") == "386"

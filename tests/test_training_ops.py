@@ -49,6 +49,40 @@ def test_simhash_matches_python_oracle(spark, docs):
     assert (100, 101) in got and got[(100, 101)] == 0
 
 
+def test_simhash_degenerate_corpus_bounded(spark):
+    """10k identical/empty docs all share every simhash block; the
+    max_bucket cap must drop the mega-buckets instead of building a
+    ~10k^2-pair bucket (the 100 TB hot-block guard)."""
+    import time
+
+    from surfactant_spark.operators.dedup import dedup_simhash
+
+    rows = [(i, "") for i in range(5000)] + [(10000 + i, "same text here") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    n = dedup_simhash(df, max_hamming=3).count()
+    wall = time.time() - t0
+    # every bucket is degenerate (width 5000 > 64) -> all dropped
+    assert n == 0
+    assert wall < 60  # quadratic would be ~25M pairs per block x 8
+
+    # sanity: the cap does not suppress normal-width buckets
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    assert dedup_simhash(small, max_hamming=3).count() == 1
+
+
+def test_ngram_refuses_unblocked_cartesian(spark, docs):
+    from surfactant_spark.operators.dedup import dedup_ngram_jaccard
+
+    with pytest.raises(ValueError, match="cartesian"):
+        dedup_ngram_jaccard(docs)
+    # explicit opt-in still works for small verification runs
+    got = dedup_ngram_jaccard(docs, threshold=0.9, allow_full_cartesian=True)
+    assert {(r.id1, r.id2) for r in got.collect()} >= {(100, 101)}
+
+
 def test_embedding_dedup_and_blocking(spark):
     from surfactant_spark.operators.dedup import dedup_embedding
 
