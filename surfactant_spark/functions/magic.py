@@ -231,6 +231,52 @@ def coff_machine_type(data: bytes) -> Optional[str]:
     return COFF_MACHINE.get(int.from_bytes(data[:4][:2], "little"))
 
 
+_OLE_CLSID_TYPE = {
+    "000c1082-0000-0000-c000-000000000046": "MST",
+    "000c1084-0000-0000-c000-000000000046": "MSI",
+    "000c1086-0000-0000-c000-000000000046": "MSP",
+}
+
+
+def _guid_str(b: bytes) -> str:
+    """CLSID bytes -> canonical GUID string (fields 1-3 little-endian)."""
+    d1 = int.from_bytes(b[0:4], "little")
+    d2 = int.from_bytes(b[4:6], "little")
+    d3 = int.from_bytes(b[6:8], "little")
+    return (
+        f"{d1:08x}-{d2:04x}-{d3:04x}-" + b[8:10].hex() + "-" + b[10:16].hex()
+    )
+
+
+def ole_header(data: bytes) -> Optional[dict]:
+    """Minimal OLE/CFB decode (E7 analogue of
+    `infoextractors/ole_file.py:40-61`): header fields plus the root
+    storage entry's CLSID, which identifies MSI/MSP/MST installers
+    (`ole_file.py:48-61`). The root entry is the first 128-byte record
+    of the first directory sector — reachable without walking the FAT,
+    so the decode is bounded. Summary-info properties need a full
+    property-set parser (olefile in the reference; not in this
+    sandbox) and are out of scope."""
+    if len(data or b"") < 128 or data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return None
+    sector_shift = int.from_bytes(data[30:32], "little")
+    sector_size = 1 << sector_shift
+    first_dir_sect = int.from_bytes(data[48:52], "little")
+    out = {
+        "major_version": int.from_bytes(data[26:28], "little"),
+        "sector_size": sector_size,
+    }
+    dir_off = (first_dir_sect + 1) * sector_size
+    if 0 < dir_off and dir_off + 128 <= len(data):
+        entry = data[dir_off : dir_off + 128]
+        if entry[66:67] == b"\x05":  # root storage object
+            clsid = _guid_str(entry[80:96])
+            out["clsid"] = clsid
+            if clsid in _OLE_CLSID_TYPE:
+                out["clsid_type"] = _OLE_CLSID_TYPE[clsid]
+    return out
+
+
 _MACHO_CPU = {
     7: "x86", 0x01000007: "x86_64", 12: "arm", 0x0100000C: "arm64",
     18: "ppc", 0x01000012: "ppc64",

@@ -134,7 +134,9 @@ class HookRegistry:
 
 def default_registry() -> HookRegistry:
     """The built-in hook set: magic-byte classifier + html/mention
-    extractor + the four reference link families."""
+    extractor + firmware/installer header extractors (E6-E8) + the four
+    reference link families."""
+    from .functions.magic import macho_header, ole_header, uimage_header
     from .functions.textlib import classify_doctype, detect_mentions, extract_title
     from .operators.link import link_dotnet, link_elf, link_java, link_pe
 
@@ -158,6 +160,21 @@ def default_registry() -> HookRegistry:
             "title": extract_title(html),
             "mentions": [[p, a, s, e] for (p, a, s, e) in ms],
         }
+
+    @reg.extractor("uimage")
+    def uimage_meta(doctype, html, text):
+        info = uimage_header(html)
+        return {"uimage": info} if info else None
+
+    @reg.extractor("macho")
+    def macho_meta(doctype, html, text):
+        info = macho_header(html)
+        return {"macho": info} if info else None
+
+    @reg.extractor("ole")
+    def ole_meta(doctype, html, text):
+        info = ole_header(html)
+        return {"ole": info} if info else None
 
     reg.linker("elf")(link_elf)
     reg.linker("pe")(link_pe)

@@ -139,6 +139,30 @@ def test_resolve_redirects_chain_and_loop(spark):
     assert got["loop1"] in ("loop1", "loop2")
 
 
+def test_builtin_header_extract_hooks(spark):
+    """E6-E8: uImage / Mach-O / OLE header decoders flow through the
+    multicast extract dispatch as typed metadata."""
+    import json
+    import struct
+
+    from surfactant_spark.plugin import default_registry
+    from tests.test_magic import _cfb
+
+    uimg = struct.pack(
+        ">IIIIIIIBBBB", 0x27051956, 1, 2, 4096, 0x8000, 0x8040, 3, 5, 2, 2, 1
+    ) + b"krn".ljust(32, b"\x00") + b"\x00" * 64
+    macho = struct.pack("<IiiII", 0xFEEDFACF, 0x01000007, 3, 6, 14) + b"\x00" * 16
+    msi = _cfb("000c1084-0000-0000-c000-000000000046")
+    pages = _pages_df(
+        spark, [("img", uimg, None, None), ("dyl", macho, None, None), ("msi", msi, None, None)]
+    )
+    reg = default_registry()
+    ext = {r.url: json.loads(r.metadata_json) for r in reg.run_extract(pages).collect()}
+    assert ext["img"]["uimage"]["name"] == "krn" and ext["img"]["uimage"]["data_size"] == 4096
+    assert ext["dyl"]["macho"]["cputype"] == "x86_64" and ext["dyl"]["macho"]["filetype"] == "dylib"
+    assert ext["msi"]["ole"]["clsid_type"] == "MSI"
+
+
 def test_hook_registry_classify_extract_link(spark):
     from surfactant_spark.plugin import default_registry
 

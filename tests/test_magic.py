@@ -50,6 +50,47 @@ def test_hex_sampler_semantics():
     assert classify_hex("fw.hex", b":AB 12\n") is None
 
 
+def _cfb(clsid_hex: str) -> bytes:
+    """Minimal compound-file bytes: 512-byte header + one directory
+    sector whose first entry is a root storage with the given CLSID."""
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    hdr[26:28] = (3).to_bytes(2, "little")    # major version
+    hdr[28:30] = b"\xfe\xff"                   # little-endian marker
+    hdr[30:32] = (9).to_bytes(2, "little")    # 512-byte sectors
+    hdr[48:52] = (0).to_bytes(4, "little")    # first directory sector
+    entry = bytearray(128)
+    entry[0:22] = "Root Entry".encode("utf-16-le")
+    entry[64:66] = (22).to_bytes(2, "little")
+    entry[66] = 5                              # root storage object
+    # store the GUID in its on-disk layout (fields 1-3 little-endian)
+    d1, d2, d3, rest = clsid_hex.split("-", 3)
+    tail = rest.replace("-", "")
+    entry[80:84] = int(d1, 16).to_bytes(4, "little")
+    entry[84:86] = int(d2, 16).to_bytes(2, "little")
+    entry[86:88] = int(d3, 16).to_bytes(2, "little")
+    entry[88:96] = bytes.fromhex(tail)
+    sector = bytes(entry) + b"\x00" * (512 - 128)
+    return bytes(hdr) + sector
+
+
+def test_ole_header_decode():
+    from surfactant_spark.functions.magic import ole_header
+
+    msi = _cfb("000c1084-0000-0000-c000-000000000046")
+    info = ole_header(msi)
+    assert info["clsid"] == "000c1084-0000-0000-c000-000000000046"
+    assert info["clsid_type"] == "MSI"
+    assert info["sector_size"] == 512 and info["major_version"] == 3
+    msp = _cfb("000c1086-0000-0000-c000-000000000046")
+    assert ole_header(msp)["clsid_type"] == "MSP"
+    other = _cfb("12345678-0000-0000-c000-000000000046")
+    assert "clsid_type" not in ole_header(other)
+    assert ole_header(b"\x00" * 600) is None
+    # the classifier agrees these are OLE
+    assert classify("x.msi", msi) == "OLE"
+
+
 def test_macho_header_decode():
     import struct
 

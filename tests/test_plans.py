@@ -76,6 +76,33 @@ def test_no_plain_python_udf_in_query_surface(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
 
 
+def test_pattern_mentions_broadcast_dim_and_pruned_scan(spark):
+    """The regex pattern dimension must broadcast (S11 shape) and the
+    documents scan must ship only (doc_id, text)."""
+    from surfactant_spark.queries import q_pattern_mentions
+
+    plan = _plan(q_pattern_mentions(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_classify_magic_is_pure_jvm(spark):
+    """The full ~30-type classifier chain must not leave the JVM."""
+    from surfactant_spark.queries import q_classify_magic
+
+    plan = _plan(q_classify_magic(spark, SF_DIR))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_link_java_broadcasts_export_dictionary(spark):
+    from surfactant_spark.queries import q_link_java
+
+    plan = _plan(q_link_java(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_anti_join_plan(spark):
     from surfactant_spark.queries import q_customers_no_orders
 
