@@ -686,6 +686,54 @@ FROM events GROUP BY user_id
 """
 
 
+SESSION_GAP_S = 3600
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based event sessionization (batch twin of the
+    applyInPandasWithState streaming operator, streaming/sessions.py):
+    lag window -> running session number -> aggregate. Value sums go
+    through decimal for cross-engine exactness."""
+    from .streaming.sessions import sessionize_numbered
+
+    events = _read(spark, sf_dir, "events")
+    return (
+        sessionize_numbered(events, SESSION_GAP_S)
+        .groupBy("user_id", "_sess_no")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(_D)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .drop("_sess_no")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM ordered)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM numbered GROUP BY user_id, sess_no
+"""
+
+
 def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 include/exclude filter surface (`cmd/generate.py:486-500`):
     pure column predicates pushed into the parquet scan."""
@@ -1151,6 +1199,7 @@ QUERIES = {
     "classify_magic": q_classify_magic,
     "stat_counters": q_stat_counters,
     "specimen_scan": q_specimen_scan,
+    "sessionize": q_sessionize,
 }
 
 
@@ -1195,4 +1244,5 @@ ORACLE_SQL = {
         _fixture_file("elf_nodes"), _fixture_file("pe_nodes")
     ),
     "specimen_scan": SQL_SPECIMEN_SCAN,
+    "sessionize": SQL_SESSIONIZE,
 }
