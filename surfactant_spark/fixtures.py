@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r2d"
+FIXTURE_VERSION = "r2e"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -165,6 +165,47 @@ def synth_java_nodes(n: int = 150) -> List[NodeRow]:
         md = {"javaClasses": {f"Cls{i}": {"javaExports": exports, "javaImports": imports}}}
         rows.append((f"jv-{i:03d}", [f"jv{i}.class"], [f"/java/jv{i}.class"], md))
     return rows
+
+
+def synth_merge_tables() -> Tuple[List[tuple], List[tuple], List[tuple], List[tuple]]:
+    """(base, incoming, edges_raw, audit_rows) for the multi-hash merge
+    cascade (J6, `_sbom.py:280-319`), edge-endpoint rewrite (U2,
+    `_sbom.py:203-217`) and hash-collision audit (A5,
+    `_software.py:157-174`) oracle queries. Match variety: sha256-only,
+    md5-only, sha1-only, hashless-by-uuid, and unmatched rows."""
+    base = []
+    for i in range(40):
+        base.append(
+            (
+                f"b-{i:02d}",
+                f"sha{i}" if i % 4 != 1 else None,
+                f"md5{i}" if i % 4 != 2 else None,
+                f"sha1{i}" if i % 4 != 3 else None,
+            )
+        )
+    incoming = []
+    for i in range(40):
+        m = i % 5
+        if m == 0:  # sha256 match
+            incoming.append((f"i-{i:02d}", f"sha{i}", None, None))
+        elif m == 1:  # md5 match (base row i%4==1 has md5, no sha)
+            incoming.append((f"i-{i:02d}", None, f"md5{i}", None))
+        elif m == 2:  # sha1 match
+            incoming.append((f"i-{i:02d}", None, None, f"sha1{i}"))
+        elif m == 3:  # hashless -> match by uuid (same uuid as base)
+            incoming.append((f"b-{i:02d}", None, None, None))
+        else:  # unmatched new content
+            incoming.append((f"i-{i:02d}", f"newsha{i}", None, None))
+    edges_raw = []
+    for i in range(40):
+        edges_raw.append((f"i-{i:02d}", "Uses", f"i-{(i * 7 + 3) % 40:02d}"))
+        if i % 3 == 0:
+            edges_raw.append((f"i-{i:02d}", "Contains", f"b-{(i + 5) % 40:02d}"))
+    audit = []
+    for i in range(30):
+        # i%5==0: same sha twice with DIFFERENT sizes -> flagged
+        audit.append((f"h{i % 10}", 100 + (i if i % 5 == 0 else i % 10), f"m{i % 10}"))
+    return base, incoming, edges_raw, audit
 
 
 def synth_magic_pages() -> List[Tuple[str, bytes, str]]:
@@ -318,7 +359,8 @@ def stage_link_fixtures() -> Dict[str, str]:
     names = [
         "elf_nodes", "elf_probes", "pe_nodes", "pe_probes",
         "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
-        "magic_pages",
+        "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
+        "audit_rows",
     ]
     paths = {n: os.path.join(d, f"{n}.parquet") for n in names}
     if os.path.exists(marker):
@@ -359,6 +401,43 @@ def stage_link_fixtures() -> Dict[str, str]:
             "uuid": [s[0] for s in symbols],
             "symbol": [s[1] for s in symbols],
             "kind": [s[2] for s in symbols],
+        },
+    )
+    mb, mi, er, audit = synth_merge_tables()
+
+    def hash_cols(rows):
+        return {
+            "uuid": [r[0] for r in rows],
+            "sha256": [r[1] for r in rows],
+            "md5": [r[2] for r in rows],
+            "sha1": [r[3] for r in rows],
+        }
+
+    _write_parquet(paths["merge_base"], hash_cols(mb))
+    _write_parquet(paths["merge_inc"], hash_cols(mi))
+    _write_parquet(
+        paths["edges_raw"],
+        {
+            "subj_uuid": [r[0] for r in er],
+            "pred": [r[1] for r in er],
+            "obj_uuid": [r[2] for r in er],
+        },
+    )
+    # a simple deterministic rewrite map for the U2 query (independent
+    # of the merge cascade, which derives its own map)
+    _write_parquet(
+        paths["uuid_map"],
+        {
+            "old_uuid": [f"i-{i:02d}" for i in range(0, 40, 5)],
+            "new_uuid": [f"b-{i:02d}" for i in range(0, 40, 5)],
+        },
+    )
+    _write_parquet(
+        paths["audit_rows"],
+        {
+            "sha256": [r[0] for r in audit],
+            "size": [r[1] for r in audit],
+            "md5": [r[2] for r in audit],
         },
     )
     magic = synth_magic_pages()

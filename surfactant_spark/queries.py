@@ -1120,6 +1120,93 @@ FROM documents WHERE source = 'src2'
 """
 
 
+def q_merge_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — multi-hash fallback merge cascade (`_sbom.py:280-319`):
+    incoming entries match base entries on sha256 OR md5 OR sha1, else
+    (hashless) by UUID; deterministic min base target. Returns the
+    (old_uuid, new_uuid) collision map."""
+    from .operators.canon import merge_software
+
+    p = _fixture_paths()
+    base = spark.read.parquet(p["merge_base"])
+    inc = spark.read.parquet(p["merge_inc"])
+    _merged, uuid_map = merge_software(base, inc)
+    return uuid_map
+
+
+def _sql_merge_map(base_path: str, inc_path: str) -> str:
+    return f"""
+WITH b AS (SELECT * FROM read_parquet('{base_path}')),
+i AS (SELECT * FROM read_parquet('{inc_path}')),
+pairs AS (
+  SELECT i.uuid AS inc_uuid, MIN(b.uuid) AS base_uuid
+  FROM i JOIN b ON (
+       (b.sha256 IS NOT NULL AND i.sha256 IS NOT NULL AND b.sha256 = i.sha256)
+    OR (b.md5 IS NOT NULL AND i.md5 IS NOT NULL AND b.md5 = i.md5)
+    OR (b.sha1 IS NOT NULL AND i.sha1 IS NOT NULL AND b.sha1 = i.sha1)
+    OR (i.sha256 IS NULL AND i.md5 IS NULL AND i.sha1 IS NULL AND b.uuid = i.uuid))
+  GROUP BY i.uuid)
+SELECT inc_uuid AS old_uuid, base_uuid AS new_uuid
+FROM pairs WHERE inc_uuid <> base_uuid
+"""
+
+
+def q_uuid_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — edge-endpoint rewrite through the collision map, then set
+    dedup (rewrite-before-dedup order, `_sbom.py:203-217`)."""
+    from .operators.canon import rewrite_edge_uuids
+
+    p = _fixture_paths()
+    edges = spark.read.parquet(p["edges_raw"])
+    uuid_map = spark.read.parquet(p["uuid_map"])
+    return rewrite_edge_uuids(edges, uuid_map)
+
+
+def _sql_uuid_rewrite(edges_path: str, map_path: str) -> str:
+    return f"""
+WITH e AS (SELECT * FROM read_parquet('{edges_path}')),
+m AS (SELECT * FROM read_parquet('{map_path}'))
+SELECT DISTINCT COALESCE(ms.new_uuid, e.subj_uuid) AS subj_uuid, e.pred,
+       COALESCE(mo.new_uuid, e.obj_uuid) AS obj_uuid
+FROM e
+LEFT JOIN m ms ON e.subj_uuid = ms.old_uuid
+LEFT JOIN m mo ON e.obj_uuid = mo.old_uuid
+"""
+
+
+def q_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — hash-collision audit (`_software.py:157-174`): same sha256,
+    disagreeing identity fields."""
+    from .operators.identity import hash_collision_audit
+
+    p = _fixture_paths()
+    return hash_collision_audit(spark.read.parquet(p["audit_rows"]))
+
+
+def _sql_hash_audit(path: str) -> str:
+    return f"""
+SELECT sha256, COUNT(DISTINCT (size, md5)) AS n_variants
+FROM read_parquet('{path}')
+GROUP BY sha256 HAVING COUNT(DISTINCT (size, md5)) > 1
+"""
+
+
+def q_single_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — single-document scan: equality predicate pushed into the
+    parquet scan (`cmd/generate.py:384-408`)."""
+    from .sources.readers import documents_as_pages, single_page
+
+    pages = documents_as_pages(spark, sf_dir)
+    return single_page(pages, "src0/0").select("url", "text", "lang")
+
+
+SQL_SINGLE_DOC = """
+SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url, text, lang
+FROM documents
+WHERE source || '/' || CAST(doc_id AS VARCHAR) = 'src0/0'
+"""
+
+
 def q_classify_magic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/E8 — full-breadth magic classification (`id_magic.py:56-214`
     + `id_hex.py:71-96`) as one JVM CASE chain over the staged binary
@@ -1200,6 +1287,10 @@ QUERIES = {
     "stat_counters": q_stat_counters,
     "specimen_scan": q_specimen_scan,
     "sessionize": q_sessionize,
+    "merge_map": q_merge_map,
+    "uuid_rewrite": q_uuid_rewrite,
+    "hash_audit": q_hash_audit,
+    "single_doc": q_single_doc,
 }
 
 
@@ -1245,4 +1336,10 @@ ORACLE_SQL = {
     ),
     "specimen_scan": SQL_SPECIMEN_SCAN,
     "sessionize": SQL_SESSIONIZE,
+    "merge_map": _sql_merge_map(_fixture_file("merge_base"), _fixture_file("merge_inc")),
+    "uuid_rewrite": _sql_uuid_rewrite(
+        _fixture_file("edges_raw"), _fixture_file("uuid_map")
+    ),
+    "hash_audit": _sql_hash_audit(_fixture_file("audit_rows")),
+    "single_doc": SQL_SINGLE_DOC,
 }
