@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "cc_tokens",
     "media_features",
     "pattern_mentions",
+    "sessionize",
 ]
 
 
@@ -106,8 +107,14 @@ def default_mode():
     from surfactant_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM/Arrow paths so per-query times measure the plan, not startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the JVM/Arrow/scan paths so per-query times measure the
+    # plan, not session startup (same rationale as scaling_mode._warm:
+    # a long-lived cluster pays codegen/worker-fork once, not per query)
+    _warm(spark)
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.range(1000).selectExpr(
+        "sum(length(regexp_extract(cast(id as string), '[0-9]+', 0)))"
+    ).collect()
 
     times, warm = _run_queries(spark, SF_DIR)
     sf = _sf_from_dir(SF_DIR)
