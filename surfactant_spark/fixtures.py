@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r2e"
+FIXTURE_VERSION = "r2f"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -313,6 +313,18 @@ def synth_magic_pages() -> List[Tuple[str, bytes, str]]:
         ),
         ("f/tie.hex", b"not hex at all\njust text\n", None),
         ("f/plain.txt", b"hello world, plain text", None),
+        # extension/shebang family (`id_extension.py:14-59`)
+        ("f/run.sh", b"echo hi", "SHELL"),
+        ("f/mod.py", b"print(1)", "PYTHON"),
+        ("f/app.js", b"var x = 1;", "JAVASCRIPT"),
+        ("f/style.css", b"body {}", "CSS"),
+        ("f/idx.html", b"plain words here", "HTML"),
+        ("f/page.bin", b"<!DOCTYPE html><html></html>", "HTML"),
+        ("f/tool", b"#!/usr/bin/env python3\nprint(1)", "PYTHON"),
+        # reference quirk: 'sh' substring matches bash/zsh shebangs first
+        ("f/tool2", b"#!/bin/zsh\necho hi", "SHELL"),
+        ("f/tool3", b"#!/usr/bin/ruby\nputs 1", "SHEBANG"),
+        ("f/legacy.pl", b"print 1;", "PERL_OR_PROLOG"),
     ]
     return pages
 def fixture_dir() -> str:

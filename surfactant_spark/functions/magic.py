@@ -199,13 +199,46 @@ def classify_hex(name: str, data: bytes) -> Optional[str]:
     return None
 
 
+EXTENSION_TYPES = {
+    ".sh": "SHELL", ".bash": "BASH", ".zsh": "ZSH", ".py": "PYTHON",
+    ".pyc": "PYTHON_COMPILED", ".js": "JAVASCRIPT", ".css": "CSS",
+    ".html": "HTML", ".htm": "HTML", ".php": "PHP", ".bat": "BATCH",
+    ".pl": "PERL_OR_PROLOG", ".pm": "PERL_MODULE",
+}
+
+# ordered: re.search order of `id_extension.py:32-40` — 'sh' is tried
+# first and matches any interpreter containing it (zsh/bash shebangs
+# classify as SHELL via the substring; a reference quirk preserved)
+INTERPRETER_TYPES = [
+    (b"sh", "SHELL"), (b"bash", "BASH"), (b"zsh", "ZSH"), (b"php", "PHP"),
+    (b"python", "PYTHON"), (b"python3", "PYTHON"), (b"perl", "PERL"),
+]
+
+
+def classify_extension(name: str, data: bytes) -> Optional[str]:
+    """Extension map + shebang interpreter sniff (`id_extension.py:14-59`)."""
+    head = (data or b"")[:256]
+    if head.startswith(b"<!DOCTYPE html>"):
+        return "HTML"
+    if head.startswith(b"#!") and b"\n" in head:
+        line = head[: head.index(b"\n")]
+        for pattern, filetype in INTERPRETER_TYPES:
+            if pattern in line:  # re.search of a literal == substring
+                return filetype
+        return "SHEBANG"
+    return EXTENSION_TYPES.get(_suffix(name))
+
+
 def classify(name: str, data: bytes) -> Optional[str]:
     """Full dispatch: magic chain first (tryfirst ordering,
-    `id_magic.py:51`), then the hex sampler."""
+    `id_magic.py:51`), then the hex sampler, then extension/shebang."""
     t = classify_magic(name, data)
     if t is not None:
         return t
-    return classify_hex(name, data)
+    t = classify_hex(name, data)
+    if t is not None:
+        return t
+    return classify_extension(name, data)
 
 
 # ---------------------------------------------------------------------------

@@ -170,6 +170,21 @@ def classify_magic_col(url_col, html_col) -> "F.Column":
     )
     c = c.when(hexable & (n_intel > n_moto), "INTEL_HEX")
     c = c.when(hexable & (n_moto > n_intel), "MOTOROLA_SREC")
+
+    # extension/shebang family (`id_extension.py:14-59`)
+    from ..functions.magic import EXTENSION_TYPES, INTERPRETER_TYPES
+
+    c = c.when(starts(b"<!DOCTYPE html>"), "HTML")
+    head = F.substring(h.cast("string"), 1, 256)
+    first_line = F.substring_index(head, "\n", 1)
+    is_shebang = starts(b"#!") & head.contains("\n")
+    sheb = None
+    for pattern, filetype in INTERPRETER_TYPES:
+        cond = first_line.contains(pattern.decode())
+        sheb = F.when(cond, filetype) if sheb is None else sheb.when(cond, filetype)
+    c = c.when(is_shebang, sheb.otherwise("SHEBANG"))
+    for suffix, filetype in EXTENSION_TYPES.items():
+        c = c.when(u.endswith(suffix), filetype)
     return c
 
 

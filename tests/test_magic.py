@@ -91,6 +91,21 @@ def test_ole_header_decode():
     assert classify("x.msi", msi) == "OLE"
 
 
+def test_extension_shebang_semantics():
+    from surfactant_spark.functions.magic import classify_extension
+
+    # DOCTYPE beats everything; shebang beats suffix; suffix is fallback
+    assert classify_extension("x.py", b"<!DOCTYPE html>...") == "HTML"
+    assert classify_extension("x.py", b"#!/bin/sh\n...") == "SHELL"
+    # 'sh' substring quirk (`id_extension.py:32-40` re.search order)
+    assert classify_extension("x", b"#!/bin/bash\n") == "SHELL"
+    assert classify_extension("x", b"#!/usr/bin/env python\n") == "PYTHON"
+    assert classify_extension("x", b"#!/weird\n") == "SHEBANG"
+    # shebang without a newline in the head is NOT sniffed
+    assert classify_extension("x.py", b"#!no newline") == "PYTHON"
+    assert classify_extension("a.unknown", b"data") is None
+
+
 def test_macho_header_decode():
     import struct
 
