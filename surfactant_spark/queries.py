@@ -734,6 +734,24 @@ FROM numbered GROUP BY user_id, sess_no
 """
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-type aggregation (§2.10 windowed-agg twin;
+    the streaming form adds a watermark, tests/test_streaming_windows)."""
+    from .streaming.incremental import windowed_event_counts
+
+    return windowed_event_counts(_read(spark, sf_dir, "events"), "10 minutes")
+
+
+SQL_WINDOWED_EVENTS = """
+SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+"""
+
+
 def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 include/exclude filter surface (`cmd/generate.py:486-500`):
     pure column predicates pushed into the parquet scan."""
@@ -1291,6 +1309,7 @@ QUERIES = {
     "uuid_rewrite": q_uuid_rewrite,
     "hash_audit": q_hash_audit,
     "single_doc": q_single_doc,
+    "windowed_events": q_windowed_events,
 }
 
 
@@ -1342,4 +1361,5 @@ ORACLE_SQL = {
     ),
     "hash_audit": _sql_hash_audit(_fixture_file("audit_rows")),
     "single_doc": SQL_SINGLE_DOC,
+    "windowed_events": SQL_WINDOWED_EVENTS,
 }

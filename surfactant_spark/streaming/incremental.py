@@ -40,6 +40,52 @@ def streaming_new_content(extracted_stream: DataFrame, watermark: str = "1 hour"
     )
 
 
+def windowed_event_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Tumbling-window per-type event counts — batch form. The window
+    boundaries are epoch-aligned, so the streaming twin and the DuckDB
+    time_bucket oracle agree exactly."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_windowed_event_counts(
+    events_stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin: watermark bounds the state (windows older than
+    the horizon finalize and are evicted; late events beyond it drop).
+    In append mode only watermark-closed windows emit; a complete-mode
+    sink exposes every window for batch-equivalence testing."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_incremental_batch(
     spark: SparkSession, pages_path: str, out_path: str, checkpoint: str
 ):
