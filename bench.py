@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "media_features",
     "pattern_mentions",
     "sessionize",
+    "windowed_events",
 ]
 
 
