@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .dedup import cosine_col, portable_hash64_col
+from .dedup import cosine_col
 
 
 def topk_bruteforce(

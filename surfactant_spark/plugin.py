@@ -26,7 +26,7 @@ import json
 from typing import Callable, Dict, Iterator, List, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 
 class HookRegistry:

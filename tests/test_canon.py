@@ -3,7 +3,7 @@ merge semantics, root finding — the reference's merge-test contract
 (`/root/reference/tests/cmd/test_merge.py:163-350`, `cmd/merge.py:131-202`)
 in DataFrame form, plus CC property tests on chains/cycles."""
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from surfactant_spark.operators.canon import (
     alias_entity_map,

@@ -7,7 +7,6 @@ import io
 import tarfile
 import zipfile
 
-import pytest
 from pyspark.sql import functions as F
 
 

@@ -2,9 +2,6 @@
 CyTRICS JSON round-trip (S6-S10), hash-collision audit (A5), plus a
 hypothesis property test for connected components."""
 
-import json
-import os
-
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 

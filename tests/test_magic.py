@@ -14,7 +14,6 @@ from surfactant_spark.functions.magic import (
     aout_machine_type,
     classify,
     classify_hex,
-    classify_magic,
     coff_machine_type,
     uimage_header,
 )

@@ -3,7 +3,6 @@ actually appear in `.explain` output — filter pushdown into the scan,
 column pruning, broadcast joins for dimensions, whole-stage codegen in
 the JVM paths, and no Python row-at-a-time UDFs anywhere."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR

@@ -4,7 +4,6 @@ emission rule."""
 
 import datetime
 
-import pytest
 from pyspark.sql import functions as F
 
 from surfactant_spark.streaming.sessions import (

@@ -3,7 +3,6 @@
 import json
 
 import pytest
-from pyspark.sql import functions as F
 
 from surfactant_spark.operators.specimen import parse_specimen_config, scan_from_config
 
