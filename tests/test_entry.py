@@ -63,6 +63,22 @@ def test_query_matches_oracle(spark, ddb, name):
             assert _values_equal(x, y), f"{name}.{c} row {i}: {x!r} != {y!r}"
 
 
+def test_no_array_typed_result_columns(spark):
+    """The driver harness canonicalizes results with pandas sort_values,
+    which raises `unhashable type: 'list'` on array/map columns (the
+    round-1 kg_edges failure). Every query must emit only scalar
+    columns — arrays get array_join'ed before the surface."""
+    from pyspark.sql import types as T
+
+    banned = (T.ArrayType, T.MapType, T.StructType)
+    for name, fn in entry_mod.queries().items():
+        for field in fn(spark, SF_DIR).schema.fields:
+            assert not isinstance(field.dataType, banned), (
+                f"{name}.{field.name} is {field.dataType} — driver canonicalizer "
+                "cannot sort it; emit a joined string instead"
+            )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
