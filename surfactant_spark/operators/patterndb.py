@@ -52,6 +52,40 @@ def pattern_dim(spark: SparkSession, db=None) -> DataFrame:
     )
 
 
+def save_pattern_db(path: str, entries=None) -> str:
+    """Persist a pattern DB as JSON and return its version pin (sha256
+    prefix of the bytes) — the analogue of the reference caching a
+    downloaded database with hash metadata
+    (`database_manager/database_utils.py:25-288`)."""
+    import hashlib
+    import json
+
+    rows = [
+        {"library": lib, "regex": rx, "version": ver}
+        for (lib, rx, ver) in (entries or PATTERN_DB)
+    ]
+    data = json.dumps(rows, sort_keys=True).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(data)
+    return hashlib.sha256(data).hexdigest()[:16]
+
+
+def load_pattern_db(spark: SparkSession, path: str):
+    """-> (pattern_dim_df, db_version). The version is derived from the
+    file bytes, so every mention row's ``db_version`` lineage stamp
+    identifies exactly which DB snapshot matched it (the reference
+    records the database version the same way)."""
+    import hashlib
+    import json
+
+    with open(path, "rb") as f:
+        data = f.read()
+    db_version = hashlib.sha256(data).hexdigest()[:16]
+    entries = json.loads(data)
+    rows = [(e["library"], e["regex"], e.get("version", "")) for e in entries]
+    return pattern_dim(spark, rows), db_version
+
+
 def pattern_mentions(
     docs: DataFrame,
     patterns: DataFrame,

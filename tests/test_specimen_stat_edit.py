@@ -99,3 +99,34 @@ def test_edit_nodes(spark):
     assert by["c1"].sha256 == "patched"
     assert by["c1"].aliases == ["u/1", "u/3"]  # appended, deduped
     assert by["c2"].sha256 == "s2" and by["c2"].aliases == ["u/2"]  # untouched
+
+
+def test_pattern_db_versioned_round_trip(spark, tmp_path):
+    """S11 hash-pinning: the db_version stamped on mentions identifies
+    the exact DB snapshot; same bytes -> same pin, changed DB -> new pin."""
+    from surfactant_spark.operators.patterndb import (
+        PATTERN_DB,
+        load_pattern_db,
+        pattern_mentions,
+        save_pattern_db,
+    )
+
+    p = str(tmp_path / "patterns.json")
+    v1 = save_pattern_db(p)
+    dim, loaded_v = load_pattern_db(spark, p)
+    assert loaded_v == v1
+    assert dim.count() == len(PATTERN_DB)
+
+    docs = spark.createDataFrame(
+        [(1, "the spark window is fast"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    got = pattern_mentions(docs, dim, db_version=loaded_v).collect()
+    assert {(r.doc_id, r.library, r.db_version) for r in got} == {
+        (1, "spark-engine", v1)
+    }
+    assert got[0].match_token == "window"
+
+    # a changed DB pins differently
+    v2 = save_pattern_db(p, PATTERN_DB + [("extra", "never matches x{40}", "9.9")])
+    assert v2 != v1
