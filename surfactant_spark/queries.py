@@ -363,6 +363,32 @@ FROM pairs WHERE bit_count(xor(sh1, sh2)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+EMB_DEDUP_THRESHOLD = 0.4
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on the label column (the
+    coarse-quantizer blocking of operators/dedup.dedup_embedding)."""
+    from .operators.dedup import dedup_embedding
+
+    return dedup_embedding(
+        _read(spark, sf_dir, "embeddings"), threshold=EMB_DEDUP_THRESHOLD
+    )
+
+
+def _sql_dedup_embedding() -> str:
+    # SQL_COSINE resolves at call time (ORACLE_SQL build), after its
+    # definition below
+    c = SQL_COSINE.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH e AS (SELECT * FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round({c}, 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({c}, 6) >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1282,6 +1308,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "text_analysis": q_text_analysis,
     "topk_bruteforce": q_topk_bruteforce,
     "topk_ivf": q_topk_ivf,
@@ -1351,6 +1378,7 @@ ORACLE_SQL = {
     "streaming_extract": SQL_STREAMING_EXTRACT,
     "archive_expand": SQL_ARCHIVE_EXPAND,
     "dedup_simhash": _sql_dedup_simhash(),
+    "dedup_embedding": _sql_dedup_embedding(),
     "topk_lsh": _sql_topk_lsh(),
     "classify_magic": _sql_classify_magic(_fixture_file("magic_pages")),
     "stat_counters": _sql_stat_counters(
