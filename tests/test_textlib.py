@@ -93,3 +93,45 @@ def test_hashing_deterministic():
     ham_ac = bin(a ^ c).count("1")
     assert ham_ab < ham_ac
     assert rolling_fingerprint("abcdef" * 10) == rolling_fingerprint("abcdef" * 10)
+
+
+def test_minhash_empty_doc_tri_engine_parity(spark, ddb):
+    """ADVICE round-1: empty/whitespace-only text must produce the SAME
+    signature in the Python twin, the Spark path and the DuckDB oracle
+    (all three treat the empty token list as one empty-string shingle)."""
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.functions.hashing import minhash_signature, shingles
+    from surfactant_spark.operators.dedup import (
+        base_hash_array,
+        minhash_sig_array,
+        shingles_from_toks,
+        tokenized,
+    )
+
+    assert shingles("") == [""] and shingles("   ") == [""]
+    py_sig = minhash_signature("", k=8)
+
+    docs = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    tok = tokenized(docs, "text", keep=("doc_id",))
+    sh = tok.select("doc_id", shingles_from_toks(F.col("_toks")).alias("sh"))
+    hv = sh.select("doc_id", base_hash_array(F.col("sh")).alias("hv"))
+    spark_sigs = {
+        r.doc_id: list(r.sig)
+        for r in hv.select("doc_id", minhash_sig_array(F.col("hv"), 8).alias("sig")).collect()
+    }
+    assert spark_sigs[1] == py_sig and spark_sigs[2] == py_sig
+
+    from surfactant_spark.functions.hashing import P31, mh_params
+
+    mh = ", ".join(
+        f"list_min([({a} * h + {b}) % {P31} for h in sh]) AS mh{i}"
+        for i, (a, b) in enumerate(mh_params(8))
+    )
+    row = ddb.execute(
+        "WITH t(text) AS (VALUES ('')), "
+        "sh AS (SELECT [('0x' || substr(md5(s), 1, 15))::bigint % 2147483647 "
+        "  for s in [array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')]] AS sh FROM t) "
+        f"SELECT {mh} FROM sh"
+    ).fetchone()
+    assert list(row) == py_sig
