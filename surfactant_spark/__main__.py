@@ -1,0 +1,186 @@
+"""Command-line entry point — the analogue of the reference's click
+dispatch (`surfactant/__main__.py:39-99`), argparse-based (no click in
+this sandbox), parquet-table-native:
+
+  python -m surfactant_spark generate --pages P --alias A --out DIR
+  python -m surfactant_spark merge GRAPH_DIR [GRAPH_DIR ...] --out DIR
+  python -m surfactant_spark stat --nodes NODES_PARQUET
+  python -m surfactant_spark find --nodes NODES_PARQUET [filters]
+  python -m surfactant_spark sessionize --events E --out DIR
+
+On a cluster: ``spark-submit --py-files surfactant_spark.zip
+surfactant_spark/__main__.py --master yarn generate ...`` — pass the
+cluster master via ``--master`` (or SPARK_GRAFT_CPUS for local sizing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("surfactant_spark_cli", master=args.master)
+
+
+def cmd_generate(args) -> int:
+    """`surfactant generate` analogue: pages + alias dict -> nodes/
+    edges/lineage parquet under --out (`cmd/generate.py:269-590`)."""
+    from .plans.pipeline import run_pipeline
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    if args.specimen:
+        from .operators.specimen import parse_specimen_config, scan_from_config
+
+        pages = scan_from_config(pages, parse_specimen_config(args.specimen))
+        pages = pages.drop("install_prefix", "archive_url")
+    alias = spark.read.parquet(args.alias)
+    res = run_pipeline(spark, pages, alias, args.out, resume=not args.no_resume)
+    print(
+        json.dumps(
+            {
+                "nodes": res.nodes.count(),
+                "edges": res.edges.count(),
+                "stages_run": res.stages_run,
+                "stages_resumed": res.stages_resumed,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """`surfactant merge` analogue (`cmd/merge.py:56-128`): fold graph
+    dirs (each with nodes/ and edges/ parquet), write the merged graph
+    + roots; optional system node."""
+    from .operators.canon import merge_graphs
+
+    spark = _spark(args)
+    graphs = []
+    for d in args.graphs:
+        graphs.append(
+            (
+                spark.read.parquet(os.path.join(d, "nodes")),
+                spark.read.parquet(os.path.join(d, "edges")),
+            )
+        )
+    software, edges, roots, system = merge_graphs(
+        graphs,
+        add_system=args.add_system,
+        system_uuid=args.system_uuid,
+        system_relationship=args.system_relationship,
+    )
+    software.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
+    edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+    roots.write.mode("overwrite").parquet(os.path.join(args.out, "roots"))
+    print(
+        json.dumps(
+            {
+                "nodes": software.count(),
+                "edges": edges.count(),
+                "roots": roots.count(),
+                "system": system,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_stat(args) -> int:
+    """`surfactant stat` analogue (`cmd/stat.py:6-45`)."""
+    from .operators.statcmd import stat_counters
+
+    spark = _spark(args)
+    row = stat_counters(spark.read.parquet(args.nodes)).collect()[0]
+    print(f"Number of PE Executables: {row.pe_is_exe} with {row.clr_exe} using .NET/CLR")
+    print(f"Number of DLLs: {row.pe_is_dll} with {row.clr_dll} using .NET/CLR")
+    print(f"Number of ELF Binaries: {row.elf_is_exe}")
+    print(f"Number of ELF shared libraries: {row.elf_is_lib}")
+    return 0
+
+
+def cmd_find(args) -> int:
+    """`surfactant cli find` analogue (`cmd/cli.py:263-312`)."""
+    from .operators.expand import find_nodes
+
+    spark = _spark(args)
+    nodes = spark.read.parquet(args.nodes)
+    out = find_nodes(
+        nodes,
+        sha256=args.sha256,
+        name_contains=args.name_contains,
+        alias_prefix=args.alias_prefix,
+        min_sources=args.min_sources,
+    )
+    for r in out.toJSON().collect():
+        print(r)
+    return 0
+
+
+def cmd_sessionize(args) -> int:
+    """Incremental stateful sessionization over an events directory."""
+    from .streaming.sessions import run_sessionize_stream
+
+    spark = _spark(args)
+    out = run_sessionize_stream(
+        spark, args.events, os.path.join(args.out, "sessions"),
+        os.path.join(args.out, "ckpt"), gap_s=args.gap_s,
+    )
+    print(json.dumps({"closed_sessions": out.count(), "out": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="surfactant_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="pages + alias dict -> KG tables")
+    g.add_argument("--pages", required=True)
+    g.add_argument("--alias", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--specimen", default=None, help="specimen config (path/JSON)")
+    g.add_argument("--no-resume", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    m = sub.add_parser("merge", help="fold graph dirs into one")
+    m.add_argument("graphs", nargs="+")
+    m.add_argument("--out", required=True)
+    m.add_argument("--add-system", action="store_true")
+    m.add_argument("--system-uuid", default=None)
+    m.add_argument("--system-relationship", default="Contains")
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("stat", help="metadata flag counters")
+    s.add_argument("--nodes", required=True)
+    s.set_defaults(fn=cmd_stat)
+
+    f = sub.add_parser("find", help="conjunctive node search")
+    f.add_argument("--nodes", required=True)
+    f.add_argument("--sha256", default=None)
+    f.add_argument("--name-contains", default=None)
+    f.add_argument("--alias-prefix", default=None)
+    f.add_argument("--min-sources", type=int, default=None)
+    f.set_defaults(fn=cmd_find)
+
+    z = sub.add_parser("sessionize", help="stateful event sessionization")
+    z.add_argument("--events", required=True)
+    z.add_argument("--out", required=True)
+    z.add_argument("--gap-s", type=int, default=1800)
+    z.set_defaults(fn=cmd_sessionize)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""The python -m surfactant_spark command surface: generate, merge,
+stat, find, sessionize — each driven in-process against staged parquet."""
+
+import json
+import os
+
+import pytest
+
+from surfactant_spark.__main__ import main
+
+
+@pytest.fixture
+def staged(spark, spark_pages, spark_alias, tmp_path):
+    pages = str(tmp_path / "pages")
+    alias = str(tmp_path / "alias")
+    spark_pages.write.parquet(pages)
+    spark_alias.write.parquet(alias)
+    return {"pages": pages, "alias": alias, "tmp": tmp_path}
+
+
+def test_generate_and_find(staged, capsys, spark):
+    out = str(staged["tmp"] / "kg")
+    rc = main(
+        ["--master", "local[4]", "generate", "--pages", staged["pages"],
+         "--alias", staged["alias"], "--out", out]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["nodes"] > 0 and info["edges"] > 0
+    assert os.path.exists(os.path.join(out, "_edges_OK"))
+
+    rc = main(["--master", "local[4]", "find", "--nodes", os.path.join(out, "nodes"),
+               "--min-sources", "1"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == info["nodes"]
+    assert "canon_uuid" in lines[0]
+
+    # resume: a second generate run resumes every stage
+    rc = main(
+        ["--master", "local[4]", "generate", "--pages", staged["pages"],
+         "--alias", staged["alias"], "--out", out]
+    )
+    info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(info2["stages_resumed"]) >= {"extract", "nodes", "edges"}
+    assert info2["edges"] == info["edges"]
+
+
+def test_stat_command(capsys):
+    from surfactant_spark.fixtures import stage_link_fixtures
+
+    p = stage_link_fixtures()
+    rc = main(["--master", "local[4]", "stat", "--nodes", p["pe_nodes"]])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Number of PE Executables: 80 with 16 using .NET/CLR" in out
+    assert "Number of DLLs: 160 with 32 using .NET/CLR" in out
+
+
+def test_merge_command(spark, tmp_path, capsys):
+    from surfactant_spark.fixtures import stage_link_fixtures
+
+    p = stage_link_fixtures()
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    spark.read.parquet(p["merge_base"]).write.parquet(os.path.join(g1, "nodes"))
+    spark.read.parquet(p["edges_raw"]).limit(0).write.parquet(os.path.join(g1, "edges"))
+    spark.read.parquet(p["merge_inc"]).write.parquet(os.path.join(g2, "nodes"))
+    spark.read.parquet(p["edges_raw"]).write.parquet(os.path.join(g2, "edges"))
+    out = str(tmp_path / "merged")
+    rc = main(["--master", "local[4]", "merge", g1, g2, "--out", out, "--add-system"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["system"] is not None
+    assert info["nodes"] > 0 and info["roots"] > 0
+    assert os.path.exists(os.path.join(out, "roots"))
+
+
+def test_sessionize_command(spark, tmp_path, capsys):
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (0, datetime.datetime(2024, 1, 1, 0, 0), 1, "e", 1.0, None),
+            (1, datetime.datetime(2024, 1, 1, 2, 0), 1, "e", 2.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "events")
+    ev.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "sess")
+    rc = main(["--master", "local[4]", "sessionize", "--events", src, "--out", out])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["closed_sessions"] == 1  # the 2h gap closed session one
