@@ -123,6 +123,51 @@ def cmd_find(args) -> int:
     return 0
 
 
+def cmd_add(args) -> int:
+    """`surfactant cli add` analogue (`cmd/cli.py:164-215`): append a
+    relationship / node entry / rewritten install paths, writing the
+    updated table to --out."""
+    from .operators.expand import add_entry, add_installpath, add_relationship
+
+    spark = _spark(args)
+    if args.relationship:
+        subj, pred, obj = args.relationship
+        edges = spark.read.parquet(args.edges)
+        out = add_relationship(edges, subj, pred, obj)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"edges": out.count(), "out": args.out}))
+        return 0
+    nodes = spark.read.parquet(args.nodes)
+    if args.entry:
+        out = add_entry(nodes, json.loads(args.entry))
+    elif args.installpath:
+        out = add_installpath(nodes, args.installpath[0], args.installpath[1])
+    else:
+        raise SystemExit("add requires --relationship, --entry or --installpath")
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"nodes": out.count(), "out": args.out}))
+    return 0
+
+
+def cmd_edit(args) -> int:
+    """`surfactant cli edit` analogue: match by uuid/sha256, set scalar
+    fields and append array values, write the edited table."""
+    from .operators.expand import edit_nodes
+
+    spark = _spark(args)
+    nodes = spark.read.parquet(args.nodes)
+    out = edit_nodes(
+        nodes,
+        set_fields=json.loads(args.set) if args.set else {},
+        append_fields=json.loads(args.append) if args.append else None,
+        uuid=args.uuid,
+        sha256=args.sha256,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"nodes": out.count(), "out": args.out}))
+    return 0
+
+
 def cmd_sessionize(args) -> int:
     """Incremental stateful sessionization over an events directory."""
     from .streaming.sessions import run_sessionize_stream
@@ -168,6 +213,24 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--alias-prefix", default=None)
     f.add_argument("--min-sources", type=int, default=None)
     f.set_defaults(fn=cmd_find)
+
+    a = sub.add_parser("add", help="append relationship/entry/installpath")
+    a.add_argument("--nodes")
+    a.add_argument("--edges")
+    a.add_argument("--out", required=True)
+    a.add_argument("--relationship", nargs=3, metavar=("SUBJ", "PRED", "OBJ"))
+    a.add_argument("--entry", help="node row as JSON")
+    a.add_argument("--installpath", nargs=2, metavar=("CONTAINER_PREFIX", "INSTALL_PREFIX"))
+    a.set_defaults(fn=cmd_add)
+
+    e = sub.add_parser("edit", help="edit matched node entries")
+    e.add_argument("--nodes", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--uuid", default=None)
+    e.add_argument("--sha256", default=None)
+    e.add_argument("--set", default=None, help='{"field": value} scalar sets')
+    e.add_argument("--append", default=None, help='{"field": [values]} array appends')
+    e.set_defaults(fn=cmd_edit)
 
     z = sub.add_parser("sessionize", help="stateful event sessionization")
     z.add_argument("--events", required=True)

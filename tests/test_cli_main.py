@@ -93,3 +93,40 @@ def test_sessionize_command(spark, tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["closed_sessions"] == 1  # the 2h gap closed session one
+
+
+def test_add_and_edit_commands(spark, tmp_path, capsys):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    nodes = spark.createDataFrame(
+        [("c1", "s1", ["libfoo"], ["u/1"], 2, ts)],
+        "canon_uuid string, sha256 string, names array<string>, "
+        "aliases array<string>, n_sources long, first_seen timestamp",
+    )
+    src = str(tmp_path / "nodes")
+    nodes.write.parquet(src)
+
+    edited = str(tmp_path / "edited")
+    rc = main(
+        ["--master", "local[4]", "edit", "--nodes", src, "--out", edited,
+         "--uuid", "c1", "--set", '{"sha256": "patched"}',
+         "--append", '{"aliases": ["u/9"]}']
+    )
+    assert rc == 0
+    row = spark.read.parquet(edited).collect()[0]
+    assert row.sha256 == "patched" and "u/9" in row.aliases
+
+    edges = spark.createDataFrame(
+        [("a", "Uses", "b")], "subj_uuid string, pred string, obj_uuid string"
+    )
+    esrc = str(tmp_path / "edges")
+    edges.write.parquet(esrc)
+    eout = str(tmp_path / "edges2")
+    rc = main(
+        ["--master", "local[4]", "add", "--edges", esrc, "--out", eout,
+         "--relationship", "a", "Contains", "c"]
+    )
+    assert rc == 0
+    got = {(r.subj_uuid, r.pred, r.obj_uuid) for r in spark.read.parquet(eout).collect()}
+    assert got == {("a", "Uses", "b"), ("a", "Contains", "c")}
