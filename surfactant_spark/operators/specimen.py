@@ -61,24 +61,52 @@ def parse_specimen_config(value: Union[str, list]) -> List[dict]:
 
 
 def scan_from_config(pages: DataFrame, entries: List[dict]) -> DataFrame:
-    """Work items -> the pages they select, stamped with the entry's
-    installPrefix (and archive url when present). One union branch per
-    entry — each branch's prefix predicates push into the scan, the
-    reference's one-work-item-per-entry queue set-at-a-time."""
+    """Work items -> the pages they select, stamped with the matched
+    extract root, the entry's installPrefix and archive url. One union
+    branch per (entry, extract path) — each branch's prefix predicate
+    pushes into the scan; the reference walks each extract path as its
+    own work item the same way (`cmd/generate.py:384-411`)."""
     out = None
     for entry in entries:
-        cond = None
         for p in entry["extractPaths"]:
-            c = F.col("url").startswith(p)
-            cond = c if cond is None else (cond | c)
-        part = pages.where(cond).withColumn(
-            "install_prefix", F.lit(entry.get("installPrefix", ""))
-        ).withColumn("archive_url", F.lit(entry.get("archive")).cast("string"))
-        out = part if out is None else out.unionByName(part)
+            part = (
+                pages.where(F.col("url").startswith(p))
+                .withColumn("extract_root", F.lit(p))
+                .withColumn("install_prefix", F.lit(entry.get("installPrefix", "")))
+                .withColumn("archive_url", F.lit(entry.get("archive")).cast("string"))
+            )
+            out = part if out is None else out.unionByName(part)
     if out is None:
         return (
-            pages.withColumn("install_prefix", F.lit(""))
+            pages.withColumn("extract_root", F.lit(""))
+            .withColumn("install_prefix", F.lit(""))
             .withColumn("archive_url", F.lit(None).cast("string"))
             .limit(0)
         )
     return out
+
+
+def install_paths_from_scan(scanned: DataFrame, skip: bool = False) -> DataFrame:
+    """F9 — rebase each scanned url from its extract root onto the
+    entry's install prefix (`cmd/generate.py:24-28,48-59`): the part of
+    the url under the extract root is re-rooted at installPrefix; with
+    no prefix the install path is the scan location itself (the
+    reference's no-prefix golden behavior, `tests/cmd/test_generate.py:
+    31-37`); ``skip`` (the --skip_install_path flag) yields NULL, which
+    downstream turns into empty installPath arrays -> no path-probe
+    edges (`test_generate.py:88-113`)."""
+    if skip:
+        return scanned.withColumn("install_path", F.lit(None).cast("string"))
+    rel = F.regexp_replace(
+        F.expr("substring(url, length(extract_root) + 1)"), "^/+", ""
+    )
+    has_prefix = F.col("install_prefix").isNotNull() & (F.col("install_prefix") != "")
+    return scanned.withColumn(
+        "install_path",
+        F.when(
+            has_prefix,
+            F.concat(
+                F.regexp_replace("install_prefix", "/+$", ""), F.lit("/"), rel
+            ),
+        ).otherwise(F.col("url")),
+    )
