@@ -38,7 +38,7 @@ def cmd_generate(args) -> int:
         from .operators.specimen import parse_specimen_config, scan_from_config
 
         pages = scan_from_config(pages, parse_specimen_config(args.specimen))
-        pages = pages.drop("install_prefix", "archive_url")
+        pages = pages.drop("extract_root", "install_prefix", "archive_url")
     alias = spark.read.parquet(args.alias)
     res = run_pipeline(spark, pages, alias, args.out, resume=not args.no_resume)
     print(

@@ -366,20 +366,24 @@ def stage_link_fixtures() -> Dict[str, str]:
     """Write the fixture parquets once (idempotent, marker-guarded);
     returns {name: path}. Called by both the Spark queries and
     oracle_sql() so either side can run first."""
-    d = fixture_dir()
-    marker = os.path.join(d, "_OK")
+    final = fixture_dir()
     names = [
         "elf_nodes", "elf_probes", "pe_nodes", "pe_probes",
         "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
         "audit_rows",
     ]
-    paths = {n: os.path.join(d, f"{n}.parquet") for n in names}
-    if os.path.exists(marker):
-        return paths
+    final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
+    if os.path.exists(os.path.join(final, "_OK")):
+        return final_paths
     from .operators.link import dotnet_probe_rows, elf_probe_rows, pe_probe_rows
 
-    os.makedirs(d, exist_ok=True)
+    # stage into a private temp dir, then rename into place: a
+    # concurrent stager either wins the rename or discards its copy —
+    # readers never observe partially written parquet
+    d = tempfile.mkdtemp(prefix=f"sfx-stage-{FIXTURE_VERSION}-")
+    paths = {n: os.path.join(d, f"{n}.parquet") for n in names}
+    marker = os.path.join(d, "_OK")
 
     def probes_of(rows: List[NodeRow], row_fn) -> List[tuple]:
         out: List[tuple] = []
@@ -463,4 +467,12 @@ def stage_link_fixtures() -> Dict[str, str]:
     )
     with open(marker, "w", encoding="utf-8") as f:
         f.write(FIXTURE_VERSION)
-    return paths
+    try:
+        os.rename(d, final)
+    except OSError:
+        # another stager won the race; its (identical, deterministic)
+        # copy is already in place
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return final_paths

@@ -117,7 +117,9 @@ def _sessionize_state_fn(gap_s: int, idle_timeout: bool):
                 cur = [ep, ep, 0, 0.0]
             cur[1] = max(cur[1], ep)
             cur[2] += 1
-            cur[3] += float(value) if value == value else 0.0  # NaN-safe
+            # NULL/NaN-safe: None == None is True, so check identity first
+            if value is not None and value == value:
+                cur[3] += float(value)
         state.update(tuple(cur))
         if idle_timeout:
             state.setTimeoutDuration(gap_s * 1000)
