@@ -94,6 +94,7 @@ def link_extracted(
     extracted: DataFrame,
     alias_canon: DataFrame,
     exporters: DataFrame,
+    n_salt: int = 0,
 ) -> DataFrame:
     """extracted -> edges (subj_uuid, pred, obj_uuid, n_evidence, sources).
 
@@ -123,12 +124,23 @@ def link_extracted(
         F.col("m.alias").alias("alias"),
     )
 
-    uses = (
-        m.where(F.col("pred") == "Uses")
-        .join(alias_canon, "alias")
-        .join(exporters, "entity")
-        .withColumnRenamed("canon_uuid", "obj_uuid")
-    )
+    mu = m.where(F.col("pred") == "Uses")
+    if n_salt > 0:
+        # hot-domain skew: a handful of entities carry most mentions;
+        # replicate the dictionary sides n_salt ways and spread the big
+        # side deterministically (north-rule salted dictionary join)
+        uses = salted_join(
+            salted_join(mu, alias_canon, "alias", n_salt=n_salt),
+            exporters,
+            "entity",
+            n_salt=n_salt,
+        ).withColumnRenamed("canon_uuid", "obj_uuid")
+    else:
+        uses = (
+            mu.join(alias_canon, "alias")
+            .join(exporters, "entity")
+            .withColumnRenamed("canon_uuid", "obj_uuid")
+        )
 
     url_map = extracted.select(
         F.col("url").alias("alias"),

@@ -115,6 +115,7 @@ def run_pipeline(
     alias_dict: DataFrame,
     workdir: str,
     resume: bool = True,
+    n_salt: int = 0,
 ) -> PipelineResult:
     """pages + alias_dict -> materialized nodes/edges/lineage.
 
@@ -124,6 +125,10 @@ def run_pipeline(
       alias_cc  : alias_dict -> (alias, entity) canonical map (CC)
       nodes     : extracted -> content-dedup node table
       edges     : extracted + alias map -> linked, deduped edge table
+
+    ``n_salt > 0`` runs the dictionary joins of the edges stage through
+    the deterministic salted join (hot-domain skew; result-identical —
+    tests/test_e2e.py pins it).
     """
     store = SnapshotStore(spark, workdir)
     run: List[str] = []
@@ -179,7 +184,7 @@ def run_pipeline(
     )
     def _edges() -> DataFrame:
         exporters = exporters_table(extracted, alias_canon)
-        return link_extracted(extracted, alias_canon, exporters)
+        return link_extracted(extracted, alias_canon, exporters, n_salt=n_salt)
 
     edges = stage("edges", _edges, input_rows=n_pages, partition_by=["pred"])
 

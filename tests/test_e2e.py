@@ -60,3 +60,15 @@ def test_duplicate_pages_share_canonical_node(spark, spark_pages, corpus):
     pages_pdf, _ = corpus
     shas = pages_pdf.html.map(bytes).map(sha256_hex)
     assert shas.nunique() < len(pages_pdf)  # synth guarantees duplicates
+
+
+def test_pipeline_salted_join_equivalence(spark, spark_pages, spark_alias, tmp_path):
+    """north rule: hot-domain skew handled with salted keys — the
+    salted dictionary joins must produce the identical edge set."""
+    plain = run_pipeline(spark, spark_pages, spark_alias, str(tmp_path / "p"))
+    salted = run_pipeline(
+        spark, spark_pages, spark_alias, str(tmp_path / "s"), n_salt=4
+    )
+    a = {(r.subj_uuid, r.pred, r.obj_uuid, r.n_evidence) for r in plain.edges.collect()}
+    b = {(r.subj_uuid, r.pred, r.obj_uuid, r.n_evidence) for r in salted.edges.collect()}
+    assert a == b
