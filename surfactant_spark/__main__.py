@@ -33,14 +33,29 @@ def cmd_generate(args) -> int:
     from .plans.pipeline import run_pipeline
 
     spark = _spark(args)
-    pages = spark.read.parquet(args.pages)
+    if args.format == "warc":
+        from .sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    elif args.format == "jsonl":
+        from .sources.warc import read_pages_jsonl
+
+        pages = read_pages_jsonl(spark, args.pages)
+    elif args.format == "csv":
+        from .sources.warc import read_pages_csv
+
+        pages = read_pages_csv(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     if args.specimen:
         from .operators.specimen import parse_specimen_config, scan_from_config
 
         pages = scan_from_config(pages, parse_specimen_config(args.specimen))
         pages = pages.drop("extract_root", "install_prefix", "archive_url")
     alias = spark.read.parquet(args.alias)
-    res = run_pipeline(spark, pages, alias, args.out, resume=not args.no_resume)
+    res = run_pipeline(
+        spark, pages, alias, args.out, resume=not args.no_resume, n_salt=args.salt
+    )
     print(
         json.dumps(
             {
@@ -192,6 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--out", required=True)
     g.add_argument("--specimen", default=None, help="specimen config (path/JSON)")
     g.add_argument("--no-resume", action="store_true")
+    g.add_argument(
+        "--format", default="parquet", choices=["parquet", "warc", "jsonl", "csv"]
+    )
+    g.add_argument("--salt", type=int, default=0, help="salt hot dictionary keys N ways")
     g.set_defaults(fn=cmd_generate)
 
     m = sub.add_parser("merge", help="fold graph dirs into one")

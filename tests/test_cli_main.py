@@ -130,3 +130,20 @@ def test_add_and_edit_commands(spark, tmp_path, capsys):
     assert rc == 0
     got = {(r.subj_uuid, r.pred, r.obj_uuid) for r in spark.read.parquet(eout).collect()}
     assert got == {("a", "Uses", "b"), ("a", "Contains", "c")}
+
+
+def test_generate_from_warc(spark, spark_alias, tmp_path, capsys):
+    from tests.test_warc import _member
+
+    (tmp_path / "crawl" ).mkdir()
+    (tmp_path / "crawl" / "m.warc").write_bytes(_member())
+    alias = str(tmp_path / "alias")
+    spark_alias.write.parquet(alias)
+    out = str(tmp_path / "kg")
+    rc = main(
+        ["--master", "local[4]", "generate", "--format", "warc",
+         "--pages", str(tmp_path / "crawl"), "--alias", alias, "--out", out]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["nodes"] == 2  # two response records -> two content nodes
