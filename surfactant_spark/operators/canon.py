@@ -417,14 +417,29 @@ def merge_graphs(
     """
     from ..functions.hashing import entity_uuid
 
-    software, edges = graphs[0]
-    for inc_software, inc_edges in graphs[1:]:
+    def unpack(g):
+        return (g[0], g[1], g[2] if len(g) > 2 and g[2] is not None else None)
+
+    software, edges, star = unpack(graphs[0])
+    for g in graphs[1:]:
+        inc_software, inc_edges, inc_star = unpack(g)
         software, uuid_map = merge_software(software, inc_software)
         incoming_edges = rewrite_edge_uuids(inc_edges, uuid_map)
         edges = (
             edges.unionByName(incoming_edges)
             .dropDuplicates(["subj_uuid", "pred", "obj_uuid"])
         )
+        # starRelationships take the same rewrite-before-dedup path
+        # (`_sbom.py:241-255`)
+        if inc_star is not None:
+            inc_star = rewrite_edge_uuids(inc_star, uuid_map)
+            star = (
+                inc_star
+                if star is None
+                else star.unionByName(inc_star).dropDuplicates(
+                    ["subj_uuid", "pred", "obj_uuid"]
+                )
+            )
 
     roots = find_roots_with_cycles(software, edges, id_col="uuid")
 
@@ -448,7 +463,22 @@ def merge_graphs(
             system_uuid = entity_uuid(f"system:{digest['n']}:{digest['s']}")
         system = {"UUID": system_uuid, "name": ""}
         edges = attach_system(edges, roots, system_uuid, system_relationship)
-    return software, edges, roots, (system if add_system else None)
+    result = (software, edges, roots, (system if add_system else None))
+    if any(len(g) > 2 and g[2] is not None for g in graphs):
+        return result + (star,)
+    return result
+
+
+def merge_side_tables(dfs: List[DataFrame]) -> Optional[DataFrame]:
+    """analysisData/observations merge (`_sbom.py:233-239`): plain
+    append, schemas unioned, NO dedup (the reference keeps every
+    annotation row)."""
+    out = None
+    for df in dfs:
+        if df is None:
+            continue
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -191,3 +191,31 @@ def test_merge_software_hash_and_uuid_matching(spark):
     assert mp["u1"].name == "one-renamed"
     assert mp["u2"].fileName == ["f2", "f2x"]
     assert mp["u5"].name == "five"
+
+
+def test_merge_graphs_star_relationships_and_side_tables(spark):
+    """starRelationships go through the same rewrite-before-dedup path
+    (`_sbom.py:241-255`); observations append without dedup
+    (`_sbom.py:233-239`)."""
+    from surfactant_spark.operators.canon import merge_graphs, merge_side_tables
+
+    sw_schema = "uuid string, sha256 string"
+    e_schema = "subj_uuid string, pred string, obj_uuid string"
+    s1 = spark.createDataFrame([("a", "h1"), ("b", "h2")], sw_schema)
+    e1 = spark.createDataFrame([("a", "Uses", "b")], e_schema)
+    st1 = spark.createDataFrame([("a", "AnnotatedBy", "b")], e_schema)
+    # incoming node 'x' shares h2 -> collapses into 'b'
+    s2 = spark.createDataFrame([("x", "h2")], sw_schema)
+    e2 = spark.createDataFrame([], e_schema)
+    st2 = spark.createDataFrame([("a", "AnnotatedBy", "x")], e_schema)
+
+    sw, ed, roots, system, star = merge_graphs([(s1, e1, st1), (s2, e2, st2)])
+    got = {(r.subj_uuid, r.pred, r.obj_uuid) for r in star.collect()}
+    # x rewrote to b and the duplicate star edge collapsed
+    assert got == {("a", "AnnotatedBy", "b")}
+    assert {r.uuid for r in sw.collect()} == {"a", "b"}
+
+    obs1 = spark.createDataFrame([("b", "CVE-1")], "uuid string, cve string")
+    obs2 = spark.createDataFrame([("b", "CVE-1")], "uuid string, cve string")
+    merged = merge_side_tables([obs1, obs2, None])
+    assert merged.count() == 2  # append, no dedup
