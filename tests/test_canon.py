@@ -219,3 +219,40 @@ def test_merge_graphs_star_relationships_and_side_tables(spark):
     obs2 = spark.createDataFrame([("b", "CVE-1")], "uuid string, cve string")
     merged = merge_side_tables([obs1, obs2, None])
     assert merged.count() == 2  # append, no dedup
+
+
+def test_cc_distributed_medium_scale_vs_union_find(spark):
+    """The distributed min-label loop (not the auto driver path) on a
+    ~15k-edge graph mixing a deep chain, cycles and random clusters —
+    verified against a union-find ground truth."""
+    import random
+
+    from surfactant_spark.operators.canon import connected_components
+
+    rng = random.Random(7)
+    edges = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(800)]  # deep chain
+    edges += [(f"r{rng.randrange(3000):04d}", f"r{rng.randrange(3000):04d}")
+              for _ in range(12000)]
+    edges += [("y0", "y1"), ("y1", "y2"), ("y2", "y0")]  # pure cycle
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    want = {x: find(x) for x in parent}
+    assert got == want
