@@ -85,7 +85,7 @@ def cmd_merge(args) -> int:
                 spark.read.parquet(os.path.join(d, "edges")),
             )
         )
-    software, edges, roots, system = merge_graphs(
+    software, edges, roots, system, _star = merge_graphs(
         graphs,
         add_system=args.add_system,
         system_uuid=args.system_uuid,

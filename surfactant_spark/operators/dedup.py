@@ -375,6 +375,43 @@ def dedup_simhash(
     )
 
 
+def simhash_dropped_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Recall diagnostic for :func:`dedup_simhash`: the (block,
+    block_key, width) buckets its width cap DROPS. With the cap, the
+    pigeonhole guarantee (hamming <= n_blocks-1 implies a shared block)
+    no longer implies a pair is emitted — a pair whose ONLY shared block
+    is wider than ``max_bucket`` is silently lost. Run this (cheap:
+    count-only aggregation, no self-join) to audit how much of the
+    corpus sits in dropped buckets before trusting the recall; a large
+    result means raise ``max_bucket`` (small corpora) or accept the
+    documented bound (degenerate content at scale, e.g. simhash 0 for
+    empty docs, where the pairs are uninteresting anyway)."""
+    with_sh = docs.select(
+        F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
+    )
+    blocks = with_sh.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_key"),
+    )
+    return (
+        blocks.groupBy("block", "block_key")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where(F.col("width") > max_bucket)
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     # cast each float to double BEFORE multiplying: better numerics and
     # bit-identical to the DuckDB oracle's expression tree (queries.py)
@@ -406,10 +443,25 @@ def dedup_embedding(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.95,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on ``block_col`` (a
     coarse quantizer: label here; an IVF centroid assignment at scale —
-    see similarity.ivf_assign). Returns (id1, id2, cosine)."""
+    see similarity.ivf_assign). Returns (id1, id2, cosine).
+
+    Blocks wider than ``max_bucket`` are dropped before the self-join —
+    the same count-only width guard as dedup_minhash/dedup_simhash: a
+    hot quantizer cell (one label holding millions of vectors at 100 TB)
+    would otherwise go quadratic. The filter aggregates counts only (no
+    buffer ever holds a full bucket) and joins the surviving keys back.
+    Recall bound: a near-dup pair inside a dropped cell is NOT emitted —
+    shrink cells (more centroids) rather than raising the cap."""
+    sized = (
+        embeddings.groupBy(F.col(block_col).alias("blk"))
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where((F.col("width") > 1) & (F.col("width") <= max_bucket))
+        .select("blk")
+    )
     a = embeddings.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
     )
@@ -417,7 +469,7 @@ def dedup_embedding(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
     )
     return (
-        a.join(b, "blk")
+        a.join(sized, "blk").join(b, "blk")
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(cosine_col(F.col("v1"), F.col("v2")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)

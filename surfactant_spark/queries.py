@@ -302,6 +302,11 @@ SIMHASH_MAX_HAMMING = 16
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall bound: the default max_bucket=64 drops candidate pairs
+    whose only shared 16-bit block lands in a bucket wider than 64 rows
+    (degenerate content, e.g. all-empty docs hashing to 0) — audit with
+    operators.dedup.simhash_dropped_buckets before trusting recall on a
+    new corpus; the oracle mirrors the same cap so parity is exact."""
     return dedup_simhash(
         _read(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
     )
@@ -364,15 +369,19 @@ FROM pairs WHERE bit_count(xor(sh1, sh2)) <= {SIMHASH_MAX_HAMMING}
 
 
 EMB_DEDUP_THRESHOLD = 0.4
+EMB_MAX_BUCKET = 1024
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on the label column (the
-    coarse-quantizer blocking of operators/dedup.dedup_embedding)."""
+    coarse-quantizer blocking of operators/dedup.dedup_embedding);
+    blocks wider than EMB_MAX_BUCKET dropped (mirrored in the oracle)."""
     from .operators.dedup import dedup_embedding
 
     return dedup_embedding(
-        _read(spark, sf_dir, "embeddings"), threshold=EMB_DEDUP_THRESHOLD
+        _read(spark, sf_dir, "embeddings"),
+        threshold=EMB_DEDUP_THRESHOLD,
+        max_bucket=EMB_MAX_BUCKET,
     )
 
 
@@ -381,10 +390,13 @@ def _sql_dedup_embedding() -> str:
     # definition below
     c = SQL_COSINE.format(a="a.embedding", b="b.embedding")
     return f"""
-WITH e AS (SELECT * FROM embeddings)
+WITH e AS (SELECT * FROM embeddings),
+     ok AS (SELECT label FROM e GROUP BY label
+            HAVING count(*) BETWEEN 2 AND {EMB_MAX_BUCKET})
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        round({c}, 6) AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN ok ON a.label = ok.label
+         JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({c}, 6) >= {EMB_DEDUP_THRESHOLD}
 """
 

@@ -125,7 +125,8 @@ def test_merge_graphs_full_command(spark):
     )
 
     # 1. simple merge: a2 collapses into a (sha match); its edge is rewritten
-    sw, ed, roots, system = merge_graphs([(s1, e1), (s2, e2)])
+    sw, ed, roots, system, star = merge_graphs([(s1, e1), (s2, e2)])
+    assert star is None  # stable 5-tuple even without star tables
     assert {r.uuid for r in sw.collect()} == {"a", "b", "c"}
     got_edges = {(r.subj_uuid, r.pred, r.obj_uuid) for r in ed.collect()}
     assert got_edges == {("a", "Contains", "b"), ("a", "Contains", "c")}
@@ -133,7 +134,7 @@ def test_merge_graphs_full_command(spark):
     assert system is None  # no add_system -> no system (orphan prevention)
 
     # 2. add_system with specified UUID + custom relationship
-    sw, ed, roots, system = merge_graphs(
+    sw, ed, roots, system, _star = merge_graphs(
         [(s1, e1), (s2, e2)],
         add_system=True,
         system_uuid="sys-123",
@@ -144,12 +145,12 @@ def test_merge_graphs_full_command(spark):
     assert ("sys-123", "DependsOn", "a") in got_edges
 
     # 3. add_system without UUID -> deterministic derived UUID
-    _, _, _, sys_a = merge_graphs([(s1, e1), (s2, e2)], add_system=True)
-    _, _, _, sys_b = merge_graphs([(s1, e1), (s2, e2)], add_system=True)
+    _, _, _, sys_a, _ = merge_graphs([(s1, e1), (s2, e2)], add_system=True)
+    _, _, _, sys_b, _ = merge_graphs([(s1, e1), (s2, e2)], add_system=True)
     assert sys_a["UUID"] == sys_b["UUID"]  # idempotent across runs
 
     # 4. no add_system but explicit UUID -> relationships still created
-    _, ed, _, system = merge_graphs([(s1, e1), (s2, e2)], system_uuid="sys-9")
+    _, ed, _, system, _ = merge_graphs([(s1, e1), (s2, e2)], system_uuid="sys-9")
     assert system is None
     assert ("sys-9", "Contains", "a") in {
         (r.subj_uuid, r.pred, r.obj_uuid) for r in ed.collect()
@@ -256,3 +257,20 @@ def test_cc_distributed_medium_scale_vs_union_find(spark):
             parent[rb] = ra
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_rewrite_container_paths_distributed(spark):
+    """36-char UUID prefix rewrite preserving array order, dedup after
+    rewrite, NULL/empty arrays untouched (`_sbom.py:219-230`)."""
+    from surfactant_spark.operators.canon import rewrite_container_paths
+
+    old, new, other = "0" * 36, "1" * 36, "2" * 36
+    sw = spark.createDataFrame(
+        [("a", [f"{old}/f1", f"{other}/f2", f"{new}/f1"]), ("b", None), ("c", [])],
+        "uuid string, containerPath array<string>",
+    )
+    m = spark.createDataFrame([(old, new)], "old_uuid string, new_uuid string")
+    got = {r.uuid: r.containerPath for r in rewrite_container_paths(sw, m).collect()}
+    assert got["a"] == [f"{new}/f1", f"{other}/f2"]  # rewritten, order kept, deduped
+    assert got["b"] is None
+    assert got["c"] == []

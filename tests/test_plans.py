@@ -107,3 +107,35 @@ def test_anti_join_plan(spark):
 
     plan = _plan(q_customers_no_orders(spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_merge_software_plan_no_nested_loop(spark):
+    """J6 match-pair generation must plan as equi-joins (union of
+    per-hash joins), never BroadcastNestedLoopJoin/CartesianProduct —
+    the OR-of-equalities form has no hashable key and went O(n*m)."""
+    from surfactant_spark.operators.canon import merge_software
+
+    schema = "uuid string, sha256 string, md5 string, sha1 string, name string"
+    base = spark.createDataFrame([("u1", "h1", None, None, "a")], schema)
+    inc = spark.createDataFrame(
+        [("u9", "h1", None, None, "b"), ("u1", None, None, None, "c")], schema
+    )
+    merged, umap = merge_software(base, inc)
+    for df in (merged, umap):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_container_path_rewrite_no_single_row_map(spark):
+    """F9/U2 containerPath rewrite must not funnel the uuid_map through
+    one map_from_entries row (2 GB row-limit hazard); explode+join only."""
+    from surfactant_spark.operators.canon import rewrite_container_paths
+
+    sw = spark.createDataFrame(
+        [("u1", ["x/f"]), ("u2", None)], "uuid string, containerPath array<string>"
+    )
+    m = spark.createDataFrame([("x", "y")], "old_uuid string, new_uuid string")
+    plan = _plan(rewrite_container_paths(sw, m))
+    assert "map_from_entries" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

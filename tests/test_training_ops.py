@@ -216,3 +216,32 @@ def test_salted_join_equals_plain_join(spark):
     plain = {(r.key, r.val, r.tag) for r in big.join(small, "key").collect()}
     salted = {(r.key, r.val, r.tag) for r in salted_join(big, small, "key", n_salt=4).collect()}
     assert salted == plain
+
+
+def test_embedding_degenerate_block_bounded(spark):
+    """One hot quantizer cell holding 10k identical vectors: the
+    max_bucket width guard must drop the cell (no 50M-pair quadratic
+    self-join), while normal-width cells still pair."""
+    import time
+
+    from surfactant_spark.operators.dedup import dedup_embedding
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(10_000)]
+    rows += [(20_000, [0.0, 1.0], 1), (20_001, [0.0, 1.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    t0 = time.time()
+    got = {(r.id1, r.id2) for r in dedup_embedding(df, threshold=0.95, max_bucket=1024).collect()}
+    assert got == {(20_000, 20_001)}  # hot cell dropped, small cell kept
+    assert time.time() - t0 < 60
+
+
+def test_simhash_dropped_buckets_diagnostic(spark):
+    from surfactant_spark.operators.dedup import simhash_dropped_buckets
+
+    rows = [(i, "") for i in range(200)] + [(1000, "alpha beta"), (1001, "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = simhash_dropped_buckets(df, max_bucket=64).collect()
+    # the 200 empty docs share simhash 0 -> 4 blocks of width 200 dropped
+    assert len(dropped) == 4
+    assert all(r.width == 200 for r in dropped)
+    assert simhash_dropped_buckets(df, max_bucket=500).count() == 0
