@@ -66,11 +66,56 @@ def label_centroids(corpus: DataFrame, label_col: str = "label", vec_col: str = 
     )
 
 
+def label_centroids_exact(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-engine bit-exact centroids: per (list, dim), a strict left
+    fold (0.0 + x_0 + x_1 + ...) over members sorted by ``id_col`` — the
+    canonical summation order a SQL oracle can replay exactly, unlike
+    :func:`label_centroids`'s ``avg`` whose float accumulation order is
+    partitioning-dependent. Cost of exactness: the per-(list, dim)
+    aggregation buffer holds one inverted list's scalars (bounded by the
+    widest list, not the corpus) — use this for oracle parity and
+    verification runs, ``label_centroids`` for production centroids."""
+    dim_vals = corpus.select(
+        F.col(label_col).alias("list_id"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    per_dim = dim_vals.groupBy("list_id", "dim").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_id", "x"))),
+                lambda s: s["x"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.withColumn("m", F.col("ssum") / F.col("n"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
 def ivf_assign(queries: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
-    """Assign each query to its nprobe nearest centroid lists."""
+    """Assign each query to its nprobe nearest centroid lists. The
+    similarity is rounded to 6 decimals before ranking (ties broken by
+    list_id) so the choice of probed lists is stable under float-sum
+    noise and replayable by the SQL oracle."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = q.join(F.broadcast(centroids)).select(
-        "query_id", "qv", "list_id", cosine_col(F.col("qv"), F.col("centroid")).alias("sim")
+        "query_id", "qv", "list_id",
+        F.round(cosine_col(F.col("qv"), F.col("centroid")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
     return (
@@ -88,11 +133,19 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    exact_centroids: bool = False,
 ) -> DataFrame:
     """IVF search: only the nprobe nearest inverted lists are scanned.
     At scale the corpus is partitioned by list_id, so this prunes
-    (1 - nprobe/nlist) of the scan."""
-    cents = label_centroids(corpus, label_col, vec_col)
+    (1 - nprobe/nlist) of the scan. ``exact_centroids`` switches the
+    coarse quantizer to the canonical-summation-order variant
+    (:func:`label_centroids_exact`) whose doubles a SQL oracle can
+    reproduce bit-for-bit."""
+    cents = (
+        label_centroids_exact(corpus, label_col, vec_col, id_col)
+        if exact_centroids
+        else label_centroids(corpus, label_col, vec_col)
+    )
     assigned = ivf_assign(queries, cents, id_col, vec_col, nprobe)
     c = corpus.select(
         F.col(label_col).alias("list_id"),

@@ -489,14 +489,64 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+IVF_NPROBE = 3
+
+
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle: centroid doubles depend on aggregation order;
-    # recall-vs-bruteforce is pinned by tests/test_similarity.py
+    """IVF top-k with the canonical-summation-order centroids
+    (label_centroids_exact): members sorted by vec_id, strict left fold
+    per dimension — the doubles are bit-identical to the oracle's
+    list_reduce replay, so the full pipeline (quantizer, nprobe
+    assignment, candidate ranking) is hash-checkable cross-engine."""
     emb = _emb(spark, sf_dir)
-    return topk_ivf(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, nprobe=3)
+    return topk_ivf(
+        emb.where(F.col("vec_id") < N_QUERIES),
+        emb,
+        k=TOP_K,
+        nprobe=IVF_NPROBE,
+        exact_centroids=True,
+    )
 
 
 LSH_PLANES, EMB_DIM = 4, 64
+
+
+def _sql_topk_ivf() -> str:
+    """Bit-exact DuckDB replay of q_topk_ivf: centroid component j is a
+    strict left fold (list_prepend 0.0 -> list_reduce) over members
+    ordered by vec_id — the same order and IEEE operations as Spark's
+    F.aggregate in label_centroids_exact — then sum/n division; the
+    nprobe assignment ranks on the same rounded cosine with list_id
+    tie-break, and the final ranking reuses the shared discipline."""
+    cent = "[" + ",\n    ".join(
+        f"list_reduce(list_prepend(0.0, [v[{j}]::DOUBLE for v in vs]), (s, x) -> s + x) / n"
+        for j in range(1, EMB_DIM + 1)
+    ) + "]"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+mem AS (
+  SELECT label AS list_id, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
+  FROM embeddings GROUP BY label),
+cents AS (SELECT list_id, {cent} AS centroid FROM mem),
+assigned AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY round({SQL_COSINE.format(a='q.qv', b='c.centroid')}, 6) DESC,
+                                       c.list_id ASC) AS r
+    FROM q, cents c) WHERE r <= {IVF_NPROBE}),
+scored AS (
+  SELECT a.query_id, e.vec_id AS match_id,
+         round({SQL_COSINE.format(a='a.qv', b='e.embedding')}, 6) AS cosine
+  FROM assigned a JOIN embeddings e ON a.list_id = e.label
+  WHERE a.query_id <> e.vec_id),
+ranked AS (
+  SELECT query_id, match_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,6 +1442,7 @@ ORACLE_SQL = {
     "dedup_simhash": _sql_dedup_simhash(),
     "dedup_embedding": _sql_dedup_embedding(),
     "topk_lsh": _sql_topk_lsh(),
+    "topk_ivf": _sql_topk_ivf(),
     "classify_magic": _sql_classify_magic(_fixture_file("magic_pages")),
     "stat_counters": _sql_stat_counters(
         _fixture_file("elf_nodes"), _fixture_file("pe_nodes")
