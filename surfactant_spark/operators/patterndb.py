@@ -17,9 +17,10 @@ database hash/version it matched against.
 
 Scale: |patterns| is dimension-sized (dozens-thousands), so the join is
 |corpus| x |patterns| regex evaluations fanned across executors — the
-same work the reference does single-threaded. For very large DBs,
-pre-filter with a cheap token prefilter (e.g. rlike of the union of
-literal prefixes) before the full-pattern join.
+same work the reference does single-threaded. ``pattern_mentions``
+additionally prefilters (on by default) with ONE rlike of the union of
+the patterns' literal prefixes, so non-matching documents pay a single
+regex scan instead of |patterns| of them.
 
 The regex dialect is kept in the Java-regex/RE2 common subset
 (literal words, alternation, single capture group) so the DuckDB
@@ -86,17 +87,54 @@ def load_pattern_db(spark: SparkSession, path: str):
     return pattern_dim(spark, rows), db_version
 
 
+_REGEX_META = set("\\.[]{}()*+?^$|")
+
+
+def _literal_prefix(regex: str) -> str:
+    """Longest leading literal run of a regex (stops at the first
+    metacharacter). Sound prefilter key: any string matching the full
+    pattern must contain this prefix."""
+    out = []
+    for ch in regex:
+        if ch in _REGEX_META:
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def pattern_mentions(
     docs: DataFrame,
     patterns: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     db_version: str = PATTERN_DB_VERSION,
+    prefilter: bool = True,
 ) -> DataFrame:
     """(doc, library, pattern_version, match_token, db_version) for
     every document matching a pattern — one row per (doc, pattern) hit,
-    like the reference's per-file `jsLibraries` entries."""
-    joined = docs.join(
+    like the reference's per-file `jsLibraries` entries.
+
+    ``prefilter`` short-circuits the |corpus| x |patterns| regex join
+    with ONE cheap pass first: a single rlike of the union of the
+    patterns' literal prefixes drops every document that cannot match
+    any pattern, so the per-pattern regex evaluations run only on
+    candidate docs. Sound by construction (a full-pattern match implies
+    the literal prefix occurs); automatically disabled when any pattern
+    starts with a metacharacter (no usable prefix -> the filter would be
+    unsound). The pattern table is dimension-sized by contract (it is
+    broadcast), so collecting the regex column to build the prefilter
+    literal is a bounded driver action."""
+    import re as _re
+
+    filtered = docs
+    if prefilter:
+        prefixes = sorted(
+            {_literal_prefix(r.regex) for r in patterns.select("regex").collect()}
+        )
+        if prefixes and all(prefixes):
+            union_rx = "(" + "|".join(_re.escape(p) for p in prefixes) + ")"
+            filtered = docs.where(F.col(text_col).rlike(union_rx))
+    joined = filtered.join(
         F.broadcast(patterns), F.expr(f"regexp_like({text_col}, regex)")
     )
     return joined.select(

@@ -76,14 +76,18 @@ def test_no_plain_python_udf_in_query_surface(spark):
 
 
 def test_pattern_mentions_broadcast_dim_and_pruned_scan(spark):
-    """The regex pattern dimension must broadcast (S11 shape) and the
-    documents scan must ship only (doc_id, text)."""
+    """The regex pattern dimension must broadcast (S11 shape), the
+    documents scan must ship only (doc_id, text), and the cheap
+    literal-prefix prefilter must gate the corpus BEFORE the
+    per-pattern regex join (one union-of-prefixes rlike pass)."""
     from surfactant_spark.queries import q_pattern_mentions
 
     plan = _plan(q_pattern_mentions(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "n_chars" not in read_schema
+    # the union-of-literal-prefixes predicate sits in a Filter node
+    assert "agg\\ |fast\\ |hash\\ " in plan.replace("\\\\", "\\") or "agg |fast |hash " in plan
 
 
 def test_classify_magic_is_pure_jvm(spark):

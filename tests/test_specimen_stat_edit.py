@@ -130,3 +130,36 @@ def test_pattern_db_versioned_round_trip(spark, tmp_path):
     # a changed DB pins differently
     v2 = save_pattern_db(p, PATTERN_DB + [("extra", "never matches x{40}", "9.9")])
     assert v2 != v1
+
+
+def test_pattern_prefilter_sound_and_auto_disabled(spark):
+    """The literal-prefix prefilter must never change results (sound by
+    construction) and must disable itself when a pattern has no literal
+    prefix (starts with a metacharacter)."""
+    from surfactant_spark.operators.patterndb import (
+        PATTERN_DB,
+        _literal_prefix,
+        pattern_dim,
+        pattern_mentions,
+    )
+
+    assert _literal_prefix("spark (window|stream)") == "spark "
+    assert _literal_prefix("(a|b) tail") == ""
+    assert _literal_prefix("plain literal") == "plain literal"
+
+    docs = spark.createDataFrame(
+        [(1, "uses spark window ops"), (2, "nothing relevant"), (3, "hash join heavy")],
+        "doc_id long, text string",
+    )
+    dim = pattern_dim(spark)
+    on = {(r.doc_id, r.library) for r in pattern_mentions(docs, dim).collect()}
+    off = {
+        (r.doc_id, r.library)
+        for r in pattern_mentions(docs, dim, prefilter=False).collect()
+    }
+    assert on == off == {(1, "spark-engine"), (3, "hash-ops")}
+
+    # a prefix-less pattern forces the prefilter off: results identical
+    dim2 = pattern_dim(spark, PATTERN_DB + [("anchored", "(spark|hash) join", "1.0")])
+    got = {(r.doc_id, r.library) for r in pattern_mentions(docs, dim2).collect()}
+    assert (3, "anchored") in got and (1, "spark-engine") in got
