@@ -48,10 +48,25 @@ def cmd_generate(args) -> int:
     else:
         pages = spark.read.parquet(args.pages)
     if args.specimen:
-        from .operators.specimen import parse_specimen_config, scan_from_config
+        from .operators.specimen import (
+            install_paths_from_scan,
+            parse_specimen_config,
+            scan_from_config,
+        )
 
         pages = scan_from_config(pages, parse_specimen_config(args.specimen))
-        pages = pages.drop("extract_root", "install_prefix", "archive_url")
+        # F9: rebase each scan location onto its entry's installPrefix
+        # and materialize the (url, install_path) map BEFORE dropping
+        # the stamped columns — a config's installPrefix used to be
+        # silently discarded here (--skip-install-path mirrors the
+        # reference's --skip_install_path flag: NULL install paths).
+        pages = install_paths_from_scan(pages, skip=args.skip_install_path)
+        pages.select("url", "install_path").write.mode("overwrite").parquet(
+            os.path.join(args.out, "install_paths")
+        )
+        pages = pages.drop(
+            "extract_root", "install_prefix", "archive_url", "install_path"
+        )
     alias = spark.read.parquet(args.alias)
     res = run_pipeline(
         spark, pages, alias, args.out, resume=not args.no_resume, n_salt=args.salt
@@ -125,7 +140,9 @@ def cmd_find(args) -> int:
     from .operators.expand import find_nodes
 
     spark = _spark(args)
-    nodes = spark.read.parquet(args.nodes)
+    # with no --nodes, search the `cli load`ed working set (the
+    # reference's find-on-loaded-sbom flow)
+    nodes = spark.read.parquet(args.nodes or _read_session()["nodes"])
     out = find_nodes(
         nodes,
         sha256=args.sha256,
@@ -138,12 +155,26 @@ def cmd_find(args) -> int:
     return 0
 
 
+def _guard_in_place(out, *inputs) -> None:
+    """Spark cannot overwrite a parquet path it is also reading (it
+    either errors or truncates the input mid-read), so an in-place edit
+    must go through a fresh --out directory."""
+    for p in inputs:
+        if p and os.path.abspath(out) == os.path.abspath(p):
+            raise SystemExit(
+                f"--out {out!r} equals an input path: Spark cannot overwrite "
+                "a parquet path it reads from; write to a new directory "
+                "and move it into place"
+            )
+
+
 def cmd_add(args) -> int:
     """`surfactant cli add` analogue (`cmd/cli.py:164-215`): append a
     relationship / node entry / rewritten install paths, writing the
     updated table to --out."""
     from .operators.expand import add_entry, add_installpath, add_relationship
 
+    _guard_in_place(args.out, args.nodes, args.edges)
     spark = _spark(args)
     if args.relationship:
         subj, pred, obj = args.relationship
@@ -169,6 +200,7 @@ def cmd_edit(args) -> int:
     fields and append array values, write the edited table."""
     from .operators.expand import edit_nodes
 
+    _guard_in_place(args.out, args.nodes)
     spark = _spark(args)
     nodes = spark.read.parquet(args.nodes)
     out = edit_nodes(
@@ -180,6 +212,115 @@ def cmd_edit(args) -> int:
     )
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"nodes": out.count(), "out": args.out}))
+    return 0
+
+
+
+def cmd_config(args) -> int:
+    """`surfactant config` analogue (`cmd/config.py:8-51`): get with
+    KEY only, set with KEY VALUES...; KEY is 'section.option';
+    'true'/'false' strings convert to booleans; multiple values store
+    as a list."""
+    from .config import ConfigManager
+
+    cm = ConfigManager()
+    try:
+        section, option = args.key.split(".", 1)
+    except ValueError:
+        raise SystemExit("Invalid KEY given. Is it in the format 'section.option'?")
+    if not args.values:
+        result = cm.get(section, option)
+        if result is None:
+            print(f"Configuration '{args.key}' not found.")
+        else:
+            print(f"{args.key} = {result}")
+        return 0
+    converted = [
+        True if v.lower() == "true" else False if v.lower() == "false" else v
+        for v in args.values
+    ]
+    final = converted[0] if len(converted) == 1 else converted
+    cm.set(section, option, final)
+    print(f"Configuration '{args.key}' set to '{final}'.")
+    return 0
+
+
+def _session_file() -> str:
+    from .config import ConfigManager
+
+    return os.path.join(ConfigManager().data_dir_path(), "cli_session.json")
+
+
+def _read_session() -> dict:
+    path = _session_file()
+    if not os.path.exists(path):
+        raise SystemExit("no working set loaded; run `cli load` first")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def cmd_load(args) -> int:
+    """`surfactant cli load` analogue (`cmd/cli.py:handle_cli_load`,
+    `cli_commands/cli_load.py`): record the working set for later cli
+    commands. Spark-native twist: a parquet working set is recorded as
+    a POINTER (its path), not copied — at 100 TB the session must not
+    duplicate the data; a CyTRICS JSON export is materialized to
+    session parquet first (it needs parsing anyway)."""
+    session = {"format": args.format}
+    if args.format == "cytrics":
+        from .config import ConfigManager
+        from .sources.readers import read_cytrics_json
+
+        spark = _spark(args)
+        nodes, edges = read_cytrics_json(spark, args.path)
+        base = os.path.join(ConfigManager().data_dir_path(), "session_tables")
+        nodes.write.mode("overwrite").parquet(os.path.join(base, "nodes"))
+        edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+        session["nodes"] = os.path.join(base, "nodes")
+        session["edges"] = os.path.join(base, "edges")
+    else:
+        nodes_p = os.path.join(args.path, "nodes")
+        if not os.path.exists(nodes_p):
+            raise SystemExit(f"{nodes_p} not found: expected a graph dir with nodes/ (and edges/)")
+        session["nodes"] = os.path.abspath(nodes_p)
+        edges_p = os.path.join(args.path, "edges")
+        session["edges"] = os.path.abspath(edges_p) if os.path.exists(edges_p) else None
+    with open(_session_file(), "w", encoding="utf-8") as f:
+        json.dump(session, f)
+    print(json.dumps({"loaded": session}))
+    return 0
+
+
+def cmd_save(args) -> int:
+    """`surfactant cli save` analogue (`cli_commands/cli_save.py`):
+    write the loaded working set to --out in the requested format
+    (parquet graph dir, CyTRICS JSON lines, or per-path CSV)."""
+    session = _read_session()
+    _guard_in_place(args.out, session.get("nodes"), session.get("edges"))
+    spark = _spark(args)
+    nodes = spark.read.parquet(session["nodes"])
+    edges = spark.read.parquet(session["edges"]) if session.get("edges") else None
+    if args.format == "parquet":
+        nodes.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
+        if edges is not None:
+            edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+    elif args.format == "cytrics":
+        from .sources.writers import json_export
+
+        if edges is None:
+            edges = spark.createDataFrame(
+                [], "subj_uuid string, pred string, obj_uuid string"
+            )
+        node_docs, edge_docs = json_export(nodes, edges)
+        node_docs.toDF("value").write.mode("overwrite").text(os.path.join(args.out, "nodes"))
+        edge_docs.toDF("value").write.mode("overwrite").text(os.path.join(args.out, "edges"))
+    elif args.format == "csv":
+        from .sources.writers import csv_export
+
+        csv_export(nodes).write.mode("overwrite").option("header", True).csv(
+            os.path.join(args.out, "nodes")
+        )
+    print(json.dumps({"out": args.out, "format": args.format, "nodes": nodes.count()}))
     return 0
 
 
@@ -206,6 +347,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--alias", required=True)
     g.add_argument("--out", required=True)
     g.add_argument("--specimen", default=None, help="specimen config (path/JSON)")
+    g.add_argument(
+        "--skip-install-path",
+        action="store_true",
+        help="stamp NULL install paths (reference --skip_install_path)",
+    )
     g.add_argument("--no-resume", action="store_true")
     g.add_argument(
         "--format", default="parquet", choices=["parquet", "warc", "jsonl", "csv"]
@@ -226,7 +372,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_stat)
 
     f = sub.add_parser("find", help="conjunctive node search")
-    f.add_argument("--nodes", required=True)
+    f.add_argument("--nodes", default=None, help="node parquet (default: loaded working set)")
     f.add_argument("--sha256", default=None)
     f.add_argument("--name-contains", default=None)
     f.add_argument("--alias-prefix", default=None)
@@ -256,6 +402,21 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--out", required=True)
     z.add_argument("--gap-s", type=int, default=1800)
     z.set_defaults(fn=cmd_sessionize)
+
+    c = sub.add_parser("config", help="get/set engine configuration (section.option)")
+    c.add_argument("key")
+    c.add_argument("values", nargs="*")
+    c.set_defaults(fn=cmd_config)
+
+    lo = sub.add_parser("load", help="load a working set for cli commands")
+    lo.add_argument("path", help="graph dir (nodes/, edges/) or CyTRICS export dir")
+    lo.add_argument("--format", default="parquet", choices=["parquet", "cytrics"])
+    lo.set_defaults(fn=cmd_load)
+
+    sv = sub.add_parser("save", help="save the loaded working set")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--format", default="parquet", choices=["parquet", "cytrics", "csv"])
+    sv.set_defaults(fn=cmd_save)
     return p
 
 

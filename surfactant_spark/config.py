@@ -63,3 +63,11 @@ class ConfigManager:
 
     def __getitem__(self, section: str) -> Dict[str, Any]:
         return self.config.get(section, {})
+
+    def data_dir_path(self) -> str:
+        """Directory for CLI session state — the analogue of the
+        reference's ``ConfigManager.get_data_dir_path`` that
+        `cmd/cli_commands/cli_base.py` stores its working set under."""
+        d = os.path.join(os.path.dirname(self.config_path), "data")
+        os.makedirs(d, exist_ok=True)
+        return d

@@ -189,12 +189,21 @@ def _pseudo_plane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
     return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id (0..2^n_planes-1)."""
+def lsh_bucket(vec_col: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1).
+
+    ``dim`` is REQUIRED and must equal the vector length: the plane-sign
+    literals are driver-precomputed arrays of exactly ``dim`` ±1s. A
+    mismatched vector yields a NULL bucket (never a silent collapse to
+    bucket 0 — zip_with pads the shorter side with NULLs, which used to
+    zero every sign bit); NULL buckets drop out of the candidate join,
+    making bad dims visible as missing rows rather than wrong ones.
+    Probe the corpus with ``F.size`` for a data-derived dim (topk_lsh
+    does exactly that)."""
     bucket = F.lit(0)
     for i in range(n_planes):
         bucket = bucket + F.shiftleft(_pseudo_plane_sign(vec_col, i, dim), i)
-    return bucket
+    return F.when(F.size(vec_col) == dim, bucket).otherwise(F.lit(None))
 
 
 def topk_lsh(

@@ -147,3 +147,126 @@ def test_generate_from_warc(spark, spark_alias, tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["nodes"] == 2  # two response records -> two content nodes
+
+
+@pytest.fixture
+def isolated_config(tmp_path, monkeypatch):
+    """Point the default ConfigManager (and its session data dir) at a
+    fresh tmp dir so config/load/save tests never share state."""
+    from surfactant_spark.config import ConfigManager
+
+    monkeypatch.setenv("SPARK_GRAFT_CONFIG_DIR", str(tmp_path / "cfg"))
+    ConfigManager.delete_instance("surfactant_spark")
+    yield
+    ConfigManager.delete_instance("surfactant_spark")
+
+
+def test_config_command_get_set_round_trip(isolated_config, capsys):
+    """`config KEY VALUE` then `config KEY` (`cmd/config.py:8-51`):
+    true/false conversion, list for multiple values, not-found text."""
+    assert main(["config", "core.output_format", "cytrics"]) == 0
+    assert "set to 'cytrics'" in capsys.readouterr().out
+    assert main(["config", "core.output_format"]) == 0
+    assert "core.output_format = cytrics" in capsys.readouterr().out
+
+    main(["config", "core.recorded_institution", "LLNL", "other"])
+    capsys.readouterr()
+    main(["config", "core.recorded_institution"])
+    assert "['LLNL', 'other']" in capsys.readouterr().out
+
+    main(["config", "core.flag", "True"])
+    capsys.readouterr()
+    main(["config", "core.flag"])
+    assert "core.flag = True" in capsys.readouterr().out
+
+    assert main(["config", "core.missing"]) == 0
+    assert "not found" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="section.option"):
+        main(["config", "nodots", "v"])
+
+
+def test_cli_load_find_save_workflow(isolated_config, spark, tmp_path, capsys):
+    """load -> find (against the loaded working set) -> save: the
+    reference's session workflow (`cmd/cli.py` handle_cli_load/save)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    nodes = spark.createDataFrame(
+        [("c1", "s1", ["libfoo"], ["u/1"], 2, ts), ("c2", "s2", ["bar"], ["u/2"], 1, ts)],
+        "canon_uuid string, sha256 string, names array<string>, "
+        "aliases array<string>, n_sources long, first_seen timestamp",
+    )
+    edges = spark.createDataFrame(
+        [("c1", "Uses", "c2")], "subj_uuid string, pred string, obj_uuid string"
+    )
+    g = tmp_path / "graph"
+    nodes.write.parquet(str(g / "nodes"))
+    edges.write.parquet(str(g / "edges"))
+
+    assert main(["--master", "local[4]", "load", str(g)]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["loaded"]["nodes"].endswith("graph/nodes")
+
+    # find with no --nodes searches the loaded set
+    assert main(["--master", "local[4]", "find", "--sha256", "s1"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1 and "c1" in lines[0]
+
+    out = str(tmp_path / "saved")
+    assert main(["--master", "local[4]", "save", "--out", out]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(os.path.join(out, "nodes")).count() == 2
+
+    # cytrics round trip: save as JSON lines, load it back materialized
+    outj = str(tmp_path / "cyt")
+    assert main(["--master", "local[4]", "save", "--out", outj, "--format", "cytrics"]) == 0
+    capsys.readouterr()
+    assert main(["--master", "local[4]", "load", outj, "--format", "cytrics"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "session_tables" in info["loaded"]["nodes"]
+    assert spark.read.parquet(info["loaded"]["nodes"]).count() == 2
+
+    # guard: saving onto the loaded path must refuse
+    with pytest.raises(SystemExit, match="cannot overwrite"):
+        main(["--master", "local[4]", "save", "--out", info["loaded"]["nodes"]])
+
+
+def test_add_refuses_in_place_overwrite(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [("a", "Uses", "b")], "subj_uuid string, pred string, obj_uuid string"
+    )
+    esrc = str(tmp_path / "edges")
+    edges.write.parquet(esrc)
+    with pytest.raises(SystemExit, match="cannot overwrite"):
+        main(["--master", "local[4]", "add", "--edges", esrc, "--out", esrc,
+              "--relationship", "a", "Contains", "c"])
+
+
+def test_generate_specimen_materializes_install_paths(spark, spark_pages, spark_alias, tmp_path, capsys):
+    """F9 through the CLI: a specimen config with installPrefix must
+    produce a rebased (url, install_path) map under --out, not be
+    silently dropped."""
+    pages_p = str(tmp_path / "pages")
+    alias_p = str(tmp_path / "alias")
+    spark_pages.write.parquet(pages_p)
+    spark_alias.write.parquet(alias_p)
+    url0 = spark_pages.select("url").first()[0]
+    root = url0.rsplit("/", 1)[0]
+    cfg = json.dumps([{"extractPaths": [root], "installPrefix": "/opt/app"}])
+    out = str(tmp_path / "kg")
+    rc = main(["--master", "local[4]", "generate", "--pages", pages_p,
+               "--alias", alias_p, "--out", out, "--specimen", cfg])
+    assert rc == 0
+    ip = spark.read.parquet(os.path.join(out, "install_paths"))
+    rows = {r.url: r.install_path for r in ip.collect()}
+    assert rows and all(v.startswith("/opt/app/") for v in rows.values())
+
+    # --skip-install-path stamps NULLs
+    out2 = str(tmp_path / "kg2")
+    rc = main(["--master", "local[4]", "generate", "--pages", pages_p,
+               "--alias", alias_p, "--out", out2, "--specimen", cfg,
+               "--skip-install-path"])
+    assert rc == 0
+    ip2 = spark.read.parquet(os.path.join(out2, "install_paths"))
+    assert all(r.install_path is None for r in ip2.collect())

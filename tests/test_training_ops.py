@@ -245,3 +245,21 @@ def test_simhash_dropped_buckets_diagnostic(spark):
     assert len(dropped) == 4
     assert all(r.width == 200 for r in dropped)
     assert simhash_dropped_buckets(df, max_bucket=500).count() == 0
+
+
+def test_lsh_bucket_dim_mismatch_is_null_not_zero(spark):
+    """A vector whose length disagrees with the plane dim must get a
+    NULL bucket (visible drop), never silently collapse into bucket 0."""
+    from surfactant_spark.operators.similarity import lsh_bucket
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 5)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in df.select(
+            "vec_id", lsh_bucket(F.col("embedding"), 4, 8).alias("bucket")
+        ).collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None
