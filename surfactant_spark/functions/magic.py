@@ -287,9 +287,9 @@ def ole_header(data: bytes) -> Optional[dict]:
     storage entry's CLSID, which identifies MSI/MSP/MST installers
     (`ole_file.py:48-61`). The root entry is the first 128-byte record
     of the first directory sector — reachable without walking the FAT,
-    so the decode is bounded. Summary-info properties need a full
-    property-set parser (olefile in the reference; not in this
-    sandbox) and are out of scope."""
+    so the decode is bounded. Summary-info properties (the reference's
+    olefile metadata pass, `ole_file.py:63-69`) are decoded by
+    :func:`ole_summary_info` via the bounded CFB walk below."""
     if len(data or b"") < 128 or data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         return None
     sector_shift = int.from_bytes(data[30:32], "little")
@@ -310,6 +310,200 @@ def ole_header(data: bytes) -> Optional[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# E7 — CFB stream walk + SummaryInformation property set
+# ---------------------------------------------------------------------------
+_CFB_FREE = 0xFFFFFFFF
+_CFB_END = 0xFFFFFFFE
+_CFB_FATSECT = 0xFFFFFFFD
+
+# MS-OLEPS SummaryInformation property ids -> olefile's SUMMARY_ATTRIBS
+# names (the keys the reference copies into file_details["ole"],
+# `ole_file.py:63-69`)
+_OLE_SUMMARY_PROPS = {
+    2: "title", 3: "subject", 4: "author", 5: "keywords", 6: "comments",
+    7: "template", 8: "last_saved_by", 9: "revision_number",
+    10: "total_edit_time", 11: "last_printed", 12: "create_time",
+    13: "last_saved_time", 14: "num_pages", 15: "num_words",
+    16: "num_chars", 18: "creating_application", 19: "security",
+}
+
+
+def _cfb_u32(data: bytes, pos: int) -> int:
+    return int.from_bytes(data[pos : pos + 4], "little")
+
+
+def _cfb_chain(data: bytes, fat: list, start: int, sector_size: int,
+               base: int = 1, max_sectors: int = 4096) -> bytes:
+    """Concatenate a FAT (or miniFAT-over-ministream) sector chain,
+    bounded by ``max_sectors`` (cycle/hostile-input guard)."""
+    out, sect, seen = [], start, 0
+    while sect not in (_CFB_END, _CFB_FREE) and seen < max_sectors:
+        off = (sect + base) * sector_size
+        if off + sector_size > len(data) or sect >= len(fat):
+            break
+        out.append(data[off : off + sector_size])
+        sect = fat[sect]
+        seen += 1
+    return b"".join(out)
+
+
+def _cfb_layout(data: bytes):
+    """-> (sector_size, fat, dir_stream) or None. The FAT is built from
+    the header DIFAT only (109 FAT sectors = ~7 MB of FAT, addressing
+    ~900 MB) — installers with DIFAT overflow sectors are out of scope
+    for a metadata probe and return partial chains, never garbage."""
+    if len(data or b"") < 512 or data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return None
+    sector_size = 1 << int.from_bytes(data[30:32], "little")
+    if sector_size not in (512, 4096):
+        return None
+    fat: list = []
+    for i in range(109):
+        s = _cfb_u32(data, 76 + 4 * i)
+        if s in (_CFB_FREE, _CFB_END):
+            continue
+        off = (s + 1) * sector_size
+        if off + sector_size > len(data):
+            break
+        fat.extend(
+            _cfb_u32(data, off + 4 * j) for j in range(sector_size // 4)
+        )
+    dir_stream = _cfb_chain(data, fat, _cfb_u32(data, 48), sector_size)
+    return sector_size, fat, dir_stream
+
+
+def cfb_stream(data: bytes, name: str) -> Optional[bytes]:
+    """Read a named stream out of a CFB file: directory walk, then the
+    FAT chain (big streams) or the miniFAT chain over the root entry's
+    ministream (streams under the mini cutoff). Bounded everywhere."""
+    layout = _cfb_layout(data)
+    if layout is None:
+        return None
+    sector_size, fat, dir_stream = layout
+    mini_cutoff = _cfb_u32(data, 56)
+    target = root = None
+    for pos in range(0, len(dir_stream) - 127, 128):
+        entry = dir_stream[pos : pos + 128]
+        etype = entry[66]
+        nlen = int.from_bytes(entry[64:66], "little")
+        if etype == 0 or nlen < 2 or nlen > 64:
+            continue
+        ename = entry[: nlen - 2].decode("utf-16-le", errors="replace")
+        if etype == 5:
+            root = entry
+        elif etype == 2 and ename == name:
+            target = entry
+    if target is None:
+        return None
+    start = _cfb_u32(target, 116)
+    size = int.from_bytes(target[120:128], "little")
+    if size > len(data):
+        return None
+    if size >= mini_cutoff or root is None:
+        return _cfb_chain(data, fat, start, sector_size)[:size]
+    # ministream path: 64-byte minisectors inside the root entry's chain
+    ministream = _cfb_chain(data, fat, _cfb_u32(root, 116), sector_size)
+    minifat_bytes = _cfb_chain(data, fat, _cfb_u32(data, 60), sector_size)
+    minifat = [
+        _cfb_u32(minifat_bytes, 4 * j) for j in range(len(minifat_bytes) // 4)
+    ]
+    return _cfb_chain(ministream, minifat, start, 64, base=0)[:size]
+
+
+def _oleps_value(sec: bytes, off: int):
+    """Decode one MS-OLEPS typed property value (the VT types summary
+    streams actually use)."""
+    import struct
+
+    if off + 4 > len(sec):
+        return None
+    vt = _cfb_u32(sec, off)
+    body = off + 4
+    if vt in (2, 3, 19, 20):  # VT_I2/VT_I4/VT_UI4 (+pad)
+        width = 2 if vt == 2 else 8 if vt == 20 else 4
+        if body + width > len(sec):
+            return None
+        return int.from_bytes(sec[body : body + width], "little", signed=vt in (2, 3))
+    if vt == 30:  # VT_LPSTR: cb + codepage string (null-terminated)
+        cb = _cfb_u32(sec, body)
+        raw = sec[body + 4 : body + 4 + cb]
+        return raw.split(b"\x00", 1)[0].decode("latin-1", errors="replace")
+    if vt == 31:  # VT_LPWSTR: cch + UTF-16
+        cch = _cfb_u32(sec, body)
+        raw = sec[body + 4 : body + 4 + 2 * cch]
+        return raw.decode("utf-16-le", errors="replace").split("\x00", 1)[0]
+    if vt == 64:  # VT_FILETIME -> ISO-8601 (100ns ticks since 1601)
+        if body + 8 > len(sec):
+            return None
+        ticks = struct.unpack("<Q", sec[body : body + 8])[0]
+        if ticks == 0:
+            return None
+        import datetime
+
+        try:
+            dt = datetime.datetime(1601, 1, 1) + datetime.timedelta(
+                microseconds=ticks // 10
+            )
+        except OverflowError:
+            return None
+        return dt.isoformat()
+    return None
+
+
+def ole_summary_info(data: bytes) -> Optional[dict]:
+    """E7 completion (`ole_file.py:63-69`): decode the
+    \\x05SummaryInformation property-set stream with the same bounded
+    CFB walk ole_header uses — title/subject/author/revision/... as
+    strings, like the reference's str()-coerced olefile metadata. The
+    reference's field-hint mapping (subject->name, revision_number->
+    version, author->vendor, comments->comments at confidence 80,
+    `ole_file.py:29-36`) is :func:`ole_field_hints`."""
+    stream = cfb_stream(data, "\x05SummaryInformation")
+    if not stream or len(stream) < 48:
+        return None
+    if stream[0:2] != b"\xfe\xff":  # wByteOrder stored little-endian
+        return None
+    n_sections = _cfb_u32(stream, 24)
+    if n_sections < 1:
+        return None
+    sec_off = _cfb_u32(stream, 44)
+    if sec_off + 8 > len(stream):
+        return None
+    sec = stream[sec_off:]
+    n_props = _cfb_u32(sec, 4)
+    out = {}
+    for i in range(min(n_props, 64)):
+        pos = 8 + 8 * i
+        if pos + 8 > len(sec):
+            break
+        pid, off = _cfb_u32(sec, pos), _cfb_u32(sec, pos + 4)
+        name = _OLE_SUMMARY_PROPS.get(pid)
+        if name is None:
+            continue
+        val = _oleps_value(sec, off)
+        if val is not None:
+            out[name] = str(val)
+    return out or None
+
+
+def ole_field_hints(summary: Optional[dict]) -> list:
+    """(field, value, confidence) hints from summary properties — the
+    reference's `extract_file_info` mapping at confidence 80."""
+    if not summary:
+        return []
+    hints = []
+    for prop, field in (
+        ("subject", "name"),
+        ("revision_number", "version"),
+        ("author", "vendor"),
+        ("comments", "comments"),
+    ):
+        if prop in summary:
+            hints.append((field, summary[prop], 80))
+    return hints
+
+
 _MACHO_CPU = {
     7: "x86", 0x01000007: "x86_64", 12: "arm", 0x0100000C: "arm64",
     18: "ppc", 0x01000012: "ppc64",
@@ -321,13 +515,11 @@ _MACHO_FILETYPE = {
 
 
 def macho_header(data: bytes) -> Optional[dict]:
-    """Minimal Mach-O header decode (E6 analogue of
-    `infoextractors/mach_o_file.py:44-189`'s identification fields):
-    magic -> endianness/width, cputype, filetype, ncmds. Load-command
-    walking (deps/rpaths) needs a real Mach-O parser (lief in the
-    reference) — not available in this sandbox, so only the typed
-    header fields are decoded; the structure is enough for the
-    classifier/metadata join plumbing."""
+    """Mach-O header decode (E6, `infoextractors/mach_o_file.py:44-66`):
+    magic -> endianness/width, cputype, filetype, ncmds. The
+    load-command walk (dependencies/rpaths/dyld/build/signature — the
+    fields the reference gets from lief) is :func:`macho_load_commands`;
+    :func:`macho_info` is the full fat-aware extractor analogue."""
     if len(data or b"") < 16:
         return None
     magic = data[:4]
@@ -348,12 +540,248 @@ def macho_header(data: bytes) -> Optional[dict]:
     }
 
 
+# Mach-O load-command ids (public mach-o/loader.h values)
+_LC_REQ_DYLD = 0x80000000
+_LC_DYLIB_KINDS = {
+    0xC: "LC_LOAD_DYLIB",
+    0xD: "LC_ID_DYLIB",
+    0x18 | _LC_REQ_DYLD: "LC_LOAD_WEAK_DYLIB",
+    0x1F | _LC_REQ_DYLD: "LC_REEXPORT_DYLIB",
+    0x20: "LC_LAZY_LOAD_DYLIB",
+}
+_MACHO_PLATFORM = {1: "MACOS", 2: "IOS", 3: "TVOS", 4: "WATCHOS", 5: "BRIDGEOS", 6: "MACCATALYST"}
+_MACHO_TOOL = {1: "CLANG", 2: "SWIFT", 3: "LD"}
+
+
+def _macho_ver(v: int) -> str:
+    # packed X.Y.Z (16.8.8 bits) — the reference joins lief's
+    # (major, minor, patch) tuple with '.' the same way
+    return f"{v >> 16}.{(v >> 8) & 0xFF}.{v & 0xFF}"
+
+
+def _lc_str(data: bytes, start: int, size: int, off: int) -> Optional[str]:
+    """C string at a command-relative lc_str offset, bounded by cmdsize."""
+    if off < 8 or off >= size:
+        return None
+    raw = data[start + off : start + size]
+    return raw.split(b"\x00", 1)[0].decode("utf-8", errors="replace")
+
+
+def macho_load_commands(data: bytes, max_cmds: int = 2048) -> Optional[dict]:
+    """E6 load-command walk (`infoextractors/mach_o_file.py:74-172`'s
+    lief-derived fields, re-derived as a bounded pure-Python struct walk
+    over the public mach-o/loader.h layout): LC_LOAD_DYLIB family ->
+    dependencies (name + current/compatibility versions), LC_ID_DYLIB,
+    LC_RPATH -> rpaths, LC_LOAD_DYLINKER -> dyld.linker,
+    LC_BUILD_VERSION -> build platform/minOS/sdk/tools,
+    LC_CODE_SIGNATURE -> signature offset/size, LC_ENCRYPTION_INFO[_64]
+    -> encryption. Every offset is validated against cmdsize/len(data);
+    the walk is capped at ``max_cmds`` commands."""
+    hdr = macho_header(data)
+    if hdr is None:
+        return None
+    order = hdr["endianness"]
+    off = 32 if hdr["is64"] else 28
+    ncmds = min(int(hdr.get("ncmds") or 0), max_cmds)
+
+    def u32(pos: int) -> int:
+        return int.from_bytes(data[pos : pos + 4], order)
+
+    out: dict = {"dependencies": [], "rpaths": [], "dyld": {}, "build": {},
+                 "signature": {}, "encryption": {}}
+    for _ in range(ncmds):
+        if off + 8 > len(data):
+            break
+        cmd, size = u32(off), u32(off + 4)
+        if size < 8 or off + size > len(data):
+            break
+        if cmd in _LC_DYLIB_KINDS and size >= 24:
+            entry = {
+                "name": _lc_str(data, off, size, u32(off + 8)),
+                "currentVersion": _macho_ver(u32(off + 16)),
+                "compatibilityVersion": _macho_ver(u32(off + 20)),
+            }
+            if cmd == 0xD:
+                out["id_dylib"] = entry
+            else:
+                out["dependencies"].append(entry)
+        elif cmd == (0x1C | _LC_REQ_DYLD) and size >= 12:
+            p = _lc_str(data, off, size, u32(off + 8))
+            if p is not None:
+                out["rpaths"].append(p)
+        elif cmd == 0xE and size >= 12:
+            out["dyld"]["linker"] = _lc_str(data, off, size, u32(off + 8))
+        elif cmd == 0x32 and size >= 24:
+            plat, ntools = u32(off + 8), u32(off + 20)
+            tools = []
+            for t in range(min(ntools, 64)):
+                tpos = off + 24 + 8 * t
+                if tpos + 8 > off + size:
+                    break
+                tools.append(
+                    {"tool": _MACHO_TOOL.get(u32(tpos), u32(tpos)),
+                     "version": _macho_ver(u32(tpos + 4))}
+                )
+            out["build"] = {
+                "platform": _MACHO_PLATFORM.get(plat, plat),
+                "platformValue": plat,
+                "minOSVersion": _macho_ver(u32(off + 12)),
+                "sdkVersion": _macho_ver(u32(off + 16)),
+                "tools": tools,
+            }
+        elif cmd == 0x1D and size >= 16:
+            out["signature"] = {"offset": u32(off + 8), "size": u32(off + 12),
+                                "type": "Default"}
+        elif cmd in (0x21, 0x2C) and size >= 20:
+            out["encryption"] = {"offset": u32(off + 8), "size": u32(off + 12),
+                                 "system": u32(off + 16)}
+        off += size
+    return out
+
+
+def macho_fat_slices(data: bytes, max_arches: int = 16) -> Optional[list]:
+    """Universal (fat) binary slice extraction: big-endian fat header,
+    20-byte (fat_arch) or 32-byte (fat_arch_64) entries. Returns the
+    per-arch byte slices, or None when not a fat file. ``max_arches``
+    also guards against Java class files, which share the 0xCAFEBABE
+    magic but put the class-format version where nfat_arch lives."""
+    if len(data or b"") < 8:
+        return None
+    magic = data[:4]
+    if magic == b"\xca\xfe\xba\xbe":
+        entry, fat64 = 20, False
+    elif magic == b"\xca\xfe\xba\xbf":
+        entry, fat64 = 32, True
+    else:
+        return None
+    n = int.from_bytes(data[4:8], "big")
+    if n == 0 or n > max_arches:
+        return None
+    slices = []
+    for i in range(n):
+        pos = 8 + i * entry
+        if pos + entry > len(data):
+            break
+        if fat64:
+            offset = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            size = int.from_bytes(data[pos + 16 : pos + 24], "big")
+        else:
+            offset = int.from_bytes(data[pos + 8 : pos + 12], "big")
+            size = int.from_bytes(data[pos + 12 : pos + 16], "big")
+        if offset + size <= len(data) and size >= 28:
+            slices.append(data[offset : offset + size])
+    return slices or None
+
+
+def macho_info(data: bytes) -> Optional[dict]:
+    """The full E6 extractor analogue of `extract_mach_o_info`
+    (`mach_o_file.py:44-176`): fat dispatch + per-binary header and
+    load-command walk -> {"OS": "MacOS", "numBinaries", "binaries"}."""
+    slices = macho_fat_slices(data)
+    if slices is None:
+        if macho_header(data) is None:
+            return None
+        slices = [data]
+    binaries = []
+    for s in slices:
+        hdr = macho_header(s)
+        if hdr is None:
+            continue
+        det = {"header": hdr}
+        det.update(macho_load_commands(s) or {})
+        binaries.append(det)
+    if not binaries:
+        return None
+    return {"OS": "MacOS", "numBinaries": len(binaries), "binaries": binaries}
+
+
+# U-Boot legacy image header enums (public u-boot include/image.h
+# IH_OS_* / IH_ARCH_* / IH_TYPE_* / IH_COMP_* values; same tables the
+# reference carries in `uimage_file.py:19-167`): id -> (NAME, description)
+_UIMAGE_OS = {
+    0: ("INVALID", "Invalid OS"), 1: ("OPENBSD", "OpenBSD"),
+    2: ("NETBSD", "NetBSD"), 3: ("FREEBSD", "FreeBSD"), 4: ("4_4BSD", "4_4BSD"),
+    5: ("LINUX", "Linux"), 6: ("SVR4", "SVR4"), 7: ("ESIX", "Esix"),
+    8: ("SOLARIS", "Solaris"), 9: ("IRIX", "Irix"), 10: ("SCO", "SCO"),
+    11: ("DELL", "Dell"), 12: ("NCR", "NCR"), 13: ("LYNXOS", "LynxOS"),
+    14: ("VXWORKS", "VxWorks"), 15: ("PSOS", "pSOS"), 16: ("QNX", "QNX"),
+    17: ("U_BOOT", "U-Boot"), 18: ("RTEMS", "RTEMS"), 19: ("ARTOS", "ARTOS"),
+    20: ("UNITY", "Unity OS"), 21: ("INTEGRITY", "INTEGRITY"),
+    22: ("OSE", "Enea OSE"), 23: ("PLAN9", "Plan 9"),
+    24: ("OPENRTOS", "OpenRTOS"),
+    25: ("ARM_TRUSTED_FIRMWARE", "ARM Trusted Firmware"),
+    26: ("TEE", "Trusted Execution Environment"),
+    27: ("OPENSBI", "RISC-V OpenSBI"), 28: ("EFI", "EFI Firmware"),
+    29: ("ELF", "ELF Image"),
+}
+
+_UIMAGE_ARCH = {
+    0: ("INVALID", "Invalid ARCH"), 1: ("ALPHA", "Alpha"), 2: ("ARM", "ARM"),
+    3: ("I386", "Intel x86"), 4: ("IA64", "IA64"), 5: ("MIPS", "MIPS"),
+    6: ("MIPS64", "MIPS 64 Bit"), 7: ("PPC", "PowerPC"), 8: ("S390", "IBM S390"),
+    9: ("SH", "SuperH"), 10: ("SPARC", "SPARC"), 11: ("SPARC64", "SPARC 64 Bit"),
+    12: ("M68K", "M68K"), 13: ("NIOS", "Nios-32"), 14: ("MICROBLAZE", "MicroBlaze"),
+    15: ("NIOS2", "NIOS II"), 16: ("BLACKFIN", "Blackfin"), 17: ("AVR32", "AVR32"),
+    18: ("ST200", "STMicroelectronics ST200"), 19: ("SANDBOX", "Sandbox"),
+    20: ("NDS32", "NDS32"), 21: ("OPENRISC", "OpenRISC 1000"),
+    22: ("ARM64", "AArch64"), 23: ("ARC", "ARC"), 24: ("X86_64", "AMD x86_64"),
+    25: ("XTENSA", "Xtensa"), 26: ("RISCV", "RISC-V"),
+}
+
+_UIMAGE_TYPE = {
+    0: ("INVALID", "Invalid Image"), 1: ("STANDALONE", "Standalone Program"),
+    2: ("KERNEL", "Kernel Image"), 3: ("RAMDISK", "RAMDisk Image"),
+    4: ("MULTI", "Multi-File Image"), 5: ("FIRMWARE", "Firmware"),
+    6: ("SCRIPT", "Script"), 7: ("FILESYSTEM", "Filesystem Image"),
+    8: ("FLATDT", "Flat Device Tree"), 9: ("KWBIMAGE", "Kirkwood Boot Image"),
+    10: ("IMXIMAGE", "Freescale i.MX Boot Image"),
+    11: ("UBLIMAGE", "Davinci UBL Image"),
+    12: ("OMAPIMAGE", "TI OMAP SPL with GP CH"),
+    13: ("AISIMAGE", "Davinci AIS Image"),
+    14: ("KERNEL_NOLOAD", "Kernel Image (no loading done)"),
+    15: ("PBLIMAGE", "Freescale PBL Boot Image"),
+    16: ("MXSIMAGE", "Freescale MXS Boot Image"),
+    17: ("GPIMAGE", "TI Keystone SPL Image"),
+    18: ("ATMELIMAGE", "ATMEL ROM-Boot Image"),
+    19: ("SOCFPGAIMAGE", "Altera SOCFPGA CV/AV preloader"),
+    20: ("X86_SETUP", "x86 setup.bin"),
+    21: ("LPC32XXIMAGE", "LPC32XX Boot Image"),
+    22: ("LOADABLE", "A list of typeless images"),
+    23: ("RKIMAGE", "Rockchip Boot Image"),
+    24: ("RKSD", "Rockchip SD Boot Image"),
+    25: ("RKSPI", "Rockchip SPI Boot Image"),
+    26: ("ZYNQIMAGE", "Xilinx Zynq Boot Image"),
+    27: ("ZYNQMPIMAGE", "Xilinx ZynqMP Boot Image"),
+    28: ("ZYNQMPBIF", "Xilinx ZynqMP Boot Image (bif)"),
+    29: ("FPGA", "FPGA Image"), 30: ("VYBRIDIMAGE", "Vybrid Boot Image"),
+    31: ("TEE", "Trusted Execution Environment Image"),
+    32: ("FIRMWARE_IVT", "Firmware with HABv4 IVT"),
+    33: ("PMMC", "TI Power Management Micro-Controller Firmware"),
+    34: ("STM32IMAGE", "STMicroelectronics STM32 Image"),
+    35: ("SOCFPGAIMAGE_V1", "Altera SOCFPGA A10 preloader"),
+    36: ("MTKIMAGE", "MediaTek BootROM loadable Image"),
+    37: ("IMX8MIMAGE", "NXP i.MX8M Boot Image"),
+    38: ("IMX8IMAGE", "NXP i.MX8 Boot Image"),
+    39: ("COPRO", "Coprocessor Image"),
+    40: ("SUNXI_EGON", "Allwinner eGON Boot Image"),
+    41: ("SUNXI_TOC0", "Allwinner TOC0 Boot Image"),
+    42: ("FDT_LEGACY", "Legacy Image with Flat Device Tree"),
+    43: ("RENESAS_SPKG", "Renesas SPKG Image"),
+    44: ("STARFIVE_SPL", "StarFive SPL Image"),
+    45: ("TFA_BL31", "TFA BL31 Image"),
+}
+
+_UIMAGE_COMP = {0: "None", 1: "gzip", 2: "bzip2", 3: "lzma", 4: "lzo",
+                5: "lz4", 6: "zstd"}
+
+
 def uimage_header(data: bytes) -> Optional[dict]:
-    """Legacy U-Boot image header decode (`uimage_file.py:168-205`):
+    """Legacy U-Boot image header decode (`uimage_file.py:168-218`):
     big-endian magic/crc/timestamp/size/load/ep/crc + os/arch/type/comp
-    bytes + 32-byte name. Returns the numeric fields; the enum name
-    tables are the reference's — we keep raw ids (typed ints) instead
-    of duplicating 100-entry string tables."""
+    bytes + 32-byte name. Output shape matches the reference's
+    `_parse_uimage_header`: hex strings for crc/addr fields, enum NAMES
+    with *_description fields (unknown ids fall back to the stringified
+    id, like the reference)."""
     import struct
 
     if len(data or b"") < 64:
@@ -368,15 +796,18 @@ def uimage_header(data: bytes) -> Optional[dict]:
     if magic != 0x27051956:
         return None
     return {
-        "header_crc": header_crc,
+        "header_crc": hex(header_crc),
         "timestamp": timestamp,
         "data_size": data_size,
-        "load_addr": load_addr,
-        "entry_point": entry_point,
-        "data_crc": data_crc,
-        "os": os_type,
-        "arch": arch,
-        "image_type": image_type,
-        "compression_type": compression_type,
+        "load_addr": hex(load_addr),
+        "entry_point": hex(entry_point),
+        "data_crc": hex(data_crc),
+        "os": _UIMAGE_OS.get(os_type, (str(os_type),))[0],
+        "os_description": _UIMAGE_OS.get(os_type, ("", "Unknown OS"))[1],
+        "arch": _UIMAGE_ARCH.get(arch, (str(arch),))[0],
+        "arch_description": _UIMAGE_ARCH.get(arch, ("", "Unknown Architecture"))[1],
+        "image_type": _UIMAGE_TYPE.get(image_type, (str(image_type),))[0],
+        "image_type_description": _UIMAGE_TYPE.get(image_type, ("", "Unknown Image"))[1],
+        "compression_type": _UIMAGE_COMP.get(compression_type, str(compression_type)),
         "name": data[32:64].rstrip(b"\x00").decode("ascii", errors="replace"),
     }

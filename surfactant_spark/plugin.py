@@ -136,7 +136,13 @@ def default_registry() -> HookRegistry:
     """The built-in hook set: magic-byte classifier + html/mention
     extractor + firmware/installer header extractors (E6-E8) + the four
     reference link families."""
-    from .functions.magic import macho_header, ole_header, uimage_header
+    from .functions.magic import (
+        macho_info,
+        ole_field_hints,
+        ole_header,
+        ole_summary_info,
+        uimage_header,
+    )
     from .functions.textlib import classify_doctype, detect_mentions, extract_title
     from .operators.link import link_dotnet, link_elf, link_java, link_pe
 
@@ -168,13 +174,26 @@ def default_registry() -> HookRegistry:
 
     @reg.extractor("macho")
     def macho_meta(doctype, html, text):
-        info = macho_header(html)
+        # full fat-aware decode: header + load commands (deps/rpaths/
+        # dyld/build/signature), `mach_o_file.py:44-176`
+        info = macho_info(html)
         return {"macho": info} if info else None
 
     @reg.extractor("ole")
     def ole_meta(doctype, html, text):
         info = ole_header(html)
-        return {"ole": info} if info else None
+        if not info:
+            return None
+        # E7: SummaryInformation properties + the reference's field
+        # hints (subject->name etc. at conf 80, `ole_file.py:29-36`)
+        summary = ole_summary_info(html)
+        if summary:
+            info = dict(info, **summary)
+        out = {"ole": info}
+        hints = ole_field_hints(summary)
+        if hints:
+            out["field_hints"] = [list(h) for h in hints]
+        return out
 
     reg.linker("elf")(link_elf)
     reg.linker("pe")(link_pe)

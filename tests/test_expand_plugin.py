@@ -158,7 +158,13 @@ def test_builtin_header_extract_hooks(spark):
     reg = default_registry()
     ext = {r.url: json.loads(r.metadata_json) for r in reg.run_extract(pages).collect()}
     assert ext["img"]["uimage"]["name"] == "krn" and ext["img"]["uimage"]["data_size"] == 4096
-    assert ext["dyl"]["macho"]["cputype"] == "x86_64" and ext["dyl"]["macho"]["filetype"] == "dylib"
+    assert ext["img"]["uimage"]["os"] == "LINUX"  # enum names, not ids
+    # macho hook now carries the full fat-aware decode (E6 walk)
+    mach = ext["dyl"]["macho"]
+    assert mach["OS"] == "MacOS" and mach["numBinaries"] == 1
+    hdr = mach["binaries"][0]["header"]
+    assert hdr["cputype"] == "x86_64" and hdr["filetype"] == "dylib"
+    assert mach["binaries"][0]["dependencies"] == []
     assert ext["msi"]["ole"]["clsid_type"] == "MSI"
 
 
