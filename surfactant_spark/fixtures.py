@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r2f"
+FIXTURE_VERSION = "r3f"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -208,6 +208,53 @@ def synth_merge_tables() -> Tuple[List[tuple], List[tuple], List[tuple], List[tu
     return base, incoming, edges_raw, audit
 
 
+def uuid36(i: int) -> str:
+    """Deterministic 36-char pseudo-UUID (8-4-4-4-12 layout) — the
+    containerPath rewrite keys on a fixed 36-char prefix
+    (`_sbom.py:219-230`), so fixture uuids must be real-width."""
+    return f"{i:08d}-0000-4000-8000-{i:012d}"
+
+
+def synth_cp_tables() -> Tuple[List[tuple], List[tuple], List[tuple]]:
+    """(software, map, edges) for the F9 containerPath-rewrite and S9
+    SPDX files-table oracle queries. Variety by construction:
+
+    - containerPath: single-path rows, two-path rows, a bare-uuid path
+      (no '/', dropped by the SPDX file split), empty arrays and NULL
+      arrays (the no-containerPath fileName branch);
+    - NULL name/version/sha1 to exercise the id sanitize/coalesce path;
+    - rewrite map covers a strict subset of container uuids so both
+      rewritten and untouched prefixes appear.
+    """
+    software: List[tuple] = []
+    for i in range(60):
+        name = f"pkg{i}" if i % 3 else None
+        version = f"1.{i}" if i % 4 else None
+        sha256 = f"cafe{i:04d}" + "0" * 56
+        sha1 = None if i % 5 == 0 else f"beef{i:04d}" + "0" * 32
+        md5 = f"feed{i:04d}" + "0" * 24
+        file_names = [f"file{i}.so"] + ([f"alt{i}.so"] if i % 7 == 0 else [])
+        if i % 5 == 4:
+            cpaths = None if i % 10 == 9 else []
+        elif i % 6 == 0:
+            cpaths = [
+                uuid36((i * 7) % 60) + f"/usr/lib/file{i}.so",
+                uuid36((i * 11) % 60) + f"/opt/file{i}.so",
+            ]
+        else:
+            cpaths = [uuid36((i * 7) % 60) + f"/usr/lib/file{i}.so"]
+        if cpaths is not None and i % 13 == 1:
+            cpaths = cpaths + [uuid36(i)]  # bare uuid, no '/'
+        software.append((uuid36(i), name, version, sha1, sha256, md5, file_names, cpaths))
+    cp_map = [(uuid36(j), uuid36(1000 + j)) for j in range(0, 60, 4)]
+    edges: List[tuple] = []
+    for i in range(0, 60, 6):
+        edges.append((uuid36(i), "Contains", uuid36((i + 1) % 60)))
+    for i in range(0, 60, 9):
+        edges.append((uuid36(i), "Uses", uuid36((i + 2) % 60)))
+    return software, cp_map, edges
+
+
 def synth_magic_pages() -> List[Tuple[str, bytes, str]]:
     """(url, bytes, expected_type) covering every branch of the magic
     classifier (`id_magic.py:56-214`, `id_hex.py:71-96`) with real
@@ -371,7 +418,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "elf_nodes", "elf_probes", "pe_nodes", "pe_probes",
         "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
-        "audit_rows",
+        "audit_rows", "cp_software", "cp_map", "cp_edges",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -454,6 +501,32 @@ def stage_link_fixtures() -> Dict[str, str]:
             "sha256": [r[0] for r in audit],
             "size": [r[1] for r in audit],
             "md5": [r[2] for r in audit],
+        },
+    )
+    cps, cpm, cpe = synth_cp_tables()
+    _write_parquet(
+        paths["cp_software"],
+        {
+            "uuid": [r[0] for r in cps],
+            "name": [r[1] for r in cps],
+            "version": [r[2] for r in cps],
+            "sha1": [r[3] for r in cps],
+            "sha256": [r[4] for r in cps],
+            "md5": [r[5] for r in cps],
+            "fileName": [r[6] for r in cps],
+            "containerPath": [r[7] for r in cps],
+        },
+    )
+    _write_parquet(
+        paths["cp_map"],
+        {"old_uuid": [r[0] for r in cpm], "new_uuid": [r[1] for r in cpm]},
+    )
+    _write_parquet(
+        paths["cp_edges"],
+        {
+            "subj_uuid": [r[0] for r in cpe],
+            "pred": [r[1] for r in cpe],
+            "obj_uuid": [r[2] for r in cpe],
         },
     )
     magic = synth_magic_pages()

@@ -1360,6 +1360,210 @@ FROM documents d JOIN pat p ON regexp_matches(d.text, p.regex)
 
 
 # ---------------------------------------------------------------------------
+# F5/J8 — redirect-chain resolution + alias attachment (the web analogue
+# of symlink resolution, `cmd/generate.py:524-629`). Redirects are
+# DERIVED deterministically from the documents table (doc_id % 10 >= 7
+# redirects to the previous doc's url) so both engines compute the same
+# map with no staged fixture; chains run up to 3 hops (9->8->7->6),
+# exercising the bounded join loop, not just the first hop.
+# ---------------------------------------------------------------------------
+def _derived_redirects(docs: DataFrame) -> DataFrame:
+    a = docs.where(F.col("doc_id") % 10 >= 7).select(
+        F.col("doc_id").alias("a_id"),
+        F.concat("source", F.lit("/"), F.col("doc_id").cast("string")).alias("src_url"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.concat("source", F.lit("/"), F.col("doc_id").cast("string")).alias("dst_url"),
+    )
+    return a.join(b, F.col("a_id") == F.col("b_id") + 1).select("src_url", "dst_url")
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — symlink/redirect chain resolution with loop protection
+    (`cmd/generate.py:593-629`): bounded self-join fixpoint, no driver
+    iteration over rows."""
+    from .operators.expand import resolve_redirects
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat("source", F.lit("/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    resolved = resolve_redirects(pages, _derived_redirects(docs), max_hops=5)
+    return resolved.where(F.col("url") != F.col("final_url"))
+
+
+def _redirect_cte() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, 5):  # resolve_redirects runs max_hops-1 = 4 extra hops
+        steps.append(
+            f"r{k} AS (SELECT r.url, CASE WHEN m.nxt IS NOT NULL AND m.nxt <> r.url "
+            f"THEN m.nxt ELSE r.final_url END AS final_url "
+            f"FROM {prev} r LEFT JOIN m ON m.url = r.final_url)"
+        )
+        prev = f"r{k}"
+    return (
+        "m AS (SELECT a.source || '/' || CAST(a.doc_id AS VARCHAR) AS url, "
+        "b.source || '/' || CAST(b.doc_id AS VARCHAR) AS nxt "
+        "FROM documents a JOIN documents b ON a.doc_id = b.doc_id + 1 "
+        "WHERE a.doc_id % 10 >= 7),\n"
+        "base AS (SELECT DISTINCT source || '/' || CAST(doc_id AS VARCHAR) AS url "
+        "FROM documents),\n"
+        "r0 AS (SELECT b.url, COALESCE(m.nxt, b.url) AS final_url "
+        "FROM base b LEFT JOIN m ON m.url = b.url),\n" + ",\n".join(steps)
+    )
+
+
+def _sql_redirect_resolve() -> str:
+    return f"WITH {_redirect_cte()}\nSELECT url, final_url FROM r4 WHERE url <> final_url"
+
+
+def q_alias_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — attach redirect-source urls as aliases of the node their
+    chain resolves to (`cmd/generate.py:524-579` symlink alias
+    attachment), through the real attach_url_aliases operator."""
+    from .operators.expand import attach_url_aliases, resolve_redirects
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat("source", F.lit("/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    resolved = resolve_redirects(pages, _derived_redirects(docs), max_hops=5)
+    url_map = pages.select("url", F.col("url").alias("canon_uuid"))
+    nodes = pages.select(
+        F.col("url").alias("canon_uuid"), F.array("url").alias("aliases")
+    )
+    out = attach_url_aliases(nodes, resolved, url_map)
+    return out.select(
+        "canon_uuid",
+        F.array_join("aliases", ",").alias("aliases_csv"),
+        F.size("aliases").alias("n_aliases"),
+    )
+
+
+def _sql_alias_attach() -> str:
+    return f"""
+WITH {_redirect_cte()},
+alias_rows AS (
+  SELECT final_url AS canon_uuid, list_sort(list(DISTINCT url)) AS extra
+  FROM r4 WHERE url <> final_url GROUP BY final_url)
+SELECT b.url AS canon_uuid,
+       CASE WHEN a.extra IS NULL THEN b.url
+            ELSE array_to_string(list_sort(list_append(a.extra, b.url)), ',') END AS aliases_csv,
+       CASE WHEN a.extra IS NULL THEN 1 ELSE len(a.extra) + 1 END AS n_aliases
+FROM base b LEFT JOIN alias_rows a ON a.canon_uuid = b.url
+"""
+
+
+# ---------------------------------------------------------------------------
+# F9 — containerPath uuid-prefix rewrite over the staged fixture
+# (`_sbom.py:219-230`); the oracle replays the explode + broadcast
+# prefix join + reassemble distributively (no whole-map literal).
+# ---------------------------------------------------------------------------
+def q_install_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.canon import rewrite_container_paths
+
+    p = _fixture_paths()
+    sw = spark.read.parquet(p["cp_software"])
+    m = spark.read.parquet(p["cp_map"])
+    out = rewrite_container_paths(sw, m)
+    return out.select("uuid", F.explode("containerPath").alias("path"))
+
+
+def _sql_install_rewrite(sw_path: str, map_path: str) -> str:
+    return f"""
+WITH sw AS (SELECT * FROM read_parquet('{sw_path}')),
+m AS (SELECT * FROM read_parquet('{map_path}')),
+ex AS (SELECT uuid, unnest(containerPath) AS p FROM sw),
+rw AS (SELECT ex.uuid,
+              COALESCE(m.new_uuid, substr(ex.p, 1, 36)) || substr(ex.p, 37) AS path
+       FROM ex LEFT JOIN m ON substr(ex.p, 1, 36) = m.old_uuid)
+SELECT DISTINCT uuid, path FROM rw
+"""
+
+
+# ---------------------------------------------------------------------------
+# S9 — the SPDX files table (Packages-vs-Files split, per-containerPath
+# fan-out, './'-relative paths, deterministic sha256-suffixed ids) from
+# the high-fidelity exporter, replayed in SQL end to end.
+# ---------------------------------------------------------------------------
+def q_spdx_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.sbom_export import spdx_export
+
+    p = _fixture_paths()
+    sw = spark.read.parquet(p["cp_software"])
+    edges = spark.read.parquet(p["cp_edges"])
+    _packages, files, _rels = spdx_export(sw, edges)
+    return files
+
+
+def _sql_spdx_files(sw_path: str, edges_path: str) -> str:
+    san = r"regexp_replace({}, '[^A-Za-z0-9.\-]', '', 'g')"
+    return f"""
+WITH sw AS (SELECT * FROM read_parquet('{sw_path}')),
+edges AS (SELECT * FROM read_parquet('{edges_path}')),
+containers AS (SELECT DISTINCT subj_uuid AS uuid FROM edges WHERE pred = 'Contains'),
+is_file AS (SELECT sw.* FROM sw ANTI JOIN containers c ON sw.uuid = c.uuid),
+with_cpath AS (
+  SELECT uuid, name, version, sha1, sha256, md5,
+         string_split(cp, '/')[1] AS parent_uuid,
+         './' || array_to_string(string_split(cp, '/')[2:], '/') AS file_path
+  FROM (SELECT *, unnest(containerPath) AS cp
+        FROM is_file WHERE len(containerPath) > 0)
+  WHERE len(string_split(cp, '/')) > 1
+),
+no_cpath AS (
+  SELECT uuid, name, version, sha1, sha256, md5,
+         CAST(NULL AS VARCHAR) AS parent_uuid, './' || fn AS file_path
+  FROM (SELECT *, unnest(fileName) AS fn
+        FROM is_file WHERE len(COALESCE(containerPath, [])) = 0)
+),
+allf AS (SELECT * FROM with_cpath UNION ALL SELECT * FROM no_cpath)
+SELECT 'SPDXRef-' || concat_ws('-',
+         {san.format("string_split(file_path, '/')[-1]")},
+         {san.format("COALESCE(version, '')")},
+         {san.format("COALESCE(name, '')")},
+         substr(sha256(uuid || chr(31) || COALESCE(parent_uuid, '') || chr(31) || file_path), 1, 8)
+       ) AS spdx_id,
+       uuid, parent_uuid, file_path, sha1, sha256, md5
+FROM allf
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — lineage metrics with an engine-portable partition key. The
+# pipeline's physical lineage uses spark_partition_id (not
+# SQL-replayable); this query pins the same metrics math (rows,
+# distinct langs, payload bytes, id range per partition) over an
+# explicit md5-derived bucket both engines compute identically.
+# ---------------------------------------------------------------------------
+def q_lineage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat("source", F.lit("/"), F.col("doc_id").cast("string"))
+    bucket = (F.ascii(F.substring(F.md5(url.cast("binary")), 1, 1)) % 8).alias("bucket")
+    return docs.groupBy(bucket).agg(
+        F.count("*").alias("input_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_LINEAGE_BUCKETS = """
+SELECT ascii(substr(md5(source || '/' || CAST(doc_id AS VARCHAR)), 1, 1)) % 8 AS bucket,
+       COUNT(*) AS input_rows,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -1402,6 +1606,11 @@ QUERIES = {
     "hash_audit": q_hash_audit,
     "single_doc": q_single_doc,
     "windowed_events": q_windowed_events,
+    "redirect_resolve": q_redirect_resolve,
+    "alias_attach": q_alias_attach,
+    "install_rewrite": q_install_rewrite,
+    "spdx_files": q_spdx_files,
+    "lineage_buckets": q_lineage_buckets,
 }
 
 
@@ -1456,4 +1665,13 @@ ORACLE_SQL = {
     "hash_audit": _sql_hash_audit(_fixture_file("audit_rows")),
     "single_doc": SQL_SINGLE_DOC,
     "windowed_events": SQL_WINDOWED_EVENTS,
+    "redirect_resolve": _sql_redirect_resolve(),
+    "alias_attach": _sql_alias_attach(),
+    "install_rewrite": _sql_install_rewrite(
+        _fixture_file("cp_software"), _fixture_file("cp_map")
+    ),
+    "spdx_files": _sql_spdx_files(
+        _fixture_file("cp_software"), _fixture_file("cp_edges")
+    ),
+    "lineage_buckets": SQL_LINEAGE_BUCKETS,
 }
