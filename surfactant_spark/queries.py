@@ -1564,6 +1564,81 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# F7/F8 — `cli find` conjunctive predicates (array-contains-substring +
+# path-prefix, `cmd/cli.py:74-120`) through the real find_nodes
+# operator; both predicates are higher-order array filters that stay
+# JVM-side (no UDF).
+# ---------------------------------------------------------------------------
+def q_cli_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expand import find_nodes
+
+    p = _fixture_paths()
+    nodes = spark.read.parquet(p["elf_nodes"]).select(
+        "uuid",
+        F.col("fileName").alias("names"),
+        F.col("installPath").alias("aliases"),
+    )
+    out = find_nodes(nodes, name_contains="1", alias_prefix="/opt")
+    return out.select(
+        "uuid",
+        F.array_join("names", ",").alias("names_csv"),
+        F.array_join("aliases", ",").alias("aliases_csv"),
+    )
+
+
+def _sql_cli_find(nodes_path: str) -> str:
+    return f"""
+SELECT uuid,
+       array_to_string(fileName, ',') AS names_csv,
+       array_to_string(installPath, ',') AS aliases_csv
+FROM read_parquet('{nodes_path}')
+WHERE len(list_filter(fileName, x -> contains(x, '1'))) > 0
+  AND len(list_filter(installPath, x -> starts_with(x, '/opt'))) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# G2/G3 — distributed root finding with cycle handling over the fixture
+# graph (`cmd/merge.py:157-202`): true roots via left_anti against edge
+# children; rootless components elect their min-uuid node; isolated
+# nodes are roots. The oracle replays it with a recursive-CTE
+# transitive closure for the component labels.
+# ---------------------------------------------------------------------------
+def q_graph_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.canon import find_roots_with_cycles
+
+    p = _fixture_paths()
+    nodes = spark.read.parquet(p["cp_software"]).select("uuid")
+    edges = spark.read.parquet(p["cp_edges"])
+    return find_roots_with_cycles(nodes, edges).toDF("uuid")
+
+
+def _sql_graph_roots(sw_path: str, edges_path: str) -> str:
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT uuid FROM read_parquet('{sw_path}')),
+edges AS (SELECT * FROM read_parquet('{edges_path}')),
+children AS (SELECT DISTINCT obj_uuid AS uuid FROM edges),
+troots AS (SELECT n.uuid FROM nodes n ANTI JOIN children c ON n.uuid = c.uuid),
+und AS (SELECT subj_uuid AS a, obj_uuid AS b FROM edges
+        UNION SELECT obj_uuid, subj_uuid FROM edges),
+reach(id, lab) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.lab
+),
+comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+comp_with_root AS (SELECT DISTINCT c.component FROM comp c JOIN troots r ON c.id = r.uuid),
+rootless AS (
+  SELECT MIN(id) AS uuid FROM comp
+  WHERE component NOT IN (SELECT component FROM comp_with_root)
+  GROUP BY component)
+SELECT DISTINCT uuid FROM (
+  SELECT uuid FROM troots UNION ALL SELECT uuid FROM rootless)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -1611,6 +1686,8 @@ QUERIES = {
     "install_rewrite": q_install_rewrite,
     "spdx_files": q_spdx_files,
     "lineage_buckets": q_lineage_buckets,
+    "cli_find": q_cli_find,
+    "graph_roots": q_graph_roots,
 }
 
 
@@ -1674,4 +1751,8 @@ ORACLE_SQL = {
         _fixture_file("cp_software"), _fixture_file("cp_edges")
     ),
     "lineage_buckets": SQL_LINEAGE_BUCKETS,
+    "cli_find": _sql_cli_find(_fixture_file("elf_nodes")),
+    "graph_roots": _sql_graph_roots(
+        _fixture_file("cp_software"), _fixture_file("cp_edges")
+    ),
 }
