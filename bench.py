@@ -97,6 +97,15 @@ def _pipeline_throughput(spark, n_pages: int):
         ).write.parquet(src)
         pages = spark.read.parquet(src)
         alias = alias_dict_to_spark(spark, alias_pdf)
+        # untimed warm run (separate workdir, kept alive until after
+        # the timed run — freeing tmpfs mid-bench hands pages back to
+        # the host): the first pipeline execution faults Python-worker
+        # Arrow buffers and JVM off-heap pages on this lazily-backed
+        # VM, a one-time executor-lifetime cost on a real cluster. The
+        # timed run below measures steady-state pipeline throughput.
+        run_pipeline(
+            spark, pages, alias, os.path.join(wd, "work_warm"), resume=False
+        ).edges.count()
         t0 = time.time()
         res = run_pipeline(spark, pages, alias, os.path.join(wd, "work"), resume=False)
         n_triples = res.edges.count()
@@ -107,6 +116,22 @@ def _pipeline_throughput(spark, n_pages: int):
 def default_mode():
     from surfactant_spark.session import get_spark
 
+    # same memory mitigations as scaling_mode (see BENCH/BASELINE.md):
+    # a fixed pre-touched heap and ramdisk shuffle dirs. On a freshly
+    # booted VM of this sandbox, guest pages are lazily host-backed and
+    # first touch costs 1-9 s/GB; without -Xms+AlwaysPreTouch the JVM
+    # re-commits heap regions across jobs and the fault cost lands in
+    # the middle of the measured windows (observed: the same pipeline
+    # 6.7 s steady-state vs 47-87 s when heap faults are in-window).
+    # A long-lived cluster pays these once at executor start.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
+    )
+    os.environ.setdefault(
+        "SPARK_LOCAL_DIRS", tempfile.mkdtemp(prefix="spark-local-", dir=base)
+    )
     spark = get_spark("bench")
     # warm the JVM/Arrow/scan paths so per-query times measure the
     # plan, not session startup (same rationale as scaling_mode._warm:
@@ -117,6 +142,7 @@ def default_mode():
         "sum(length(regexp_extract(cast(id as string), '[0-9]+', 0)))"
     ).collect()
 
+    cpu0 = _cpu_snap()
     times, warm = _run_queries(spark, SF_DIR)
     sf = _sf_from_dir(SF_DIR)
     n_pages = {0.001: 500, 0.01: 2000, 0.1: 8000}.get(sf, 2000)
@@ -135,6 +161,11 @@ def default_mode():
         "pipeline_pages": n_pages,
         "pipeline_triples": n_triples,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # host-health evidence for this exact measurement window: the
+        # sandbox VM shares a host and individual runs can be throttled
+        # externally (see BENCH/BASELINE.md); > ~0.05 means the wall
+        # times above were inflated by the host, not the plans
+        "nonguest_cpu_frac": round(_nonguest_frac(cpu0), 4),
     }
     spark.stop()
     print(json.dumps(out))

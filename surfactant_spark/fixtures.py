@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r3f"
+FIXTURE_VERSION = "r3g"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -529,6 +529,34 @@ def stage_link_fixtures() -> Dict[str, str]:
             "obj_uuid": [r[2] for r in cpe],
         },
     )
+    # CyTRICS-shaped JSON-lines export (S6 reader oracle): nodes +
+    # edges dirs, one JSONL file each, derived from the cp tables
+    os.makedirs(os.path.join(d, "cytrics", "nodes"))
+    os.makedirs(os.path.join(d, "cytrics", "edges"))
+    with open(os.path.join(d, "cytrics", "nodes", "part-0.json"), "w", encoding="utf-8") as f:
+        for i in range(60):
+            f.write(
+                json.dumps(
+                    {
+                        "UUID": uuid36(i),
+                        "sha256": f"cafe{i:04d}" + "0" * 56,
+                        "fileName": [f"file{i}.so"],
+                        "installPath": [f"/usr/lib/file{i}.so"],
+                        "n_sources": 1 + i % 4,
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    with open(os.path.join(d, "cytrics", "edges", "part-0.json"), "w", encoding="utf-8") as f:
+        for subj, pred, obj in cpe:
+            f.write(
+                json.dumps(
+                    {"xUUID": subj, "yUUID": obj, "relationship": pred},
+                    sort_keys=True,
+                )
+                + "\n"
+            )
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -1639,6 +1639,44 @@ SELECT DISTINCT uuid FROM (
 
 
 # ---------------------------------------------------------------------------
+# S6 — CyTRICS JSON-lines reader round-trip
+# (`input_readers/cytrics_reader.py:12-14`): declared-schema JSON scan
+# (never inferred) joined nodes-to-edges; the oracle reads the same
+# JSONL files with DuckDB's typed read_json.
+# ---------------------------------------------------------------------------
+def q_sbom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import fixture_dir, stage_link_fixtures
+    from .sources.readers import read_cytrics_json
+
+    stage_link_fixtures()
+    nodes, edges = read_cytrics_json(spark, os.path.join(fixture_dir(), "cytrics"))
+    n = nodes.select(
+        F.col("canon_uuid").alias("subj_uuid"),
+        "sha256",
+        F.array_join("names", ",").alias("subj_names"),
+        "n_sources",
+    )
+    return edges.join(n, "subj_uuid").select(
+        "subj_uuid", "pred", "obj_uuid", "sha256", "subj_names", "n_sources"
+    )
+
+
+def _sql_sbom_roundtrip(cytrics_dir: str) -> str:
+    return f"""
+WITH nodes AS (
+  SELECT * FROM read_json('{cytrics_dir}/nodes/*.json', format='newline_delimited',
+    columns={{'UUID': 'VARCHAR', 'sha256': 'VARCHAR', 'fileName': 'VARCHAR[]',
+             'installPath': 'VARCHAR[]', 'n_sources': 'BIGINT'}})),
+edges AS (
+  SELECT * FROM read_json('{cytrics_dir}/edges/*.json', format='newline_delimited',
+    columns={{'xUUID': 'VARCHAR', 'yUUID': 'VARCHAR', 'relationship': 'VARCHAR'}}))
+SELECT e.xUUID AS subj_uuid, e.relationship AS pred, e.yUUID AS obj_uuid,
+       n.sha256, array_to_string(n.fileName, ',') AS subj_names, n.n_sources
+FROM edges e JOIN nodes n ON n.UUID = e.xUUID
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -1688,6 +1726,7 @@ QUERIES = {
     "lineage_buckets": q_lineage_buckets,
     "cli_find": q_cli_find,
     "graph_roots": q_graph_roots,
+    "sbom_roundtrip": q_sbom_roundtrip,
 }
 
 
@@ -1754,5 +1793,8 @@ ORACLE_SQL = {
     "cli_find": _sql_cli_find(_fixture_file("elf_nodes")),
     "graph_roots": _sql_graph_roots(
         _fixture_file("cp_software"), _fixture_file("cp_edges")
+    ),
+    "sbom_roundtrip": _sql_sbom_roundtrip(
+        os.path.join(os.path.dirname(_fixture_file("cp_software")), "cytrics")
     ),
 }
