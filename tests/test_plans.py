@@ -143,3 +143,31 @@ def test_container_path_rewrite_no_single_row_map(spark):
     plan = _plan(rewrite_container_paths(sw, m))
     assert "map_from_entries" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round3_queries_plan_shapes(spark):
+    """The round-3 oracle queries must keep distributed-safe plans:
+    no nested-loop/cartesian anywhere; the redirect fixpoint is a chain
+    of hash joins; install_rewrite broadcasts the (dimension-sized)
+    uuid map instead of shuffling the exploded path table."""
+    from surfactant_spark.queries import (
+        q_alias_attach,
+        q_graph_roots,
+        q_install_rewrite,
+        q_redirect_resolve,
+        q_sbom_roundtrip,
+        q_spdx_files,
+    )
+
+    for q in (
+        q_redirect_resolve,
+        q_alias_attach,
+        q_install_rewrite,
+        q_spdx_files,
+        q_sbom_roundtrip,
+        q_graph_roots,
+    ):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+    assert "BroadcastHashJoin" in _plan(q_install_rewrite(spark, SF_DIR))
