@@ -221,19 +221,24 @@ def resolve_redirects(pages: DataFrame, redirects: DataFrame, max_hops: int = 5)
     resolution (`cmd/generate.py:593-629`). Returns
     (url, final_url); urls without redirects map to themselves.
     Chains longer than max_hops (or loops) keep the last resolved hop,
-    like the reference giving up on symlink loops."""
+    like the reference giving up on symlink loops.
+
+    Scale shape: the hop iterations run over the REDIRECT MAP only
+    (map-sized shuffles; redirects are a small fraction of the web),
+    and the full corpus pays exactly one left join at the end —
+    formerly every hop re-shuffled the whole pages table. Results are
+    identical: a page's chain origin is the map entry's src, so the
+    per-hop loop guard sees the same origin either way."""
     m = redirects.select(
         F.col("src_url").alias("url"), F.col("dst_url").alias("final_url")
     )
-    out = pages.select("url").dropDuplicates().join(m, "url", "left").select(
-        "url", F.coalesce("final_url", "url").alias("final_url")
-    )
+    res = m
     for _ in range(max_hops - 1):
         nxt = m.select(
             F.col("url").alias("final_url"), F.col("final_url").alias("_next")
         )
-        out = (
-            out.join(nxt, "final_url", "left")
+        res = (
+            res.join(nxt, "final_url", "left")
             .select(
                 "url",
                 F.when(
@@ -242,7 +247,9 @@ def resolve_redirects(pages: DataFrame, redirects: DataFrame, max_hops: int = 5)
                 ).otherwise(F.col("final_url")).alias("final_url"),
             )
         )
-    return out
+    return pages.select("url").dropDuplicates().join(res, "url", "left").select(
+        "url", F.coalesce("final_url", "url").alias("final_url")
+    )
 
 
 def attach_url_aliases(nodes: DataFrame, resolved: DataFrame, url_map: DataFrame) -> DataFrame:
