@@ -211,7 +211,7 @@ def _warm(spark):
     ).count()
 
 
-def scaling_mode(n_pages: int = 600000, levels=(8, 32)):
+def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
     """Same job, two parallelism levels, same staged input. The corpus
     is synthesized distributed (per-row deterministic) and written to
     parquet ONCE; both levels read the identical files."""
@@ -261,7 +261,7 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32)):
         # each level several times and keep the best wall (steal only
         # ever slows a run down), reporting observed non-guest time
         walls, steals, n_triples, stage_walls = [], [], 0, {}
-        for rep in range(3):
+        for rep in range(reps):
             workdir = os.path.join(shared, f"work{cpus}-{rep}")
             t0 = time.time()
             cpu0 = _cpu_snap()
@@ -292,7 +292,7 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32)):
     import shutil
 
     for cpus in levels:
-        for rep in range(3):
+        for rep in range(reps):
             shutil.rmtree(os.path.join(shared, f"work{cpus}-{rep}"), ignore_errors=True)
     eff = results[hi]["docs_per_sec"] / ((hi // lo) * results[lo]["docs_per_sec"])
     out = {
@@ -307,12 +307,14 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32)):
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        n, levels = 600000, (8, 32)
+        n, levels, reps = 600000, (8, 32), 3
         for a in sys.argv:
             if a.startswith("--pages="):
                 n = int(a.split("=")[1])
             if a.startswith("--levels="):
                 levels = tuple(int(x) for x in a.split("=")[1].split(","))
-        scaling_mode(n, levels)
+            if a.startswith("--reps="):
+                reps = int(a.split("=")[1])
+        scaling_mode(n, levels, reps)
     else:
         default_mode()

@@ -150,6 +150,8 @@ def cmd_find(args) -> int:
         alias_prefix=args.alias_prefix,
         min_sources=args.min_sources,
     )
+    if args.limit:
+        out = out.limit(args.limit)
     for r in out.toJSON().collect():
         print(r)
     return 0
@@ -377,6 +379,13 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--name-contains", default=None)
     f.add_argument("--alias-prefix", default=None)
     f.add_argument("--min-sources", type=int, default=None)
+    f.add_argument(
+        "--limit",
+        type=int,
+        default=1000,
+        help="max rows printed (0 = unlimited); keeps a broad match on a "
+        "web-scale node table from collecting the world to the driver",
+    )
     f.set_defaults(fn=cmd_find)
 
     a = sub.add_parser("add", help="append relationship/entry/installpath")
