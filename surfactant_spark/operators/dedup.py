@@ -250,10 +250,14 @@ def dedup_minhash(
     # The shingle table feeds three consumers (band path + both sides
     # of the verify join) — localCheckpoint computes the md5s once
     # instead of three times (6.7 -> ~4 s warm at sf0.1); at 100 TB the
-    # same role is played by a parquet stage snapshot.
-    sh_df = shingle_table(docs, id_col, text_col, n, hashed=True).localCheckpoint(
-        eager=True
-    )
+    # same role is played by a parquet stage snapshot. spread_partitions
+    # keeps the md5 pass off a single task when the corpus fits one
+    # scan split (see session.spread_partitions).
+    from ..session import spread_partitions
+
+    sh_df = shingle_table(
+        spread_partitions(docs), id_col, text_col, n, hashed=True
+    ).localCheckpoint(eager=True)
     sig_df = sh_df.select(F.col(id_col), minhash_sig_array(F.col("sh"), k).alias("sig"))
     bands_df = sig_df.select(
         F.col(id_col),
@@ -335,8 +339,11 @@ def dedup_simhash(
     100 TB. The width filter is a count-only aggregation joined back, so
     no aggregation buffer ever holds a full degenerate bucket either."""
     # the Arrow simhash pass feeds the width agg and both join sides —
-    # checkpoint so Python runs exactly once over the corpus
-    with_sh = docs.select(
+    # checkpoint so Python runs exactly once over the corpus; spread
+    # first so that one Python worker is not the whole pass
+    from ..session import spread_partitions
+
+    with_sh = spread_partitions(docs).select(
         F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
     ).localCheckpoint(eager=True)
     blocks = with_sh.select(
@@ -491,9 +498,23 @@ def dedup_ngram_jaccard(
     Without a ``block_col`` the whole corpus is one block, i.e. a full
     O(n^2) cartesian — never viable at scale, so it must be requested
     explicitly with ``allow_full_cartesian=True`` (tiny verification
-    runs only); otherwise pass a block column or use dedup_minhash."""
+    runs only); otherwise pass a block column or use dedup_minhash.
+
+    The blocked path hash-spreads the corpus by ``block_col`` BEFORE
+    shingling (session.spread_partitions): the pair join's work is
+    quadratic in block width, so a corpus that fits one scan split must
+    not run its whole join on one task. The checkpointed shingle table
+    keeps the spread width, so the join's streamed side (and the md5
+    shingle pass) run at session parallelism; keying the spread by the
+    block column keeps any re-exchange the join still plans co-located
+    and cheap."""
     if block_col:
-        sh = shingle_table(docs, id_col, text_col, n, block_col=block_col, hashed=True)
+        from ..session import spread_partitions
+
+        sh = shingle_table(
+            spread_partitions(docs, block_col),
+            id_col, text_col, n, block_col=block_col, hashed=True,
+        )
     else:
         if not allow_full_cartesian:
             raise ValueError(

@@ -27,11 +27,21 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. ``queries`` is
     small -> broadcast; corpus scan stays partitioned, no shuffle until
-    the final per-query top-k aggregation."""
+    the final per-query top-k aggregation. The corpus side is spread to
+    session parallelism first (session.spread_partitions): the
+    |corpus|×|queries| cosine work is compute-amplified far beyond the
+    scan bytes, and with the query side broadcast no shuffle would ever
+    re-spread a single-split corpus off one task."""
+    from ..session import spread_partitions
+
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    scored = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")).join(q)
+    scored = (
+        spread_partitions(corpus)
+        .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+        .join(q)
+    )
     scored = scored.where(F.col("query_id") != F.col("match_id")).select(
         "query_id",
         "match_id",
@@ -147,7 +157,12 @@ def topk_ivf(
         else label_centroids(corpus, label_col, vec_col)
     )
     assigned = ivf_assign(queries, cents, id_col, vec_col, nprobe)
-    c = corpus.select(
+    from ..session import spread_partitions
+
+    # spread by list_id: the probed-list scan is compute-amplified
+    # (cosine per candidate) and must not inherit a single scan split;
+    # keying by list_id keeps any exchange the join plans co-located
+    c = spread_partitions(corpus, label_col).select(
         F.col(label_col).alias("list_id"),
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
@@ -220,7 +235,11 @@ def topk_lsh(
     # the plane literals match the data
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(dim_row["d"]) if dim_row is not None else 0
-    cb = corpus.select(
+    from ..session import spread_partitions
+
+    # n_planes sign-dot-products per corpus row before the bucket join —
+    # compute-amplified; spread a single-split corpus off one task
+    cb = spread_partitions(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),

@@ -47,6 +47,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # `surfactant/relationships/java_relationship.py:11-51`)
 # ---------------------------------------------------------------------------
 def _kg_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread_partitions here (measured): the extraction is ~1 s
+    # single-task at sf0.1, while a 64-way spread makes every one of the
+    # four checkpoint consumers launch 64-task map stages whose
+    # scheduling overhead triples the warm query (1.7 -> 3-5 s). The
+    # spread belongs where per-row work is heavy (shingling, pair
+    # joins, cosine scans), not on a cheap projection.
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",

@@ -64,3 +64,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_partitions(df, *cols, factor: int = 2):
+    """Raise a DataFrame's partition count to ``factor ×`` the session's
+    core count before compute-heavy per-row or per-pair work.
+
+    Parquet splits are sized by *bytes* (maxPartitionBytes), but shingle
+    hashing, Arrow UDF passes, and quadratic within-block pair joins
+    amplify compute far beyond input bytes: a corpus that fits one scan
+    split would otherwise run its entire downstream on ONE task while
+    every other core idles (and, with a broadcast dim side, no shuffle
+    ever re-spreads it — measured 14-86 s single-task walls for the
+    sf0.1 ngram pair join vs ~1 s spread). With key columns the spread
+    is a hash repartition keyed for the downstream join. Note a
+    localCheckpoint taken after the spread keeps the RDD *width* but
+    not the Catalyst-visible partitioning (it scans as ExistingRDD), so
+    an equi join may still plan a cheap re-exchange — the point is that
+    per-row passes and broadcast-join streamed sides over the
+    checkpoint run at session parallelism either way.
+
+    No-op when the input is already at least that wide — at 100 TB the
+    scan arrives in thousands of splits and this never fires."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return (
+        df.repartition(target, *[F.col(c) for c in cols])
+        if cols
+        else df.repartition(target)
+    )

@@ -171,3 +171,46 @@ def test_round3_queries_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
     assert "BroadcastHashJoin" in _plan(q_install_rewrite(spark, SF_DIR))
+
+
+def test_spread_partitions_widens_single_split_input(spark):
+    """A corpus that fits one scan split must not run compute-amplified
+    work (shingle hashing, pair joins, cosine scans) on a single task:
+    spread_partitions raises it to session parallelism, and is a no-op
+    on an input that is already wide."""
+    from surfactant_spark.session import spread_partitions
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(1000).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    assert spread_partitions(one).rdd.getNumPartitions() == 2 * par
+    wide = spark.range(1000).repartition(4 * par)
+    # already wider than target -> untouched (no shrink at real scale)
+    assert spread_partitions(wide) is wide
+
+
+def test_ngram_pair_join_runs_spread_not_single_task(spark):
+    """The ngram family's checkpointed shingle table must be spread:
+    the md5 shingle pass and the pair join's streamed side then run at
+    session parallelism instead of inheriting a single scan split (a
+    broadcast join adds no exchange that could re-spread it). The final
+    OUTPUT partition count is deliberately not asserted — AQE coalescing
+    a tiny shuffle to 1 read-partition is correct and says nothing about
+    where the compute ran."""
+    from surfactant_spark.operators.dedup import dedup_ngram_jaccard, shingle_table
+    from surfactant_spark.session import spread_partitions
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common text tokens for block {i % 3} pad pad", f"b{i % 3}")
+         for i in range(60)],
+        "doc_id long, text string, source string",
+    ).coalesce(1)
+    par = spark.sparkContext.defaultParallelism
+    sh = shingle_table(
+        spread_partitions(docs, "source"), block_col="source", hashed=True
+    ).localCheckpoint(eager=True)
+    assert sh.rdd.getNumPartitions() == 2 * par
+    out = dedup_ngram_jaccard(docs, threshold=0.1, block_col="source")
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert out.count() > 0
