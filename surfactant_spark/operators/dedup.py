@@ -469,10 +469,16 @@ def dedup_embedding(
         .where((F.col("width") > 1) & (F.col("width") <= max_bucket))
         .select("blk")
     )
-    a = embeddings.select(
+    # within-block pair work is quadratic: spread a single-split corpus
+    # by block before the self-join (session.spread_partitions no-ops on
+    # a real multi-split scan)
+    from ..session import spread_partitions
+
+    spread = spread_partitions(embeddings, block_col)
+    a = spread.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
     )
-    b = embeddings.select(
+    b = spread.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
     )
     return (

@@ -84,10 +84,15 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads. Narrow
-    (no shuffle); the batch size is governed by
-    spark.sql.execution.arrow.maxRecordsPerBatch at scale."""
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    """Arrow-batched feature extraction over binary payloads. The batch
+    size is governed by spark.sql.execution.arrow.maxRecordsPerBatch at
+    scale. Codec decode is the textbook compute-amplified pass, so a
+    corpus that arrives as one scan split is spread to session
+    parallelism first (session.spread_partitions — a no-op on a real
+    multi-split scan, where this stays a narrow, shuffle-free plan)."""
+    from ..session import spread_partitions
+
+    return spread_partitions(media).select("media_id", "kind", "payload").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
 
