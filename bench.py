@@ -113,10 +113,32 @@ def _pipeline_throughput(spark, n_pages: int):
     return n_pages / wall, n_triples / wall, round(wall, 3), n_triples
 
 
-def default_mode():
+def _claim_local_dirs(base):
+    """Point shuffle at a ramdisk temp dir UNLESS the caller already set
+    one. Returns the created dir (for cleanup) or None if pre-set —
+    plain setdefault(mkdtemp(...)) leaked an empty /dev/shm dir per
+    invocation when the variable was already present (round-3 ADVICE)."""
+    if "SPARK_LOCAL_DIRS" in os.environ:
+        return None
+    d = tempfile.mkdtemp(prefix="spark-local-", dir=base)
+    os.environ["SPARK_LOCAL_DIRS"] = d
+    return d
+
+
+def default_mode(max_reps: int = 3, clean_thresh: float = 0.05):
+    """Self-defending bench (round-3 verdict item 1): the sandbox VM
+    shares a host and individual windows get externally throttled, so a
+    single measurement can record the host, not the code (round 3's
+    168.9 s artifact vs a clean 43.3 s on byte-identical code). Each rep
+    measures the non-guest CPU fraction over its own window; the sweep
+    retries (up to ``max_reps``) until a rep lands with nonguest <
+    ``clean_thresh``. The artifact of record carries EVERY rep plus
+    which one supplied ``value``; if no clean window was achievable it
+    says so explicitly (``host_degraded: true``) instead of leaving a
+    throttled number to be explained away in side documentation."""
     from surfactant_spark.session import get_spark
 
-    # same memory mitigations as scaling_mode (see BENCH/BASELINE.md):
+    # memory mitigations shared with scaling_mode (see BENCH/BASELINE.md):
     # a fixed pre-touched heap and ramdisk shuffle dirs. On a freshly
     # booted VM of this sandbox, guest pages are lazily host-backed and
     # first touch costs 1-9 s/GB; without -Xms+AlwaysPreTouch the JVM
@@ -129,9 +151,7 @@ def default_mode():
     os.environ.setdefault(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
     )
-    os.environ.setdefault(
-        "SPARK_LOCAL_DIRS", tempfile.mkdtemp(prefix="spark-local-", dir=base)
-    )
+    created_dir = _claim_local_dirs(base)
     spark = get_spark("bench")
     # warm the JVM/Arrow/scan paths so per-query times measure the
     # plan, not session startup (same rationale as scaling_mode._warm:
@@ -142,32 +162,66 @@ def default_mode():
         "sum(length(regexp_extract(cast(id as string), '[0-9]+', 0)))"
     ).collect()
 
-    cpu0 = _cpu_snap()
-    times, warm = _run_queries(spark, SF_DIR)
     sf = _sf_from_dir(SF_DIR)
     n_pages = {0.001: 500, 0.01: 2000, 0.1: 8000}.get(sf, 2000)
-    docs_s, triples_s, pipe_wall, n_triples = _pipeline_throughput(spark, n_pages)
-    times["kg_pipeline_synthetic"] = pipe_wall
+    reps = []
+    for rep in range(max_reps):
+        cpu0 = _cpu_snap()
+        times, warm = _run_queries(spark, SF_DIR)
+        docs_s, triples_s, pipe_wall, n_triples = _pipeline_throughput(spark, n_pages)
+        frac = _nonguest_frac(cpu0)
+        times["kg_pipeline_synthetic"] = pipe_wall
+        reps.append(
+            {
+                "rep": rep,
+                "total_s": round(sum(times.values()), 3),
+                "queries": times,
+                "queries_warm": warm,
+                "nonguest_cpu_frac": round(frac, 4),
+                "pipeline_docs_per_sec": round(docs_s, 1),
+                "pipeline_triples_per_sec": round(triples_s, 1),
+                "pipeline_triples": n_triples,
+            }
+        )
+        if frac < clean_thresh:
+            break
+    # value = fastest CLEAN rep; if the host never gave a clean window,
+    # fall back to the least-throttled rep and flag the artifact
+    clean = [r for r in reps if r["nonguest_cpu_frac"] < clean_thresh]
+    pool = clean or reps
+    best = min(pool, key=lambda r: r["total_s"])
 
     out = {
         "metric": "headline query wall time + synthetic KG pipeline throughput",
-        "value": round(sum(times.values()), 3),
+        "value": best["total_s"],
         "unit": "sec",
-        "queries": times,
-        "queries_warm": warm,
+        "queries": best["queries"],
+        "queries_warm": best["queries_warm"],
         "sf": sf,
-        "pipeline_docs_per_sec": round(docs_s, 1),
-        "pipeline_triples_per_sec": round(triples_s, 1),
+        "pipeline_docs_per_sec": best["pipeline_docs_per_sec"],
+        "pipeline_triples_per_sec": best["pipeline_triples_per_sec"],
         "pipeline_pages": n_pages,
-        "pipeline_triples": n_triples,
+        "pipeline_triples": best["pipeline_triples"],
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-        # host-health evidence for this exact measurement window: the
-        # sandbox VM shares a host and individual runs can be throttled
-        # externally (see BENCH/BASELINE.md); > ~0.05 means the wall
-        # times above were inflated by the host, not the plans
-        "nonguest_cpu_frac": round(_nonguest_frac(cpu0), 4),
+        # host-health evidence for the SELECTED window; > ~0.05 means
+        # the wall times were inflated by the host, not the plans.
+        # NOTE: rep 0's `queries` includes true cold (codegen) times;
+        # later reps re-execute already-compiled plans, so when value
+        # comes from rep >= 1 its "cold" column is first-run-of-window,
+        # not first-run-of-session (queries_warm is comparable across
+        # all reps).
+        "nonguest_cpu_frac": best["nonguest_cpu_frac"],
+        "value_rep": best["rep"],
+        "host_degraded": not clean,
+        "rep_nonguest_cpu_fracs": [r["nonguest_cpu_frac"] for r in reps],
+        "rep_totals_s": [r["total_s"] for r in reps],
+        "reps": reps,
     }
     spark.stop()
+    if created_dir:
+        import shutil
+
+        shutil.rmtree(created_dir, ignore_errors=True)
     print(json.dumps(out))
 
 
@@ -223,9 +277,7 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
     # real cluster (per-node disks) would not; back both with ramdisk
     # so the two parallelism levels compare compute, not one disk
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    os.environ.setdefault(
-        "SPARK_LOCAL_DIRS", tempfile.mkdtemp(prefix="spark-local-", dir=base)
-    )
+    created_dir = _claim_local_dirs(base)
     # fixed pre-touched heap: guest pages of this VM are lazily
     # host-backed and first touch is very slow; fault the whole heap in
     # once at JVM start (untimed) instead of mid-measurement
@@ -291,9 +343,9 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
         spark.stop()
     import shutil
 
-    for cpus in levels:
-        for rep in range(reps):
-            shutil.rmtree(os.path.join(shared, f"work{cpus}-{rep}"), ignore_errors=True)
+    shutil.rmtree(shared, ignore_errors=True)
+    if created_dir:
+        shutil.rmtree(created_dir, ignore_errors=True)
     eff = results[hi]["docs_per_sec"] / ((hi // lo) * results[lo]["docs_per_sec"])
     out = {
         "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (N vs {hi // lo}N stand-in)",
