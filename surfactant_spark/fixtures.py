@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r3g"
+FIXTURE_VERSION = "r4a"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -255,6 +255,66 @@ def synth_cp_tables() -> Tuple[List[tuple], List[tuple], List[tuple]]:
     return software, cp_map, edges
 
 
+def synth_kg_nodes() -> Dict[str, list]:
+    """Deterministic node-table fixture in the pipeline's dedup_nodes
+    schema, for the S8 CSV-export oracle (one output row per alias —
+    `output/csv_writer.py:55-74`). Variety by construction: empty
+    names (NULL name after element_at), empty aliases (row dropped by
+    the explode), multi-alias rows (fan-out)."""
+    import datetime
+
+    n = 40
+    t0 = datetime.datetime(2024, 1, 1)
+    names, aliases = [], []
+    for i in range(n):
+        nm = [] if i % 9 == 0 else sorted(
+            [f"Title {i}"] + ([f"Alt {i}"] if i % 4 == 0 else [])
+        )
+        al = [] if i % 11 == 3 else sorted(
+            [f"http://h{i % 5}.example/p{i}"]
+            + ([f"http://mirror.example/p{i}"] if i % 3 == 0 else [])
+        )
+        names.append(nm)
+        aliases.append(al)
+    return {
+        "canon_uuid": [uuid36(2000 + i) for i in range(n)],
+        "sha256": [f"dead{i:04d}" + "0" * 56 for i in range(n)],
+        "names": names,
+        "aliases": aliases,
+        "n_sources": [1 + i % 4 for i in range(n)],
+        "first_seen": [t0 + datetime.timedelta(hours=i) for i in range(n)],
+    }
+
+
+def synth_norm_paths() -> Dict[str, list]:
+    """(path, win) rows for the F10 normalization oracle: every path of
+    the reference's posix contract (`tests/relationships/
+    test_posix_utils.py:11-33`, all 17) plus generated root x segment
+    combinations that exercise nested `..` cancellation; `win` rows are
+    windows-style paths in mixed case and mixed separators (no
+    redundant/trailing separators, where PureWindowsPath equality
+    reduces to lower(replace('\\','/')) — the SQL-replayable subset)."""
+    posix = [
+        "", "..", "../", "../..",
+        "ab/../xy", "/a/b//..///c",
+        "//..", "//../", "//../a", "//./", "//./a", "//./a/../b",
+        "///", "///a", "///a/../b", "///a/../",
+        "////a/../b",
+    ]
+    segs = ["a", "b", "..", ".", "xy", "lib64"]
+    for i in range(31):
+        root = ["", "/", "//", "///"][i % 4]
+        body = "/".join(segs[(i + j) % len(segs)] for j in range(2 + i % 4))
+        posix.append(root + body)
+    win = []
+    for i in range(len(posix)):
+        drive = ["C:", "d:", ""][i % 3]
+        sep = "\\" if i % 2 else "/"
+        parts = [p for p in (f"Dir{i % 4}", "SubDir", f"lib{i}.DLL") if p]
+        win.append((drive + sep if drive else "") + sep.join(parts))
+    return {"path": posix, "win": win}
+
+
 def synth_magic_pages() -> List[Tuple[str, bytes, str]]:
     """(url, bytes, expected_type) covering every branch of the magic
     classifier (`id_magic.py:56-214`, `id_hex.py:71-96`) with real
@@ -419,6 +479,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
         "audit_rows", "cp_software", "cp_map", "cp_edges",
+        "kg_nodes_fix", "norm_paths",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -557,6 +618,8 @@ def stage_link_fixtures() -> Dict[str, str]:
                 )
                 + "\n"
             )
+    _write_parquet(paths["kg_nodes_fix"], synth_kg_nodes())
+    _write_parquet(paths["norm_paths"], synth_norm_paths())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

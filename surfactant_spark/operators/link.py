@@ -293,6 +293,22 @@ def win_norm_paths_udf(paths: pd.Series) -> pd.Series:
     return paths.map(lambda arr: [win_norm(p) for p in (arr if arr is not None else [])])
 
 
+@F.pandas_udf(T.StringType())
+def posix_normpath_udf(paths: pd.Series) -> pd.Series:
+    """F10 as a column operator: the reference's posix normpath
+    contract (`_internal/posix_utils.py:9-31`), Arrow-batched."""
+    from ..functions.paths import posix_normpath
+
+    return paths.map(posix_normpath)
+
+
+@F.pandas_udf(T.StringType())
+def win_norm_udf(paths: pd.Series) -> pd.Series:
+    """Scalar win_norm (case/separator-insensitive canonical key,
+    `windows_utils.py:35-38`), Arrow-batched."""
+    return paths.map(win_norm)
+
+
 def _nodes_by_install_path(nodes: DataFrame, windows: bool) -> DataFrame:
     """Explode node installPaths to the join build side. For Windows
     families the key is case-folded (`windows_utils.py:35-38`); for

@@ -1683,6 +1683,151 @@ FROM edges e JOIN nodes n ON n.UUID = e.xUUID
 
 
 # ---------------------------------------------------------------------------
+# S8 — the CSV export projection (one output row per install path — the
+# reference CSV writer's explode, `output/csv_writer.py:55-74`) over a
+# staged node-table fixture in the pipeline's dedup_nodes schema.
+# ---------------------------------------------------------------------------
+def q_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.writers import csv_export
+
+    p = _fixture_paths()
+    nodes = spark.read.parquet(p["kg_nodes_fix"])
+    out = csv_export(nodes)
+    return out.select(
+        "canon_uuid", "sha256", "path", "name",
+        F.unix_timestamp("first_seen").alias("first_seen_epoch"),
+    )
+
+
+def _sql_csv_export(nodes_path: str) -> str:
+    return f"""
+SELECT canon_uuid, sha256, unnest(aliases) AS path, names[1] AS name,
+       CAST(FLOOR(epoch(first_seen)) AS BIGINT) AS first_seen_epoch
+FROM read_parquet('{nodes_path}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# S10 — the CycloneDX export (container/file component split, per-
+# containerPath fan-out, primary-parent Contains suppression,
+# `output/cyclonedx_writer.py:19-320`) replayed in SQL end to end; the
+# dependencies table is folded to a sorted csv per bom_ref so both
+# outputs ride one row set.
+# ---------------------------------------------------------------------------
+def q_cyclonedx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.sbom_export import cyclonedx_export
+
+    p = _fixture_paths()
+    sw = spark.read.parquet(p["cp_software"])
+    edges = spark.read.parquet(p["cp_edges"])
+    components, dependencies = cyclonedx_export(sw, edges)
+    dep_csv = dependencies.groupBy("ref").agg(
+        F.array_join(F.array_sort(F.collect_set("dependsOn")), "|").alias("depends_on")
+    )
+    return components.join(
+        dep_csv, components["bom_ref"] == dep_csv["ref"], "left"
+    ).drop("ref")
+
+
+def _sql_cyclonedx(sw_path: str, edges_path: str) -> str:
+    return f"""
+WITH sw AS (SELECT * FROM read_parquet('{sw_path}')),
+edges AS (SELECT * FROM read_parquet('{edges_path}')),
+containers AS (SELECT DISTINCT subj_uuid AS cuuid FROM edges WHERE pred = 'Contains'),
+is_cont AS (SELECT sw.* FROM sw SEMI JOIN containers c ON sw.uuid = c.cuuid),
+is_file AS (SELECT sw.* FROM sw ANTI JOIN containers c ON sw.uuid = c.cuuid),
+cont_comps AS (
+  SELECT uuid AS bom_ref, 'container' AS type,
+         COALESCE(name, fname) AS name, version,
+         CAST(NULL AS VARCHAR) AS supplier, CAST(NULL AS VARCHAR) AS description,
+         sha1, sha256, md5, CAST(NULL AS VARCHAR) AS file_path
+  FROM (SELECT *, unnest(fileName) AS fname FROM is_cont)),
+with_cpath AS (
+  SELECT uuid, name, version, sha1, sha256, md5,
+         string_split(cp, '/')[1] AS parent_uuid,
+         array_to_string(string_split(cp, '/')[2:], '/') AS file_path
+  FROM (SELECT *, unnest(containerPath) AS cp
+        FROM is_file WHERE len(COALESCE(containerPath, [])) > 0)
+  WHERE len(string_split(cp, '/')) > 1),
+no_cpath AS (
+  SELECT uuid, name, version, sha1, sha256, md5,
+         CAST(NULL AS VARCHAR) AS parent_uuid, fn AS file_path
+  FROM (SELECT *, unnest(fileName) AS fn
+        FROM is_file WHERE len(COALESCE(containerPath, [])) = 0)),
+file_rows AS (SELECT * FROM with_cpath UNION ALL SELECT * FROM no_cpath),
+file_comps AS (
+  SELECT uuid AS bom_ref, 'file' AS type,
+         COALESCE(name, string_split(file_path, '/')[-1]) AS name, version,
+         CAST(NULL AS VARCHAR) AS supplier, CAST(NULL AS VARCHAR) AS description,
+         sha1, sha256, md5, file_path
+  FROM file_rows),
+components AS (
+  SELECT DISTINCT * FROM (SELECT * FROM cont_comps UNION ALL SELECT * FROM file_comps)),
+primary_parent AS (
+  SELECT uuid AS obj_uuid, MIN(parent_uuid) AS parent
+  FROM file_rows WHERE parent_uuid IS NOT NULL GROUP BY uuid),
+dependencies AS (
+  SELECT DISTINCT e.subj_uuid AS ref, e.obj_uuid AS dependsOn
+  FROM edges e LEFT JOIN primary_parent p ON e.obj_uuid = p.obj_uuid
+  WHERE upper(e.pred) <> 'CONTAINS' OR p.parent IS NULL OR p.parent = e.subj_uuid),
+dep_csv AS (
+  SELECT ref, array_to_string(list_sort(list(DISTINCT dependsOn)), '|') AS depends_on
+  FROM dependencies GROUP BY ref)
+SELECT c.*, d.depends_on
+FROM components c LEFT JOIN dep_csv d ON c.bom_ref = d.ref
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10 — path normalization as a column operator over the staged contract
+# paths (the reference's posix normpath semantics,
+# `relationships/_internal/posix_utils.py:9-31`, incl. the '//' root and
+# leading-'..'-dropped rules, plus the Windows case/separator fold of
+# `windows_utils.py:35-38`). Spark runs the REAL functions.paths code
+# Arrow-batched; the oracle replays the component-stack fold with a
+# recursive CTE.
+# ---------------------------------------------------------------------------
+def q_normpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.link import posix_normpath_udf, win_norm_udf
+
+    p = _fixture_paths()
+    paths = spark.read.parquet(p["norm_paths"])
+    return paths.select(
+        "path",
+        posix_normpath_udf(F.col("path")).alias("norm"),
+        "win",
+        win_norm_udf(F.col("win")).alias("win_key"),
+    )
+
+
+def _sql_normpath(paths_path: str) -> str:
+    # array_to_string([]) is NULL in DuckDB, hence the COALESCE
+    return f"""
+WITH RECURSIVE
+p AS (
+  SELECT path, win,
+    CASE WHEN path LIKE '//%' AND NOT path LIKE '///%' THEN '//'
+         WHEN path LIKE '/%' THEN '/' ELSE '' END AS root,
+    list_filter(string_split(path, '/'), x -> x <> '' AND x <> '.') AS comps
+  FROM read_parquet('{paths_path}')),
+rec(path, win, root, comps, i, stack) AS (
+  SELECT path, win, root, comps, 0, CAST([] AS VARCHAR[]) FROM p
+  UNION ALL
+  SELECT path, win, root, comps, i + 1,
+    CASE WHEN comps[i + 1] = '..'
+         THEN list_slice(stack, 1, len(stack) - 1)
+         ELSE list_append(stack, comps[i + 1]) END
+  FROM rec WHERE i < len(comps)
+)
+SELECT path,
+  CASE WHEN root = '' AND len(stack) = 0 THEN '.'
+       ELSE root || COALESCE(array_to_string(stack, '/'), '') END AS norm,
+  win, lower(replace(win, '\\', '/')) AS win_key
+FROM rec WHERE i = len(comps)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -1733,6 +1878,9 @@ QUERIES = {
     "cli_find": q_cli_find,
     "graph_roots": q_graph_roots,
     "sbom_roundtrip": q_sbom_roundtrip,
+    "csv_export": q_csv_export,
+    "cyclonedx": q_cyclonedx,
+    "normpath": q_normpath,
 }
 
 
@@ -1803,4 +1951,9 @@ ORACLE_SQL = {
     "sbom_roundtrip": _sql_sbom_roundtrip(
         os.path.join(os.path.dirname(_fixture_file("cp_software")), "cytrics")
     ),
+    "csv_export": _sql_csv_export(_fixture_file("kg_nodes_fix")),
+    "cyclonedx": _sql_cyclonedx(
+        _fixture_file("cp_software"), _fixture_file("cp_edges")
+    ),
+    "normpath": _sql_normpath(_fixture_file("norm_paths")),
 }

@@ -123,7 +123,7 @@ def spdx_export(
             F.coalesce(F.col("name"), F.col("file_name")).alias("name"),
             "version",
             "file_name",
-            F.element_at(F.coalesce("vendor", F.array()), 1).alias("supplier"),
+            F.try_element_at(F.coalesce("vendor", F.array()), F.lit(1)).alias("supplier"),
             "description",
             "sha1",
             "sha256",
@@ -298,7 +298,7 @@ def cyclonedx_export(
         F.explode("fileName").alias("_fname"),
         _opt(is_cont, "name").alias("_name"),
         _opt(is_cont, "version").alias("version"),
-        F.element_at(F.coalesce(_opt(is_cont, "vendor"), F.array()), 1).alias("supplier"),
+        F.try_element_at(F.coalesce(_opt(is_cont, "vendor"), F.array()), F.lit(1)).alias("supplier"),
         _opt(is_cont, "description").alias("description"),
         _opt(is_cont, "sha1").alias("sha1"),
         _opt(is_cont, "sha256").alias("sha256"),

@@ -39,7 +39,9 @@ def csv_export(nodes: DataFrame) -> DataFrame:
         F.col("canon_uuid"),
         F.col("sha256"),
         F.explode("aliases").alias("path"),
-        F.element_at(F.col("names"), 1).alias("name"),
+        # try_: a node with no surviving title has an empty names array,
+        # and under ANSI mode plain element_at throws on it
+        F.try_element_at(F.col("names"), F.lit(1)).alias("name"),
         F.col("first_seen"),
     )
 
@@ -92,7 +94,7 @@ def cyclonedx_like_export(nodes: DataFrame, edges: DataFrame):
     bom-ref, container duplicates collapsed (`:66-73`)."""
     components = nodes.select(
         F.concat(F.lit("ref-"), F.col("canon_uuid")).alias("bom_ref"),
-        F.element_at(F.col("names"), 1).alias("name"),
+        F.try_element_at(F.col("names"), F.lit(1)).alias("name"),
         F.col("sha256").alias("hash_sha256"),
         F.lit("library").alias("type"),
     )

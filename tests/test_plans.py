@@ -148,8 +148,10 @@ def test_container_path_rewrite_no_single_row_map(spark):
 def test_round3_queries_plan_shapes(spark):
     """The round-3 oracle queries must keep distributed-safe plans:
     no nested-loop/cartesian anywhere; the redirect fixpoint is a chain
-    of hash joins; install_rewrite broadcasts the (dimension-sized)
-    uuid map instead of shuffling the exploded path table."""
+    of hash joins. install_rewrite's uuid map is NOT force-broadcast
+    (round-3 verdict item 2): a web-scale collision map must be able to
+    degrade to a shuffle join, so any hash-partitionable equi-join
+    strategy is acceptable — only BNLJ/Cartesian are forbidden."""
     from surfactant_spark.queries import (
         q_alias_attach,
         q_graph_roots,
@@ -170,7 +172,26 @@ def test_round3_queries_plan_shapes(spark):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
-    assert "BroadcastHashJoin" in _plan(q_install_rewrite(spark, SF_DIR))
+    # either BroadcastHashJoin (AQE chose broadcast) or a shuffle
+    # equi-join (SortMergeJoin/ShuffledHashJoin) is fine for the uuid map
+    rw_plan = _plan(q_install_rewrite(spark, SF_DIR))
+    assert any(
+        j in rw_plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_round4_queries_plan_shapes(spark):
+    """The round-4 oracle queries (CSV export, CycloneDX export,
+    normpath) keep distributed-safe plans: no nested-loop/cartesian, no
+    row-at-a-time PythonUDF (normpath runs Arrow-batched)."""
+    from surfactant_spark.queries import q_csv_export, q_cyclonedx, q_normpath
+
+    for q in (q_csv_export, q_cyclonedx, q_normpath):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__  # row-at-a-time UDF
+    assert "ArrowEvalPython" in _plan(q_normpath(spark, SF_DIR))
 
 
 def test_spread_partitions_widens_single_split_input(spark):
