@@ -172,8 +172,15 @@ def alias_entity_map(alias_dict: DataFrame) -> DataFrame:
 def rewrite_edge_uuids(edges: DataFrame, uuid_map: DataFrame) -> DataFrame:
     """Rewrite edge endpoints through (old_uuid -> new_uuid), then dedup
     — the reference rewrites *before* dedup (`_sbom.py:203-217`); that
-    order is preserved (SURVEY §7.3 hard part 6)."""
-    m = F.broadcast(uuid_map)
+    order is preserved (SURVEY §7.3 hard part 6).
+
+    No forced broadcast: the collision map from merging two web-scale
+    graphs is not guaranteed dimension-sized, and a forced broadcast of a
+    huge map dies at the driver / 8 GB broadcast ceiling instead of
+    degrading to a shuffle join. AQE picks broadcast when the map is
+    actually small (the common case) — same lesson as the round-2
+    exporters-dict measurement."""
+    m = uuid_map
     out = (
         edges.join(m.withColumnRenamed("old_uuid", "subj_uuid"), "subj_uuid", "left")
         .withColumn("subj_uuid", F.coalesce("new_uuid", "subj_uuid"))
@@ -209,9 +216,10 @@ def rewrite_container_paths(software: DataFrame, uuid_map: DataFrame) -> DataFra
         F.col("uuid").alias("_sw_uuid"),
         F.posexplode("containerPath").alias("_pos", "_p"),
     )
-    m = F.broadcast(
-        uuid_map.select(F.col("old_uuid").alias("_old"), F.col("new_uuid").alias("_new"))
-    )
+    # No forced broadcast (see rewrite_edge_uuids): AQE broadcasts a small
+    # map on its own and degrades to a shuffle join when it is not. The
+    # join key is the 36-char prefix, an equi-join either way.
+    m = uuid_map.select(F.col("old_uuid").alias("_old"), F.col("new_uuid").alias("_new"))
     rewritten = exploded.join(
         m, F.substring("_p", 1, 36) == F.col("_old"), "left"
     ).select(

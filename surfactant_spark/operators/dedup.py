@@ -419,6 +419,33 @@ def simhash_dropped_buckets(
     )
 
 
+def minhash_dropped_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Recall diagnostic for :func:`dedup_minhash`, twin of
+    :func:`simhash_dropped_buckets`: the (band, band_key, width) LSH
+    buckets the width cap DROPS. A candidate pair whose ONLY shared
+    band bucket is wider than ``max_bucket`` is silently lost; this
+    count-only aggregation (no self-join, no id lists) makes that
+    recall bound observable per run."""
+    sh_df = shingle_table(docs, id_col, text_col, n, hashed=True)
+    sig_df = sh_df.select(F.col(id_col), minhash_sig_array(F.col("sh"), k).alias("sig"))
+    bands_df = sig_df.select(
+        F.posexplode(band_keys_array(F.col("sig"), k, bands)).alias("band", "band_key")
+    )
+    return (
+        bands_df.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where(F.col("width") > max_bucket)
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     # cast each float to double BEFORE multiplying: better numerics and
     # bit-identical to the DuckDB oracle's expression tree (queries.py)
@@ -471,7 +498,8 @@ def dedup_embedding(
     )
     # within-block pair work is quadratic: spread a single-split corpus
     # by block before the self-join (session.spread_partitions no-ops on
-    # a real multi-split scan)
+    # a real multi-split scan). Width is bounded by the number of
+    # distinct blocks — see the cardinality caveat in spread_partitions.
     from ..session import spread_partitions
 
     spread = spread_partitions(embeddings, block_col)
@@ -511,9 +539,13 @@ def dedup_ngram_jaccard(
     quadratic in block width, so a corpus that fits one scan split must
     not run its whole join on one task. The checkpointed shingle table
     keeps the spread width, so the join's streamed side (and the md5
-    shingle pass) run at session parallelism; keying the spread by the
+    shingle pass) run across partitions; keying the spread by the
     block column keeps any re-exchange the join still plans co-located
-    and cheap."""
+    and cheap. Caveat (inherent to the equi join's co-location): a
+    keyed spread hash-partitions by the block key, so with fewer
+    distinct blocks than ~2x parallelism only that many tasks carry
+    rows — full session-width execution needs a high-cardinality block
+    column, not just the spread."""
     if block_col:
         from ..session import spread_partitions
 

@@ -161,7 +161,10 @@ def topk_ivf(
 
     # spread by list_id: the probed-list scan is compute-amplified
     # (cosine per candidate) and must not inherit a single scan split;
-    # keying by list_id keeps any exchange the join plans co-located
+    # keying by list_id keeps any exchange the join plans co-located.
+    # Achievable width is bounded by the number of distinct lists
+    # (spread_partitions cardinality caveat) — nlist >= 2x parallelism
+    # is what actually buys full-width execution here
     c = spread_partitions(corpus, label_col).select(
         F.col(label_col).alias("list_id"),
         F.col(id_col).alias("match_id"),

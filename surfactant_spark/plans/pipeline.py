@@ -91,9 +91,22 @@ class PipelineResult:
     lineage: DataFrame
     stages_run: List[str] = field(default_factory=list)
     stages_resumed: List[str] = field(default_factory=list)
+    near_dup: Optional[DataFrame] = None
+    audit: Optional[DataFrame] = None
 
 
 def _lineage_rows(spark: SparkSession, stage: str, df: DataFrame, wall_ms: int, snapshot_id: str, input_rows: int):
+    # a stage that ran but produced ZERO rows must still appear in
+    # lineage (sentinel partition_id -1, output_rows 0) — groupBy over
+    # an empty snapshot yields no rows at all, which silently erased
+    # empty stages from the run record. The emptiness probe is a
+    # limit(1) over the materialized snapshot: one row at most is read.
+    if df.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [(stage, -1, input_rows, 0, wall_ms, snapshot_id)],
+            "stage string, partition_id int, input_rows long, "
+            "output_rows long, wall_ms long, snapshot_id string",
+        )
     per_part = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("output_rows"))
@@ -116,6 +129,8 @@ def run_pipeline(
     workdir: str,
     resume: bool = True,
     n_salt: int = 0,
+    near_dup: Optional[str] = None,
+    near_dup_max_bucket: int = 64,
 ) -> PipelineResult:
     """pages + alias_dict -> materialized nodes/edges/lineage.
 
@@ -125,6 +140,15 @@ def run_pipeline(
       alias_cc  : alias_dict -> (alias, entity) canonical map (CC)
       nodes     : extracted -> content-dedup node table
       edges     : extracted + alias map -> linked, deduped edge table
+      near_dup  : (optional) near-duplicate pair table over the
+                  extracted text — ``near_dup`` in {"simhash",
+                  "minhash"} picks the family
+      audit     : (with near_dup) the width-capped LSH buckets the
+                  family DROPPED — the recall bound of the cap as a
+                  first-class lineage-tracked stage, observable per
+                  run instead of on demand (the lineage row's
+                  output_rows is the dropped-bucket count; the
+                  snapshot holds the buckets themselves)
 
     ``n_salt > 0`` runs the dictionary joins of the edges stage through
     the deterministic salted join (hot-domain skew; result-identical —
@@ -133,9 +157,16 @@ def run_pipeline(
     store = SnapshotStore(spark, workdir)
     run: List[str] = []
     resumed: List[str] = []
-    lineage_batches: List[DataFrame] = []
+    # lineage construction is deferred: input_rows for every corpus stage
+    # is the extract stage's OWN output count (extract is 1:1 with pages),
+    # so the pipeline never pays a separate full `pages.count()` scan —
+    # at 100 TB that was an entire extra pass over the corpus producing
+    # one long (round-3 verdict item 3). The count below runs against the
+    # materialized extract parquet snapshot, which Spark answers from
+    # footer metadata, not a data scan.
+    pending: List[tuple] = []
 
-    def stage(name: str, fn: Callable[[], DataFrame], input_rows: int = -1, partition_by=None) -> DataFrame:
+    def stage(name: str, fn: Callable[[], DataFrame], partition_by=None) -> DataFrame:
         if resume and store.exists(name):
             resumed.append(name)
             return store.read(name)
@@ -144,13 +175,9 @@ def run_pipeline(
         snapshot_id = store.write(name, df, partition_by)
         wall_ms = int((time.time() - t0) * 1000)
         out = store.read(name)
-        lineage_batches.append(
-            _lineage_rows(spark, name, out, wall_ms, snapshot_id, input_rows)
-        )
+        pending.append((name, out, wall_ms, snapshot_id))
         run.append(name)
         return out
-
-    n_pages = pages.count()
 
     # extract and alias_cc have independent inputs: run them as
     # concurrent Spark jobs (two driver threads) so the small
@@ -169,7 +196,7 @@ def run_pipeline(
     alias_thread = threading.Thread(target=_alias_job, daemon=True)
     alias_thread.start()
     try:
-        extracted = stage("extract", lambda: extract_pages(pages), input_rows=n_pages)
+        extracted = stage("extract", lambda: extract_pages(pages))
     finally:
         # always reap the alias job — an extract failure must not leave
         # its Spark job running detached
@@ -179,15 +206,59 @@ def run_pipeline(
     alias_canon = alias_result.get("df")
     if alias_canon is None:
         raise RuntimeError("alias_cc stage produced no result (thread never ran?)")
-    nodes = stage(
-        "nodes", lambda: dedup_nodes(extracted), input_rows=n_pages
-    )
+    nodes = stage("nodes", lambda: dedup_nodes(extracted))
     def _edges() -> DataFrame:
         exporters = exporters_table(extracted, alias_canon)
         return link_extracted(extracted, alias_canon, exporters, n_salt=n_salt)
 
-    edges = stage("edges", _edges, input_rows=n_pages, partition_by=["pred"])
+    edges = stage("edges", _edges, partition_by=["pred"])
 
+    near_df = audit_df = None
+    if near_dup:
+        from ..operators.dedup import (
+            dedup_minhash,
+            dedup_simhash,
+            minhash_dropped_buckets,
+            simhash_dropped_buckets,
+        )
+
+        fams = {
+            "simhash": (dedup_simhash, simhash_dropped_buckets),
+            "minhash": (dedup_minhash, minhash_dropped_buckets),
+        }
+        if near_dup not in fams:
+            raise ValueError(f"near_dup must be one of {sorted(fams)}, got {near_dup!r}")
+        dedup_fn, audit_fn = fams[near_dup]
+        near_df = stage(
+            "near_dup",
+            lambda: dedup_fn(
+                extracted, id_col="url", text_col="text_extracted",
+                max_bucket=near_dup_max_bucket,
+            ),
+        )
+        audit_df = stage(
+            "audit",
+            lambda: audit_fn(
+                extracted, id_col="url", text_col="text_extracted",
+                max_bucket=near_dup_max_bucket,
+            ).withColumn("family", F.lit(near_dup)),
+        )
+
+    lineage_batches: List[DataFrame] = []
+    if pending:
+        # extract is 1:1 with pages: its snapshot count IS n_pages
+        # (parquet footer metadata — no data columns are read)
+        n_pages = extracted.count()
+        per_stage_input = {
+            "extract": n_pages, "nodes": n_pages, "edges": n_pages,
+            "near_dup": n_pages, "audit": n_pages,
+        }
+        for name, out, wall_ms, snapshot_id in pending:
+            lineage_batches.append(
+                _lineage_rows(
+                    spark, name, out, wall_ms, snapshot_id, per_stage_input.get(name, -1)
+                )
+            )
     if lineage_batches:
         lineage = lineage_batches[0]
         for b in lineage_batches[1:]:
@@ -195,4 +266,8 @@ def run_pipeline(
         lineage.write.mode("append").parquet(os.path.join(workdir, "lineage"))
     lineage_df = spark.read.parquet(os.path.join(workdir, "lineage"))
 
-    return PipelineResult(nodes=nodes, edges=edges, lineage=lineage_df, stages_run=run, stages_resumed=resumed)
+    return PipelineResult(
+        nodes=nodes, edges=edges, lineage=lineage_df,
+        stages_run=run, stages_resumed=resumed,
+        near_dup=near_df, audit=audit_df,
+    )

@@ -84,10 +84,37 @@ def spread_partitions(df, *cols, factor: int = 2):
     per-row passes and broadcast-join streamed sides over the
     checkpoint run at session parallelism either way.
 
+    Keyed spreads hash-partition by the key columns, so when the key
+    has fewer than ~2× parallelism distinct values only that many tasks
+    carry rows — the co-location needed by the downstream equi join
+    bounds the achievable width; full-width execution is only promised
+    for the unkeyed form.
+
     No-op when the input is already at least that wide — at 100 TB the
-    scan arrives in thousands of splits and this never fires."""
+    scan arrives in thousands of splits and this never fires. The width
+    probe touches ``df.rdd`` ONLY for scan-rooted plans (no
+    exchange-inducing operator anywhere in the tree): with AQE on,
+    ``.rdd`` on a plan *with* exchanges eagerly materializes the
+    upstream query stages just to read a partition count, and that work
+    is recomputed by the real action. A plan that already contains a
+    join/aggregate/repartition arrives at ``spark.sql.shuffle.partitions``
+    width (= session parallelism here) from its own shuffle, so the
+    spread is skipped rather than probed."""
+    import re
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    # optimizedPlan() analyzes but never executes; node names are
+    # capitalized, expression names (array_join, aggregate(..)) are not
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        k in plan
+        for k in (
+            "Join", "Aggregate", "Window", "Deduplicate", "Sort",
+            "RepartitionByExpression", "GlobalLimit",
+        )
+    ) or re.search(r"Repartition \d+, true", plan):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     from pyspark.sql import functions as F
