@@ -69,19 +69,21 @@ def cmd_generate(args) -> int:
         )
     alias = spark.read.parquet(args.alias)
     res = run_pipeline(
-        spark, pages, alias, args.out, resume=not args.no_resume, n_salt=args.salt
+        spark, pages, alias, args.out, resume=not args.no_resume, n_salt=args.salt,
+        near_dup=args.near_dup,
     )
-    print(
-        json.dumps(
-            {
-                "nodes": res.nodes.count(),
-                "edges": res.edges.count(),
-                "stages_run": res.stages_run,
-                "stages_resumed": res.stages_resumed,
-                "out": args.out,
-            }
-        )
-    )
+    out = {
+        "nodes": res.nodes.count(),
+        "edges": res.edges.count(),
+        "stages_run": res.stages_run,
+        "stages_resumed": res.stages_resumed,
+        "out": args.out,
+    }
+    if res.audit is not None:
+        # the recall bound of the near-dup width cap, per run
+        out["near_dup_pairs"] = res.near_dup.count()
+        out["audit_dropped_buckets"] = res.audit.count()
+    print(json.dumps(out))
     return 0
 
 
@@ -136,7 +138,14 @@ def cmd_stat(args) -> int:
 
 
 def cmd_find(args) -> int:
-    """`surfactant cli find` analogue (`cmd/cli.py:263-312`)."""
+    """`surfactant cli find` analogue (`cmd/cli.py:263-312`).
+
+    The reference prints every match; a web-scale node table needs the
+    default --limit so a broad pattern cannot collect the world to the
+    driver. The limited subset is made deterministic (ordered by the
+    unique uuid before limiting — a bare limit() returns an arbitrary,
+    run-to-run different subset) and truncation is announced on stderr
+    (detected by fetching limit+1 rows)."""
     from .operators.expand import find_nodes
 
     spark = _spark(args)
@@ -151,9 +160,19 @@ def cmd_find(args) -> int:
         min_sources=args.min_sources,
     )
     if args.limit:
-        out = out.limit(args.limit)
-    for r in out.toJSON().collect():
-        print(r)
+        sort_key = "uuid" if "uuid" in out.columns else out.columns[0]
+        rows = out.orderBy(sort_key).limit(args.limit + 1).toJSON().collect()
+        for r in rows[: args.limit]:
+            print(r)
+        if len(rows) > args.limit:
+            print(
+                f"note: output truncated at --limit {args.limit}; "
+                "raise it or pass --limit 0 for all matches",
+                file=sys.stderr,
+            )
+    else:
+        for r in out.toJSON().collect():
+            print(r)
     return 0
 
 
@@ -244,6 +263,75 @@ def cmd_config(args) -> int:
     final = converted[0] if len(converted) == 1 else converted
     cm.set(section, option, final)
     print(f"Configuration '{args.key}' set to '{final}'.")
+    return 0
+
+
+def cmd_plugin(args) -> int:
+    """`surfactant plugin list/enable/disable` analogue
+    (`cmd/plugin.py:16-93`): inspect the hook registry and persist a
+    disabled-hook list under `core.disable_plugins` (same section/key
+    as the reference). `install`/`uninstall` shell out to pip in the
+    reference and are declared out of scope here (COVERAGE.md) — a
+    cluster engine installs plugins at deploy time, not per-driver."""
+    from .config import ConfigManager
+    from .plugin import default_registry
+
+    cm = ConfigManager()
+    disabled = cm.get("core", "disable_plugins", [])
+    if isinstance(disabled, str):
+        disabled = [disabled]
+    if args.plugin_cmd == "list":
+        names = default_registry().without(disabled).hook_names()
+        for family in ("classify", "extract", "link"):
+            print(f"{family.upper()} HOOKS")
+            for n in names[family]:
+                print(f"\tname: {n}")
+        print("\nDISABLED PLUGINS")
+        if not disabled:
+            print("\tThere are no disabled plugins.")
+        for d in disabled:
+            print(f"\tname: {d}")
+        return 0
+    if not args.names:
+        raise SystemExit("At least one plugin name must be specified.")
+    if args.plugin_cmd == "enable":
+        disabled = [d for d in disabled if d not in args.names]
+    else:  # disable
+        known = {
+            n for fam in default_registry().hook_names().values() for n in fam
+        }
+        for n in args.names:
+            if n not in known:
+                print(f"warning: {n!r} is not a registered hook", file=sys.stderr)
+            if n not in disabled:
+                disabled.append(n)
+    cm.set("core", "disable_plugins", disabled)
+    print(f"Updated blocked plugins: {disabled}")
+    return 0
+
+
+def cmd_create_config(args) -> int:
+    """`surfactant create-config` analogue (`cmd/createconfig.py:22-31`):
+    emit a specimen config JSON `[{"extractPaths": [PREFIX],
+    "installPrefix": ...}]` for a url prefix. The reference validates
+    its directory argument exists (click.Path(exists=True)); the table
+    analogue, when --pages is given, is checking the prefix matches at
+    least one page (a prefix matching nothing is almost always a typo,
+    and the pushed-down startswith makes the probe a pruned scan)."""
+    if args.pages:
+        from pyspark.sql import functions as F
+
+        spark = _spark(args)
+        pages = spark.read.parquet(args.pages)
+        if pages.where(F.col("url").startswith(args.prefix)).limit(1).count() == 0:
+            raise SystemExit(f"no pages match prefix {args.prefix!r}")
+    config = [{"extractPaths": [args.prefix], "installPrefix": args.install_prefix}]
+    out = args.output or (
+        (os.path.basename(args.prefix.rstrip("/")) or "specimen") + ".json"
+    )
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(config, f, indent=4)
+    print(json.dumps({"out": out, "entries": len(config)}))
     return 0
 
 
@@ -359,6 +447,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--format", default="parquet", choices=["parquet", "warc", "jsonl", "csv"]
     )
     g.add_argument("--salt", type=int, default=0, help="salt hot dictionary keys N ways")
+    g.add_argument(
+        "--near-dup",
+        default=None,
+        choices=["simhash", "minhash"],
+        help="also materialize a near-dup pair stage + its dropped-bucket "
+        "recall audit as lineage-tracked stages",
+    )
     g.set_defaults(fn=cmd_generate)
 
     m = sub.add_parser("merge", help="fold graph dirs into one")
@@ -426,6 +521,22 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--out", required=True)
     sv.add_argument("--format", default="parquet", choices=["parquet", "cytrics", "csv"])
     sv.set_defaults(fn=cmd_save)
+
+    pl = sub.add_parser("plugin", help="inspect / enable / disable registry hooks")
+    pl.add_argument("plugin_cmd", choices=["list", "enable", "disable"])
+    pl.add_argument("names", nargs="*", help="hook names (for enable/disable)")
+    pl.set_defaults(fn=cmd_plugin)
+
+    cc = sub.add_parser(
+        "create-config", help="emit a specimen config JSON for a url prefix"
+    )
+    cc.add_argument("prefix", help="url prefix to record as the extract path")
+    cc.add_argument("-o", "--output", default=None, help="output JSON file")
+    cc.add_argument("--install-prefix", default="/", help="installPrefix value")
+    cc.add_argument(
+        "--pages", default=None, help="pages parquet to validate the prefix against"
+    )
+    cc.set_defaults(fn=cmd_create_config)
     return p
 
 

@@ -120,6 +120,28 @@ class HookRegistry:
             batches, schema="url string, doctype string, metadata_json string"
         )
 
+    # -- introspection / management (≙ `plugin/manager.py` print_plugins
+    # and the `cmd/plugin.py` enable/disable surface) ------------------------
+    def hook_names(self) -> Dict[str, List[str]]:
+        """Registered hook names by family, in dispatch order."""
+        return {
+            "classify": [f.__name__ for f in self._classify],
+            "extract": list(self._extract),
+            "link": list(self._link),
+        }
+
+    def without(self, disabled) -> "HookRegistry":
+        """A copy of this registry with the named hooks removed — how the
+        persisted `core.disable_plugins` list takes effect (the reference
+        blocks disabled plugins at manager construction,
+        `plugin/manager.py:get_plugin_manager`)."""
+        disabled = set(disabled or ())
+        out = HookRegistry()
+        out._classify = [f for f in self._classify if f.__name__ not in disabled]
+        out._extract = {n: f for n, f in self._extract.items() if n not in disabled}
+        out._link = {n: f for n, f in self._link.items() if n not in disabled}
+        return out
+
     def run_link(self, nodes: DataFrame) -> DataFrame:
         """Union + dedup of every linker's triples (duplicate-edge
         suppression, `_sbom.py:33`, `relationships/__init__.py:29-30`)."""
@@ -200,3 +222,18 @@ def default_registry() -> HookRegistry:
     reg.linker("dotnet")(link_dotnet)
     reg.linker("java")(link_java)
     return reg
+
+
+def active_registry(config_manager=None) -> HookRegistry:
+    """The default registry minus the hooks disabled via
+    ``plugin disable`` (persisted as ``core.disable_plugins`` in the
+    sectioned config, same section/key as the reference's
+    `cmd/plugin.py:24-27`)."""
+    if config_manager is None:
+        from .config import ConfigManager
+
+        config_manager = ConfigManager()
+    disabled = config_manager.get("core", "disable_plugins", [])
+    if isinstance(disabled, str):
+        disabled = [disabled]
+    return default_registry().without(disabled)

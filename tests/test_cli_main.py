@@ -243,6 +243,137 @@ def test_add_refuses_in_place_overwrite(spark, tmp_path):
               "--relationship", "a", "Contains", "c"])
 
 
+def test_plugin_list_enable_disable(isolated_config, spark, capsys):
+    """`plugin list/enable/disable` (`cmd/plugin.py:16-93`): the
+    disabled list persists in core.disable_plugins and actually changes
+    what active_registry() classifies/extracts."""
+    from surfactant_spark.plugin import active_registry
+    from tests.test_expand_plugin import _pages_df
+
+    assert main(["plugin", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "CLASSIFY HOOKS" in out and "magic" in out and "html" in out
+    assert "There are no disabled plugins." in out
+
+    assert main(["plugin", "disable", "magic", "html"]) == 0
+    assert "Updated blocked plugins: ['magic', 'html']" in capsys.readouterr().out
+    assert main(["plugin", "list"]) == 0
+    out = capsys.readouterr().out
+    enabled, disabled_sec = out.split("DISABLED PLUGINS")
+    assert "magic" not in enabled and "html" not in enabled
+    assert "magic" in disabled_sec and "html" in disabled_sec
+
+    # observed behavior change: without the magic classifier an ELF
+    # prefix falls through to the text fallback; without the html
+    # extractor no title/mentions are emitted
+    pages = _pages_df(
+        spark, [("u1", b"<html><title>lib-a</title></html>", None, "en"),
+                ("u2", b"\x7fELF\x02\x01", None, None)]
+    )
+    reg = active_registry()
+    assert reg.classify_value(b"\x7fELF") == "text"
+    ext = {r.url: json.loads(r.metadata_json) for r in reg.run_extract(pages).collect()}
+    assert ext["u1"] == {} and ext["u2"] == {}
+
+    # re-enable restores the defaults
+    assert main(["plugin", "enable", "magic", "html"]) == 0
+    capsys.readouterr()
+    reg = active_registry()
+    assert reg.classify_value(b"\x7fELF") == "elf"
+    ext = {r.url: json.loads(r.metadata_json) for r in reg.run_extract(pages).collect()}
+    assert ext["u1"]["title"] == "lib-a"
+
+    # unknown names warn but do not fail (reference is permissive too)
+    assert main(["plugin", "disable", "nosuchhook"]) == 0
+    captured = capsys.readouterr()
+    assert "not a registered hook" in captured.err
+    main(["plugin", "enable", "nosuchhook"])
+    capsys.readouterr()
+
+    with pytest.raises(SystemExit, match="plugin name"):
+        main(["plugin", "disable"])
+
+
+def test_create_config_roundtrip(spark, spark_pages, spark_alias, tmp_path, capsys):
+    """create-config -> generate --specimen reproduces the direct-scan
+    output (`cmd/createconfig.py:22-31` parity + F9 rebase)."""
+    pages_p = str(tmp_path / "pages")
+    alias_p = str(tmp_path / "alias")
+    spark_pages.write.parquet(pages_p)
+    spark_alias.write.parquet(alias_p)
+    url0 = spark_pages.select("url").first()[0]
+    root = url0.rsplit("/", 1)[0]
+
+    cfg_path = str(tmp_path / "spec.json")
+    rc = main(["--master", "local[4]", "create-config", root, "-o", cfg_path,
+               "--install-prefix", "/opt/app", "--pages", pages_p])
+    assert rc == 0
+    capsys.readouterr()
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    assert cfg == [{"extractPaths": [root], "installPrefix": "/opt/app"}]
+
+    out = str(tmp_path / "kg")
+    rc = main(["--master", "local[4]", "generate", "--pages", pages_p,
+               "--alias", alias_p, "--out", out, "--specimen", cfg_path])
+    assert rc == 0
+    capsys.readouterr()
+
+    # direct-scan oracle: the same work item applied straight through
+    # the specimen operators must give the identical install-path map
+    from surfactant_spark.operators.specimen import (
+        install_paths_from_scan,
+        scan_from_config,
+    )
+
+    direct = install_paths_from_scan(
+        scan_from_config(spark.read.parquet(pages_p), cfg)
+    )
+    expect = {(r.url, r.install_path) for r in direct.select("url", "install_path").collect()}
+    got = {
+        (r.url, r.install_path)
+        for r in spark.read.parquet(os.path.join(out, "install_paths")).collect()
+    }
+    assert got == expect and got
+
+    # a prefix matching nothing is rejected (exists-validation analogue)
+    with pytest.raises(SystemExit, match="no pages match"):
+        main(["--master", "local[4]", "create-config", "zz://nope",
+              "--pages", pages_p, "-o", str(tmp_path / "x.json")])
+
+
+def test_find_limit_deterministic_and_noticed(spark, tmp_path, capsys):
+    """A truncating --limit prints a DETERMINISTIC (uuid-ordered) subset
+    and announces the truncation on stderr (round-3 ADVICE: a bare
+    limit() printed an arbitrary run-to-run different subset silently)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    nodes = spark.createDataFrame(
+        [(f"c{i}", f"s{i}", ["n"], ["a"], 1, ts) for i in range(5)],
+        "canon_uuid string, sha256 string, names array<string>, "
+        "aliases array<string>, n_sources long, first_seen timestamp",
+    )
+    src = str(tmp_path / "nodes")
+    nodes.write.parquet(src)
+
+    rc = main(["--master", "local[4]", "find", "--nodes", src,
+               "--min-sources", "1", "--limit", "2"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    lines = [l for l in cap.out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert [json.loads(l)["canon_uuid"] for l in lines] == ["c0", "c1"]
+    assert "truncated at --limit 2" in cap.err
+
+    # a non-truncating limit prints no notice
+    rc = main(["--master", "local[4]", "find", "--nodes", src,
+               "--min-sources", "1", "--limit", "50"])
+    cap = capsys.readouterr()
+    assert len([l for l in cap.out.splitlines() if l.strip()]) == 5
+    assert "truncated" not in cap.err
+
+
 def test_generate_specimen_materializes_install_paths(spark, spark_pages, spark_alias, tmp_path, capsys):
     """F9 through the CLI: a specimen config with installPrefix must
     produce a rebased (url, install_path) map under --out, not be
