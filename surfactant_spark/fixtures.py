@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r4a"
+FIXTURE_VERSION = "r4b"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -315,6 +315,268 @@ def synth_norm_paths() -> Dict[str, list]:
     return {"path": posix, "win": win}
 
 
+# ---------------------------------------------------------------------------
+# E6 — synthetic Mach-O corpus with spec-derived expected decode fields.
+# Builders assemble bytes from the public mach-o/loader.h layout; the
+# expected_* columns come from the SAME parameters the builder was given
+# (ground truth at synth time, independent of the decoder under test —
+# the classify_magic oracle pattern).
+# ---------------------------------------------------------------------------
+def _mo_dylib(cmd_id: int, name: str, cur=(1, 2, 3), compat=(1, 0, 0)) -> bytes:
+    import struct
+
+    nb = name.encode() + b"\x00"
+    pad = (-(24 + len(nb))) % 8
+    return struct.pack(
+        "<IIIIII", cmd_id, 24 + len(nb) + pad, 24, 0,
+        (cur[0] << 16) | (cur[1] << 8) | cur[2],
+        (compat[0] << 16) | (compat[1] << 8) | compat[2],
+    ) + nb + b"\x00" * pad
+
+
+def _mo_str(cmd_id: int, s: str) -> bytes:
+    import struct
+
+    nb = s.encode() + b"\x00"
+    pad = (-(12 + len(nb))) % 8
+    return struct.pack("<III", cmd_id, 12 + len(nb) + pad, 12) + nb + b"\x00" * pad
+
+
+def _mo_build(platform: int, min_os, sdk, tools) -> bytes:
+    import struct
+
+    def ver(t):
+        return (t[0] << 16) | (t[1] << 8) | t[2]
+
+    body = b"".join(struct.pack("<II", tid, ver(tv)) for tid, tv in tools)
+    return struct.pack(
+        "<IIIIII", 0x32, 24 + len(body), platform, ver(min_os), ver(sdk), len(tools)
+    ) + body
+
+
+def _mo_thin(cmds: list, cputype: int = 0x01000007, filetype: int = 6) -> bytes:
+    import struct
+
+    body = b"".join(cmds)
+    return struct.pack(
+        "<IIIIIIII", 0xFEEDFACF, cputype, 3, filetype, len(cmds), len(body), 0, 0
+    ) + body
+
+
+def _mo_fat(slices: list) -> bytes:
+    import struct
+
+    n = len(slices)
+    hdr = struct.pack(">II", 0xCAFEBABE, n)
+    off = 8 + 20 * n
+    entries, blob = [], b""
+    for s in slices:
+        entries.append(struct.pack(">IIIII", 0, 0, off, len(s), 0))
+        blob += s
+        off += len(s)
+    return hdr + b"".join(entries) + blob
+
+
+def synth_macho_pages() -> Dict[str, list]:
+    _REQ = 0x80000000
+    kinds = [0xC, 0x18 | _REQ, 0x1F | _REQ, 0x20]  # load/weak/reexport/lazy
+    plats = [(1, "MACOS"), (2, "IOS"), (6, "MACCATALYST")]
+    tools = [(1, "CLANG"), (2, "SWIFT"), (3, "LD")]
+    cpus = [(0x01000007, "x86_64"), (0x0100000C, "arm64")]
+    ftypes = [(2, "execute"), (6, "dylib"), (8, "bundle")]
+    cols = {k: [] for k in (
+        "url", "html", "e_n_binaries", "e_cputype", "e_filetype", "e_deps",
+        "e_id_name", "e_rpaths", "e_linker", "e_platform", "e_min_os",
+        "e_sdk", "e_tools",
+    )}
+    for i in range(20):
+        cpu_v, cpu_n = cpus[i % 2]
+        ft_v, ft_n = ftypes[i % 3]
+        n_deps = i % 4
+        deps, cmds = [], []
+        for d in range(n_deps):
+            nm = f"/usr/lib/libdep{i}_{d}.dylib" if d % 2 else f"@rpath/libr{i}_{d}.dylib"
+            cur, compat = (100 + i, d, 1), (1, d, 0)
+            cmds.append(_mo_dylib(kinds[d % len(kinds)], nm, cur, compat))
+            deps.append(f"{nm}@{cur[0]}.{cur[1]}.{cur[2]}@{compat[0]}.{compat[1]}.{compat[2]}")
+        id_name = None
+        if i % 3 == 0:
+            id_name = f"@rpath/libself{i}.dylib"
+            cmds.append(_mo_dylib(0xD, id_name, (i, 0, 0), (1, 0, 0)))
+        rpaths = [f"@loader_path/../lib{r}" for r in range(i % 3)]
+        cmds.extend(_mo_str(0x1C | _REQ, p) for p in rpaths)
+        linker = "/usr/lib/dyld" if i % 2 == 0 else None
+        if linker:
+            cmds.append(_mo_str(0xE, linker))
+        platform = min_os = sdk = tools_csv = None
+        if i % 4 != 3:
+            p_v, p_n = plats[i % 3]
+            t_id, t_n = tools[i % 3]
+            cmds.append(_mo_build(p_v, (12, i % 7, 0), (13, 0, i % 5), [(t_id, (900, i, 0))]))
+            platform, min_os, sdk = p_n, f"12.{i % 7}.0", f"13.0.{i % 5}"
+            tools_csv = f"{t_n}@900.{i}.0"
+        thin = _mo_thin(cmds, cpu_v, ft_v)
+        n_bin = 1
+        if i % 5 == 4:  # fat: this slice + a minimal second arch
+            thin = _mo_fat([thin, _mo_thin([_mo_str(0xE, "/usr/lib/dyld")], cpus[(i + 1) % 2][0], 2)])
+            n_bin = 2
+        cols["url"].append(f"macho://bin{i}")
+        cols["html"].append(thin)
+        cols["e_n_binaries"].append(n_bin)
+        cols["e_cputype"].append(cpu_n)
+        cols["e_filetype"].append(ft_n)
+        cols["e_deps"].append("|".join(deps))
+        cols["e_id_name"].append(id_name)
+        cols["e_rpaths"].append("|".join(rpaths))
+        cols["e_linker"].append(linker)
+        cols["e_platform"].append(platform)
+        cols["e_min_os"].append(min_os)
+        cols["e_sdk"].append(sdk)
+        cols["e_tools"].append(tools_csv)
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# E7 — synthetic OLE/CFB corpus (FAT-stream and ministream layouts) with
+# spec-derived expected SummaryInformation fields.
+# ---------------------------------------------------------------------------
+def _oleps_ps(props: Dict[int, object]) -> bytes:
+    import struct
+
+    head = struct.pack("<HHI", 0xFFFE, 0, 0x00020005) + b"\x00" * 16 + struct.pack("<I", 1)
+    fmtid = bytes.fromhex("e0859ff2f94f1068ab9108002b27b3d9")
+    sec_off = len(head) + 20
+    entries, values, voff = [], [], 8 + 8 * len(props)
+    for pid, v in props.items():
+        entries.append(struct.pack("<II", pid, voff))
+        if isinstance(v, int):
+            values.append(struct.pack("<Ii", 3, v))  # VT_I4
+            voff += 8
+        else:
+            sb = v.encode() + b"\x00"
+            pad = (-len(sb)) % 4
+            values.append(struct.pack("<II", 30, len(sb)) + sb + b"\x00" * pad)
+            voff += 8 + len(sb) + pad
+    body = b"".join(entries) + b"".join(values)
+    section = struct.pack("<II", 8 + len(body), len(props)) + body
+    return head + fmtid + struct.pack("<I", sec_off) + section
+
+
+def _cfb_entry(name: str, etype: int, start: int, size: int, clsid: bytes = b"\x00" * 16) -> bytes:
+    nm = name.encode("utf-16-le")
+    e = bytearray(128)
+    e[: len(nm)] = nm
+    e[64:66] = (len(nm) + 2).to_bytes(2, "little")
+    e[66] = etype
+    e[67] = 1
+    e[80:96] = clsid
+    e[116:120] = start.to_bytes(4, "little") if start >= 0 else b"\xfe\xff\xff\xff"
+    e[120:128] = size.to_bytes(8, "little")
+    return bytes(e)
+
+
+def _cfb_hdr(first_dir: int, mini_cutoff: int, first_minifat: int) -> bytearray:
+    import struct
+
+    h = bytearray(512)
+    h[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    h[24:26] = (0x3E).to_bytes(2, "little")
+    h[26:28] = (3).to_bytes(2, "little")
+    h[28:30] = b"\xfe\xff"
+    h[30:32] = (9).to_bytes(2, "little")
+    h[32:34] = (6).to_bytes(2, "little")
+    h[44:48] = (1).to_bytes(4, "little")
+    h[48:52] = first_dir.to_bytes(4, "little")
+    h[56:60] = mini_cutoff.to_bytes(4, "little")
+    h[60:64] = struct.pack("<I", first_minifat & 0xFFFFFFFF)
+    h[64:68] = (0 if first_minifat == -2 else 1).to_bytes(4, "little")
+    h[68:72] = struct.pack("<I", 0xFFFFFFFE)
+    for i in range(109):
+        h[76 + 4 * i : 80 + 4 * i] = struct.pack("<I", 0xFFFFFFFF)
+    h[76:80] = (0).to_bytes(4, "little")
+    return h
+
+
+def _cfb_fatsec(entries: list) -> bytes:
+    import struct
+
+    s = bytearray(b"".join(struct.pack("<I", e & 0xFFFFFFFF) for e in entries))
+    s += struct.pack("<I", 0xFFFFFFFF) * ((512 - len(s)) // 4)
+    return bytes(s)
+
+
+_CFB_CLSIDS = {
+    "MSI": "000c1084-0000-0000-c000-000000000046",
+    "MSP": "000c1086-0000-0000-c000-000000000046",
+    None: "12345678-0000-0000-c000-000000000046",
+}
+
+
+def _clsid_bytes(clsid_hex: str) -> bytes:
+    d1, d2, d3, rest = clsid_hex.split("-", 3)
+    return (
+        int(d1, 16).to_bytes(4, "little")
+        + int(d2, 16).to_bytes(2, "little")
+        + int(d3, 16).to_bytes(2, "little")
+        + bytes.fromhex(rest.replace("-", ""))
+    )
+
+
+def _cfb_with_summary(props: Dict[int, object], clsid_hex: str, mini: bool) -> bytes:
+    ps = _oleps_ps(props)
+    assert len(ps) <= 512
+    clsid = _clsid_bytes(clsid_hex)
+    if not mini:
+        header = _cfb_hdr(first_dir=1, mini_cutoff=0, first_minifat=-2)
+        fat = _cfb_fatsec([-3, -2, -2])
+        root = _cfb_entry("Root Entry", 5, -1, 0, clsid=clsid)
+        summ = _cfb_entry("\x05SummaryInformation", 2, 2, len(ps))
+        return bytes(header) + fat + (root + summ).ljust(512, b"\x00") + ps.ljust(512, b"\x00")
+    n_mini = (len(ps) + 63) // 64
+    header = _cfb_hdr(first_dir=1, mini_cutoff=4096, first_minifat=3)
+    fat = _cfb_fatsec([-3, -2, -2, -2])
+    root = _cfb_entry("Root Entry", 5, 2, n_mini * 64, clsid=clsid)
+    summ = _cfb_entry("\x05SummaryInformation", 2, 0, len(ps))
+    minifat = _cfb_fatsec(list(range(1, n_mini)) + [-2])
+    return (
+        bytes(header) + fat + (root + summ).ljust(512, b"\x00")
+        + ps.ljust(512, b"\x00") + minifat
+    )
+
+
+def synth_ole_pages() -> Dict[str, list]:
+    prop_ids = {"title": 2, "subject": 3, "author": 4, "revision_number": 9,
+                "comments": 6}
+    cols = {k: [] for k in (
+        "url", "html", "e_clsid_type", "e_title", "e_subject", "e_author",
+        "e_revision", "e_comments", "e_num_words",
+    )}
+    clsid_cycle = ["MSI", "MSP", None]
+    for i in range(12):
+        props: Dict[int, object] = {}
+        expected = {}
+        for j, (name, pid) in enumerate(sorted(prop_ids.items())):
+            if (i + j) % 3 != 0:
+                props[pid] = f"{name}-{i}"
+                expected[name] = f"{name}-{i}"
+        num_words = None
+        if i % 4 == 0:
+            props[15] = 1000 + i  # VT_I4 num_words — str()-coerced
+            num_words = str(1000 + i)
+        ctype = clsid_cycle[i % 3]
+        blob = _cfb_with_summary(props, _CFB_CLSIDS[ctype], mini=i % 2 == 1)
+        cols["url"].append(f"ole://doc{i}")
+        cols["html"].append(blob)
+        cols["e_clsid_type"].append(ctype)
+        cols["e_title"].append(expected.get("title"))
+        cols["e_subject"].append(expected.get("subject"))
+        cols["e_author"].append(expected.get("author"))
+        cols["e_revision"].append(expected.get("revision_number"))
+        cols["e_comments"].append(expected.get("comments"))
+        cols["e_num_words"].append(num_words)
+    return cols
+
+
 def synth_magic_pages() -> List[Tuple[str, bytes, str]]:
     """(url, bytes, expected_type) covering every branch of the magic
     classifier (`id_magic.py:56-214`, `id_hex.py:71-96`) with real
@@ -479,7 +741,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "dotnet_nodes", "dotnet_probes", "java_nodes", "java_symbols",
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
         "audit_rows", "cp_software", "cp_map", "cp_edges",
-        "kg_nodes_fix", "norm_paths",
+        "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -620,6 +882,8 @@ def stage_link_fixtures() -> Dict[str, str]:
             )
     _write_parquet(paths["kg_nodes_fix"], synth_kg_nodes())
     _write_parquet(paths["norm_paths"], synth_norm_paths())
+    _write_parquet(paths["macho_pages"], synth_macho_pages())
+    _write_parquet(paths["ole_pages"], synth_ole_pages())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -1828,6 +1828,128 @@ FROM rec WHERE i = len(comps)
 
 
 # ---------------------------------------------------------------------------
+# E6 — the full Mach-O extractor (fat dispatch + bounded load-command
+# walk, `infoextractors/mach_o_file.py:44-176`) over a synthetic corpus
+# whose expected fields were derived from the build parameters at synth
+# time (fixtures.synth_macho_pages — the classify_magic oracle pattern:
+# spec-level ground truth, independent of the decoder under test).
+# ---------------------------------------------------------------------------
+_MACHO_DECODE_SCHEMA = (
+    "url string, n_binaries int, cputype string, filetype string, "
+    "deps_csv string, id_name string, rpaths_csv string, linker string, "
+    "platform string, min_os string, sdk string, tools_csv string"
+)
+
+
+def q_macho_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.magic import macho_info
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                info = macho_info(bytes(html)) or {}
+                b0 = (info.get("binaries") or [{}])[0]
+                build = b0.get("build") or {}
+                rows.append({
+                    "url": url,
+                    "n_binaries": info.get("numBinaries"),
+                    "cputype": (b0.get("header") or {}).get("cputype"),
+                    "filetype": (b0.get("header") or {}).get("filetype"),
+                    "deps_csv": "|".join(
+                        f"{d['name']}@{d['currentVersion']}@{d['compatibilityVersion']}"
+                        for d in b0.get("dependencies", [])
+                    ),
+                    "id_name": (b0.get("id_dylib") or {}).get("name"),
+                    "rpaths_csv": "|".join(b0.get("rpaths", [])),
+                    "linker": (b0.get("dyld") or {}).get("linker"),
+                    "platform": build.get("platform"),
+                    "min_os": build.get("minOSVersion"),
+                    "sdk": build.get("sdkVersion"),
+                    "tools_csv": "|".join(
+                        f"{t['tool']}@{t['version']}" for t in build.get("tools", [])
+                    ) or None,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "url", "n_binaries", "cputype", "filetype", "deps_csv",
+                "id_name", "rpaths_csv", "linker", "platform", "min_os",
+                "sdk", "tools_csv",
+            ])
+
+    p = _fixture_paths()
+    pages = spark.read.parquet(p["macho_pages"]).select("url", "html")
+    return pages.mapInPandas(batches, schema=_MACHO_DECODE_SCHEMA)
+
+
+def _sql_macho_decode(pages_path: str) -> str:
+    return f"""
+SELECT url, CAST(e_n_binaries AS INTEGER) AS n_binaries,
+       e_cputype AS cputype, e_filetype AS filetype, e_deps AS deps_csv,
+       e_id_name AS id_name, e_rpaths AS rpaths_csv, e_linker AS linker,
+       e_platform AS platform, e_min_os AS min_os, e_sdk AS sdk,
+       e_tools AS tools_csv
+FROM read_parquet('{pages_path}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# E7 — the OLE/CFB extractor (header CLSID typing + bounded FAT/
+# ministream walk + MS-OLEPS SummaryInformation decode,
+# `infoextractors/ole_file.py:40-69`) over a synthetic CFB corpus with
+# synth-time expected fields (both FAT-stream and ministream layouts,
+# VT_LPSTR and VT_I4 property types).
+# ---------------------------------------------------------------------------
+_OLE_DECODE_SCHEMA = (
+    "url string, clsid_type string, title string, subject string, "
+    "author string, revision_number string, comments string, num_words string"
+)
+
+
+def q_ole_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.magic import ole_header, ole_summary_info
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html)
+                hdr = ole_header(blob) or {}
+                s = ole_summary_info(blob) or {}
+                rows.append({
+                    "url": url,
+                    "clsid_type": hdr.get("clsid_type"),
+                    "title": s.get("title"),
+                    "subject": s.get("subject"),
+                    "author": s.get("author"),
+                    "revision_number": s.get("revision_number"),
+                    "comments": s.get("comments"),
+                    "num_words": s.get("num_words"),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "url", "clsid_type", "title", "subject", "author",
+                "revision_number", "comments", "num_words",
+            ])
+
+    p = _fixture_paths()
+    pages = spark.read.parquet(p["ole_pages"]).select("url", "html")
+    return pages.mapInPandas(batches, schema=_OLE_DECODE_SCHEMA)
+
+
+def _sql_ole_decode(pages_path: str) -> str:
+    return f"""
+SELECT url, e_clsid_type AS clsid_type, e_title AS title,
+       e_subject AS subject, e_author AS author,
+       e_revision AS revision_number, e_comments AS comments,
+       e_num_words AS num_words
+FROM read_parquet('{pages_path}')
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -1881,6 +2003,8 @@ QUERIES = {
     "csv_export": q_csv_export,
     "cyclonedx": q_cyclonedx,
     "normpath": q_normpath,
+    "macho_decode": q_macho_decode,
+    "ole_decode": q_ole_decode,
 }
 
 
@@ -1956,4 +2080,6 @@ ORACLE_SQL = {
         _fixture_file("cp_software"), _fixture_file("cp_edges")
     ),
     "normpath": _sql_normpath(_fixture_file("norm_paths")),
+    "macho_decode": _sql_macho_decode(_fixture_file("macho_pages")),
+    "ole_decode": _sql_ole_decode(_fixture_file("ole_pages")),
 }

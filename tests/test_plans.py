@@ -182,16 +182,25 @@ def test_round3_queries_plan_shapes(spark):
 
 def test_round4_queries_plan_shapes(spark):
     """The round-4 oracle queries (CSV export, CycloneDX export,
-    normpath) keep distributed-safe plans: no nested-loop/cartesian, no
-    row-at-a-time PythonUDF (normpath runs Arrow-batched)."""
-    from surfactant_spark.queries import q_csv_export, q_cyclonedx, q_normpath
+    normpath, Mach-O/OLE decode) keep distributed-safe plans: no
+    nested-loop/cartesian, no row-at-a-time PythonUDF (normpath runs
+    Arrow-batched scalar UDFs; the byte-level decoders run as
+    MapInPandas passes)."""
+    from surfactant_spark.queries import (
+        q_csv_export,
+        q_cyclonedx,
+        q_macho_decode,
+        q_normpath,
+        q_ole_decode,
+    )
 
-    for q in (q_csv_export, q_cyclonedx, q_normpath):
+    for q in (q_csv_export, q_cyclonedx, q_normpath, q_macho_decode, q_ole_decode):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__  # row-at-a-time UDF
     assert "ArrowEvalPython" in _plan(q_normpath(spark, SF_DIR))
+    assert "MapInPandas" in _plan(q_macho_decode(spark, SF_DIR))
 
 
 def test_spread_partitions_widens_single_split_input(spark):
