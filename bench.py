@@ -125,7 +125,7 @@ def _claim_local_dirs(base):
     return d
 
 
-def default_mode(max_reps: int = 3, clean_thresh: float = 0.05):
+def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
     """Self-defending bench (round-3 verdict item 1): the sandbox VM
     shares a host and individual windows get externally throttled, so a
     single measurement can record the host, not the code (round 3's
@@ -166,10 +166,17 @@ def default_mode(max_reps: int = 3, clean_thresh: float = 0.05):
     n_pages = {0.001: 500, 0.01: 2000, 0.1: 8000}.get(sf, 2000)
     reps = []
     for rep in range(max_reps):
+        # the clean/degraded criterion applies to the QUERY window; the
+        # pipeline window is measured separately because its tmpfs stage
+        # writes + Python-worker forks burn legitimate guest system time
+        # that would otherwise masquerade as host noise
         cpu0 = _cpu_snap()
         times, warm = _run_queries(spark, SF_DIR)
+        q_noise = _nonguest_parts(cpu0)
+        cpu1 = _cpu_snap()
         docs_s, triples_s, pipe_wall, n_triples = _pipeline_throughput(spark, n_pages)
-        frac = _nonguest_frac(cpu0)
+        p_noise = _nonguest_parts(cpu1)
+        frac = q_noise["frac"]
         times["kg_pipeline_synthetic"] = pipe_wall
         reps.append(
             {
@@ -177,7 +184,12 @@ def default_mode(max_reps: int = 3, clean_thresh: float = 0.05):
                 "total_s": round(sum(times.values()), 3),
                 "queries": times,
                 "queries_warm": warm,
-                "nonguest_cpu_frac": round(frac, 4),
+                "nonguest_cpu_frac": frac,
+                # which component: steal = externally stolen; sys can be
+                # either legit kernel work or the lazily-host-backed
+                # memory fault path (BENCH/BASELINE.md round-3 finding)
+                "nonguest_components": q_noise,
+                "pipeline_nonguest_components": p_noise,
                 "pipeline_docs_per_sec": round(docs_s, 1),
                 "pipeline_triples_per_sec": round(triples_s, 1),
                 "pipeline_triples": n_triples,
@@ -234,10 +246,23 @@ def _nonguest_frac(prev):
     """Fraction of CPU time since ``prev`` that was neither user nor
     idle nor iowait — system + irq + steal; on this shared-host VM a
     large value means the measurement was externally throttled."""
+    return _nonguest_parts(prev)["frac"]
+
+
+def _nonguest_parts(prev):
+    """Like :func:`_nonguest_frac` but with the component breakdown, so
+    an artifact reader can tell externally-stolen time (steal) from
+    kernel time (sys — legit tmpfs/page-cache work OR the host-backed
+    first-touch fault path) without rerunning anything."""
     cur = _cpu_snap()
     d = [a - b for a, b in zip(cur, prev)]
     tot = sum(d) or 1
-    return (d[2] + d[5] + d[6] + d[7]) / tot
+    return {
+        "frac": round((d[2] + d[5] + d[6] + d[7]) / tot, 4),
+        "sys": round(d[2] / tot, 4),
+        "irq": round((d[5] + d[6]) / tot, 4),
+        "steal": round(d[7] / tot, 4),
+    }
 
 
 def _warm(spark):
