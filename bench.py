@@ -195,11 +195,11 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
                 "pipeline_triples": n_triples,
             }
         )
-        if frac < clean_thresh:
+        if _rep_clean(reps[-1], clean_thresh):
             break
     # value = fastest CLEAN rep; if the host never gave a clean window,
     # fall back to the least-throttled rep and flag the artifact
-    clean = [r for r in reps if r["nonguest_cpu_frac"] < clean_thresh]
+    clean = [r for r in reps if _rep_clean(r, clean_thresh)]
     pool = clean or reps
     best = min(pool, key=lambda r: r["total_s"])
 
@@ -235,6 +235,19 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
 
         shutil.rmtree(created_dir, ignore_errors=True)
     print(json.dumps(out))
+
+
+def _rep_clean(rep: dict, clean_thresh: float) -> bool:
+    """A rep is clean only when BOTH measured windows were: the query
+    window on the combined non-guest fraction (sys there means the
+    cold fault path), and the pipeline window on STEAL alone — its
+    tmpfs stage writes + worker forks make system time legitimate
+    there, but externally stolen time still inflates the recorded
+    kg_pipeline_synthetic wall that feeds the headline value."""
+    return (
+        rep["nonguest_cpu_frac"] < clean_thresh
+        and rep["pipeline_nonguest_components"]["steal"] < clean_thresh
+    )
 
 
 def _cpu_snap():

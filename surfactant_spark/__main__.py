@@ -266,6 +266,22 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_extract(args) -> int:
+    """Registry-driven classify+extract over a pages table — the
+    engine-side analogue of the reference running its plugin manager's
+    extractors during generate (`plugin/manager.py`). This is the
+    product path `plugin disable` governs: a disabled classify/extract
+    hook observably changes this command's output table."""
+    from .plugin import active_registry
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    out = active_registry().run_extract(pages)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
+    return 0
+
+
 def cmd_plugin(args) -> int:
     """`surfactant plugin list/enable/disable` analogue
     (`cmd/plugin.py:16-93`): inspect the hook registry and persist a
@@ -274,14 +290,14 @@ def cmd_plugin(args) -> int:
     reference and are declared out of scope here (COVERAGE.md) — a
     cluster engine installs plugins at deploy time, not per-driver."""
     from .config import ConfigManager
-    from .plugin import default_registry
+    from .plugin import active_registry, default_registry
 
     cm = ConfigManager()
     disabled = cm.get("core", "disable_plugins", [])
     if isinstance(disabled, str):
         disabled = [disabled]
     if args.plugin_cmd == "list":
-        names = default_registry().without(disabled).hook_names()
+        names = active_registry(cm).hook_names()
         for family in ("classify", "extract", "link"):
             print(f"{family.upper()} HOOKS")
             for n in names[family]:
@@ -521,6 +537,13 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--out", required=True)
     sv.add_argument("--format", default="parquet", choices=["parquet", "cytrics", "csv"])
     sv.set_defaults(fn=cmd_save)
+
+    x = sub.add_parser(
+        "extract", help="registry-driven classify+extract over a pages table"
+    )
+    x.add_argument("--pages", required=True)
+    x.add_argument("--out", required=True)
+    x.set_defaults(fn=cmd_extract)
 
     pl = sub.add_parser("plugin", help="inspect / enable / disable registry hooks")
     pl.add_argument("plugin_cmd", choices=["list", "enable", "disable"])

@@ -96,31 +96,45 @@ def spread_partitions(df, *cols, factor: int = 2):
     exchange-inducing operator anywhere in the tree): with AQE on,
     ``.rdd`` on a plan *with* exchanges eagerly materializes the
     upstream query stages just to read a partition count, and that work
-    is recomputed by the real action. A plan that already contains a
-    join/aggregate/repartition arrives at ``spark.sql.shuffle.partitions``
-    width (= session parallelism here) from its own shuffle, so the
-    spread is skipped rather than probed."""
+    is recomputed by the real action. Per plan root:
+
+    - GlobalLimit: spread unconditionally — a limit executes as ONE
+      partition and its output is small by construction, so the
+      repartition is cheap and the single-task cliff is certain
+      otherwise.
+    - join/aggregate/repartition roots: skipped without probing. The
+      exchange re-spreads to ``spark.sql.shuffle.partitions`` width
+      (= session parallelism here); the residual caveat is a TINY
+      join/agg output that AQE coalesces to ~1 partition — a caller
+      feeding compute-amplified work from such a frame should
+      repartition explicitly (no operator in this codebase does;
+      every internal call site is scan-rooted)."""
     import re
 
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    from pyspark.sql import functions as F
+
+    def _spread(d):
+        return (
+            d.repartition(target, *[F.col(c) for c in cols])
+            if cols
+            else d.repartition(target)
+        )
+
     # optimizedPlan() analyzes but never executes; node names are
     # capitalized, expression names (array_join, aggregate(..)) are not
     plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "GlobalLimit" in plan:
+        return _spread(df)
     if any(
         k in plan
         for k in (
             "Join", "Aggregate", "Window", "Deduplicate", "Sort",
-            "RepartitionByExpression", "GlobalLimit",
+            "RepartitionByExpression",
         )
     ) or re.search(r"Repartition \d+, true", plan):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df
-    from pyspark.sql import functions as F
-
-    return (
-        df.repartition(target, *[F.col(c) for c in cols])
-        if cols
-        else df.repartition(target)
-    )
+    return _spread(df)

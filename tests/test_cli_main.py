@@ -294,6 +294,34 @@ def test_plugin_list_enable_disable(isolated_config, spark, capsys):
         main(["plugin", "disable"])
 
 
+def test_extract_command_respects_disabled_plugins(isolated_config, spark, tmp_path, capsys):
+    """The registry-driven `extract` command is the product path that
+    `plugin disable` governs: disabling the html extractor observably
+    changes the command's output table (not just `plugin list`)."""
+    from tests.test_expand_plugin import _pages_df
+
+    pages = _pages_df(spark, [("u1", b"<html><title>lib-a</title></html>", None, "en")])
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+
+    out1 = str(tmp_path / "x1")
+    assert main(["--master", "local[4]", "extract", "--pages", src, "--out", out1]) == 0
+    capsys.readouterr()
+    got = {r.url: json.loads(r.metadata_json) for r in spark.read.parquet(out1).collect()}
+    assert got["u1"]["title"] == "lib-a"
+
+    assert main(["plugin", "disable", "html"]) == 0
+    capsys.readouterr()
+    out2 = str(tmp_path / "x2")
+    assert main(["--master", "local[4]", "extract", "--pages", src, "--out", out2]) == 0
+    capsys.readouterr()
+    got2 = {r.url: json.loads(r.metadata_json) for r in spark.read.parquet(out2).collect()}
+    assert got2["u1"] == {}
+
+    main(["plugin", "enable", "html"])
+    capsys.readouterr()
+
+
 def test_create_config_roundtrip(spark, spark_pages, spark_alias, tmp_path, capsys):
     """create-config -> generate --specimen reproduces the direct-scan
     output (`cmd/createconfig.py:22-31` parity + F9 rebase)."""

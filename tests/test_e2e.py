@@ -86,6 +86,27 @@ def test_pipeline_near_dup_audit_in_lineage(spark, spark_pages, spark_alias, tmp
     assert set(audit2.columns) == {"band", "band_key", "width", "family"}
     assert (audit2.family == "minhash").all() and len(audit2) > 0
 
+    # family-switch resume: the same workdir re-run with a DIFFERENT
+    # family must re-run near_dup/audit (stage signature mismatch), not
+    # return the simhash snapshots under the minhash request
+    res3 = run_pipeline(
+        spark, spark_pages, spark_alias, str(tmp_path / "wd_nd"),
+        near_dup="minhash", near_dup_max_bucket=1,
+    )
+    assert {"near_dup", "audit"} <= set(res3.stages_run)
+    assert {"extract", "nodes", "edges"} <= set(res3.stages_resumed)
+    assert (res3.audit.toPandas().family == "minhash").all()
+
+    # an invalid family fails BEFORE any corpus-scale stage runs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="near_dup"):
+        run_pipeline(
+            spark, spark_pages, spark_alias, str(tmp_path / "wd_bad"),
+            near_dup="minhsh",
+        )
+    assert not os.path.exists(str(tmp_path / "wd_bad" / "_extract_OK"))
+
 
 def test_pipeline_resume_skips_completed_stages(spark, spark_pages, spark_alias, tmp_path):
     wd = str(tmp_path / "wd2")
