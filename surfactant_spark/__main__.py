@@ -272,13 +272,21 @@ def cmd_extract(args) -> int:
     extractors during generate (`plugin/manager.py`). This is the
     product path `plugin disable` governs: a disabled classify/extract
     hook observably changes this command's output table."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from .plugin import active_registry
 
     spark = _spark(args)
     pages = spark.read.parquet(args.pages)
     out = active_registry().run_extract(pages)
-    out.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"rows": spark.read.parquet(args.out).count(), "out": args.out}))
+    # row count observed during the write action itself — same stance as
+    # SnapshotStore.write: no second job over the output, at any scale
+    obs = Observation("extract_rows")
+    out.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(
+        args.out
+    )
+    print(json.dumps({"rows": int(obs.get["rows"]), "out": args.out}))
     return 0
 
 
