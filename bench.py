@@ -75,41 +75,43 @@ def _run_queries(spark, sf_dir):
     return cold, warm
 
 
-def _pipeline_throughput(spark, n_pages: int):
-    """The full synthetic-pages KG pipeline (extract -> link -> edges);
-    returns (docs_per_sec, triples_per_sec, wall_s).
+def _stage_pipeline_corpus(spark, n_pages: int, wd: str):
+    """Synthesize + stage the pipeline corpus ONCE per bench process
+    and pay the untimed warm pipeline run here too. The retry sweep
+    used to redo all three (byte-identical: fixed seed) inside every
+    rep, multiplying untimed work by up to max_reps on exactly the
+    throttled hosts the sweep exists to escape.
 
-    The corpus is staged to parquet first so the timed job starts from
-    a parallel columnar scan (the real input path at scale), not from a
-    driver-side pandas upload."""
+    The corpus is staged to parquet so every timed job starts from a
+    parallel columnar scan (the real input path at scale), not from a
+    driver-side pandas upload. The warm run's workdir is kept on tmpfs
+    until process exit — freeing it mid-bench hands pages back to the
+    host on this lazily-backed VM."""
     from surfactant_spark.plans.pipeline import run_pipeline
     from surfactant_spark.synth import alias_dict_to_spark, make_corpus, pages_to_spark
 
     pages_pdf, alias_pdf = make_corpus(n_pages, seed=42)
-    # ramdisk-backed stage snapshots where available: the local single
-    # disk serializes the 4 stage writes in a way per-node cluster
-    # storage would not (same rationale as scaling_mode)
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    with tempfile.TemporaryDirectory(dir=base) as wd:
-        src = os.path.join(wd, "pages_src")
-        pages_to_spark(spark, pages_pdf).repartition(
-            spark.sparkContext.defaultParallelism * 2
-        ).write.parquet(src)
-        pages = spark.read.parquet(src)
-        alias = alias_dict_to_spark(spark, alias_pdf)
-        # untimed warm run (separate workdir, kept alive until after
-        # the timed run — freeing tmpfs mid-bench hands pages back to
-        # the host): the first pipeline execution faults Python-worker
-        # Arrow buffers and JVM off-heap pages on this lazily-backed
-        # VM, a one-time executor-lifetime cost on a real cluster. The
-        # timed run below measures steady-state pipeline throughput.
-        run_pipeline(
-            spark, pages, alias, os.path.join(wd, "work_warm"), resume=False
-        ).edges.count()
-        t0 = time.time()
-        res = run_pipeline(spark, pages, alias, os.path.join(wd, "work"), resume=False)
-        n_triples = res.edges.count()
-        wall = time.time() - t0
+    src = os.path.join(wd, "pages_src")
+    pages_to_spark(spark, pages_pdf).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    ).write.parquet(src)
+    pages = spark.read.parquet(src)
+    alias = alias_dict_to_spark(spark, alias_pdf)
+    run_pipeline(
+        spark, pages, alias, os.path.join(wd, "work_warm"), resume=False
+    ).edges.count()
+    return pages, alias
+
+
+def _pipeline_timed(spark, pages, alias, workdir: str, n_pages: int):
+    """One timed steady-state pipeline run over the pre-staged corpus;
+    returns (docs_per_sec, triples_per_sec, wall_s, n_triples)."""
+    from surfactant_spark.plans.pipeline import run_pipeline
+
+    t0 = time.time()
+    res = run_pipeline(spark, pages, alias, workdir, resume=False)
+    n_triples = res.edges.count()
+    wall = time.time() - t0
     return n_pages / wall, n_triples / wall, round(wall, 3), n_triples
 
 
@@ -164,6 +166,12 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
 
     sf = _sf_from_dir(SF_DIR)
     n_pages = {0.001: 500, 0.01: 2000, 0.1: 8000}.get(sf, 2000)
+    # corpus synthesis + parquet staging + the untimed warm pipeline
+    # run happen ONCE (fixed seed: byte-identical across reps); each
+    # rep only pays its own timed steady-state run
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    pipe_tmp = tempfile.TemporaryDirectory(dir=base)
+    pipe_pages, pipe_alias = _stage_pipeline_corpus(spark, n_pages, pipe_tmp.name)
     reps = []
     for rep in range(max_reps):
         # the clean/degraded criterion applies to the QUERY window; the
@@ -174,7 +182,10 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
         times, warm = _run_queries(spark, SF_DIR)
         q_noise = _nonguest_parts(cpu0)
         cpu1 = _cpu_snap()
-        docs_s, triples_s, pipe_wall, n_triples = _pipeline_throughput(spark, n_pages)
+        docs_s, triples_s, pipe_wall, n_triples = _pipeline_timed(
+            spark, pipe_pages, pipe_alias,
+            os.path.join(pipe_tmp.name, f"work_{rep}"), n_pages,
+        )
         p_noise = _nonguest_parts(cpu1)
         frac = q_noise["frac"]
         times["kg_pipeline_synthetic"] = pipe_wall
@@ -182,6 +193,11 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
             {
                 "rep": rep,
                 "total_s": round(sum(times.values()), 3),
+                # rep 0's cold column includes one-time codegen; rep>=1
+                # re-executes compiled plans, so total_s is comparable
+                # across reps only via total_warm_s (+ pipeline wall,
+                # which is steady-state at every rep)
+                "total_warm_s": round(sum(warm.values()) + pipe_wall, 3),
                 "queries": times,
                 "queries_warm": warm,
                 "nonguest_cpu_frac": frac,
@@ -227,9 +243,14 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
         "host_degraded": not clean,
         "rep_nonguest_cpu_fracs": [r["nonguest_cpu_frac"] for r in reps],
         "rep_totals_s": [r["total_s"] for r in reps],
+        # codegen-free totals, comparable across reps AND across runs
+        # (rep 0's total_s carries one-time codegen that later reps
+        # don't — use these to compare artifacts round-over-round)
+        "rep_totals_warm_s": [r["total_warm_s"] for r in reps],
         "reps": reps,
     }
     spark.stop()
+    pipe_tmp.cleanup()
     if created_dir:
         import shutil
 

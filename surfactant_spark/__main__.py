@@ -72,17 +72,23 @@ def cmd_generate(args) -> int:
         spark, pages, alias, args.out, resume=not args.no_resume, n_salt=args.salt,
         near_dup=args.near_dup,
     )
+    def _rows(name: str, df) -> int:
+        # write-time observed counts (stage markers) over count() jobs;
+        # the fallback only fires for pre-count markers from old runs
+        n = res.stage_rows.get(name)
+        return int(n) if n is not None else df.count()
+
     out = {
-        "nodes": res.nodes.count(),
-        "edges": res.edges.count(),
+        "nodes": _rows("nodes", res.nodes),
+        "edges": _rows("edges", res.edges),
         "stages_run": res.stages_run,
         "stages_resumed": res.stages_resumed,
         "out": args.out,
     }
     if res.audit is not None:
         # the recall bound of the near-dup width cap, per run
-        out["near_dup_pairs"] = res.near_dup.count()
-        out["audit_dropped_buckets"] = res.audit.count()
+        out["near_dup_pairs"] = _rows("near_dup", res.near_dup)
+        out["audit_dropped_buckets"] = _rows("audit", res.audit)
     print(json.dumps(out))
     return 0
 
@@ -298,12 +304,10 @@ def cmd_plugin(args) -> int:
     reference and are declared out of scope here (COVERAGE.md) — a
     cluster engine installs plugins at deploy time, not per-driver."""
     from .config import ConfigManager
-    from .plugin import active_registry, default_registry
+    from .plugin import active_registry, default_registry, disabled_plugins
 
     cm = ConfigManager()
-    disabled = cm.get("core", "disable_plugins", [])
-    if isinstance(disabled, str):
-        disabled = [disabled]
+    disabled = disabled_plugins(cm)
     if args.plugin_cmd == "list":
         names = active_registry(cm).hook_names()
         for family in ("classify", "extract", "link"):

@@ -253,22 +253,43 @@ def dedup_minhash(
     # same role is played by a parquet stage snapshot. spread_partitions
     # keeps the md5 pass off a single task when the corpus fits one
     # scan split (see session.spread_partitions).
+    sh_df, bands_df, widths = _minhash_core(docs, id_col, text_col, k, bands, n)
+    return _minhash_pairs(sh_df, bands_df, widths, id_col, threshold, max_bucket)
+
+
+def _minhash_core(docs, id_col, text_col, k, bands, n, checkpoint=True):
+    """Shared shingle -> signature -> band-key -> bucket-width chain.
+    ``checkpoint=False`` keeps the Arrow/md5 pass streaming for
+    single-consumer callers (the standalone dropped-buckets audit);
+    multi-consumer callers checkpoint so Python runs once."""
     from ..session import spread_partitions
 
-    sh_df = shingle_table(
-        spread_partitions(docs), id_col, text_col, n, hashed=True
-    ).localCheckpoint(eager=True)
+    sh_df = shingle_table(spread_partitions(docs), id_col, text_col, n, hashed=True)
+    if checkpoint:
+        sh_df = sh_df.localCheckpoint(eager=True)
     sig_df = sh_df.select(F.col(id_col), minhash_sig_array(F.col("sh"), k).alias("sig"))
     bands_df = sig_df.select(
         F.col(id_col),
         F.posexplode(band_keys_array(F.col("sig"), k, bands)).alias("band", "band_key"),
     )
-    sized = bands_df.groupBy("band", "band_key").agg(
-        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("width")
-    ).where((F.col("width") > 1) & (F.col("width") <= max_bucket))
+    # count-only width aggregation: the cap decision never materializes
+    # a bucket's id list in an agg buffer — a degenerate mega-bucket
+    # (empty docs at 100 TB) costs one long here, not one giant array
+    widths = bands_df.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("width")
+    )
+    return sh_df, bands_df, widths
+
+
+def _minhash_pairs(sh_df, bands_df, widths, id_col, threshold, max_bucket):
+    sized = widths.where(
+        (F.col("width") > 1) & (F.col("width") <= max_bucket)
+    ).select("band", "band_key")
+    kept = bands_df.join(sized, ["band", "band_key"])
+    a = kept.select(F.col(id_col).alias("id1"), "band", "band_key")
+    b2 = kept.select(F.col(id_col).alias("id2"), "band", "band_key")
     pairs = (
-        sized.select(F.explode("ids").alias("id1"), F.col("ids"))
-        .select("id1", F.explode("ids").alias("id2"))
+        a.join(b2, ["band", "band_key"])
         .where(F.col("id1") < F.col("id2"))
         .dropDuplicates(["id1", "id2"])
     )
@@ -280,6 +301,28 @@ def dedup_minhash(
         .where(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def dedup_minhash_with_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+):
+    """(pairs, dropped_buckets) from ONE shingle/md5 pass. Running
+    :func:`dedup_minhash` and :func:`minhash_dropped_buckets` separately
+    executes the corpus-scale Arrow pass twice — at 100 TB that is an
+    entire extra pass per pipeline run; here both outputs derive from
+    the same checkpointed shingle table and band-key chain (the width
+    aggregation re-runs per consumer, but over the checkpoint — a
+    JVM-side count shuffle, not the Python pass)."""
+    sh_df, bands_df, widths = _minhash_core(docs, id_col, text_col, k, bands, n)
+    pairs = _minhash_pairs(sh_df, bands_df, widths, id_col, threshold, max_bucket)
+    return pairs, widths.where(F.col("width") > max_bucket)
 
 
 @F.pandas_udf(T.LongType())
@@ -338,14 +381,23 @@ def dedup_simhash(
     empty/near-empty docs — would otherwise make one bucket quadratic at
     100 TB. The width filter is a count-only aggregation joined back, so
     no aggregation buffer ever holds a full degenerate bucket either."""
-    # the Arrow simhash pass feeds the width agg and both join sides —
-    # checkpoint so Python runs exactly once over the corpus; spread
-    # first so that one Python worker is not the whole pass
+    blocks, widths = _simhash_core(docs, id_col, text_col, n_blocks)
+    return _simhash_pairs(blocks, widths, id_col, max_hamming, max_bucket)
+
+
+def _simhash_core(docs, id_col, text_col, n_blocks, checkpoint=True):
+    """Shared Arrow-simhash -> 16-bit-block -> bucket-width chain.
+    ``checkpoint=True`` (multi-consumer callers) runs the Python pass
+    exactly once over the corpus and spreads it off a single scan
+    split; ``checkpoint=False`` keeps it streaming for the standalone
+    single-consumer audit."""
     from ..session import spread_partitions
 
     with_sh = spread_partitions(docs).select(
         F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint:
+        with_sh = with_sh.localCheckpoint(eager=True)
     blocks = with_sh.select(
         F.col(id_col),
         "simhash",
@@ -358,12 +410,14 @@ def dedup_simhash(
             )
         ).alias("block", "block_key"),
     )
-    sized = (
-        blocks.groupBy("block", "block_key")
-        .agg(F.count(F.lit(1)).alias("width"))
-        .where((F.col("width") > 1) & (F.col("width") <= max_bucket))
-        .select("block", "block_key")
-    )
+    widths = blocks.groupBy("block", "block_key").agg(F.count(F.lit(1)).alias("width"))
+    return blocks, widths
+
+
+def _simhash_pairs(blocks, widths, id_col, max_hamming, max_bucket):
+    sized = widths.where(
+        (F.col("width") > 1) & (F.col("width") <= max_bucket)
+    ).select("block", "block_key")
     kept = blocks.join(sized, ["block", "block_key"])
     a = kept.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "block", "block_key"
@@ -382,6 +436,23 @@ def dedup_simhash(
     )
 
 
+def dedup_simhash_with_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket: int = 64,
+):
+    """(pairs, dropped_buckets) from ONE Arrow simhash pass — twin of
+    :func:`dedup_minhash_with_audit`; see there for why running the
+    pair op and its audit separately doubles the corpus-scale Python
+    work."""
+    blocks, widths = _simhash_core(docs, id_col, text_col, n_blocks)
+    pairs = _simhash_pairs(blocks, widths, id_col, max_hamming, max_bucket)
+    return pairs, widths.where(F.col("width") > max_bucket)
+
+
 def simhash_dropped_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -398,25 +469,13 @@ def simhash_dropped_buckets(
     corpus sits in dropped buckets before trusting the recall; a large
     result means raise ``max_bucket`` (small corpora) or accept the
     documented bound (degenerate content at scale, e.g. simhash 0 for
-    empty docs, where the pairs are uninteresting anyway)."""
-    with_sh = docs.select(
-        F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
-    )
-    blocks = with_sh.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("block", "block_key"),
-    )
-    return (
-        blocks.groupBy("block", "block_key")
-        .agg(F.count(F.lit(1)).alias("width"))
-        .where(F.col("width") > max_bucket)
-    )
+    empty docs, where the pairs are uninteresting anyway). When the
+    pair op ALSO runs in the same job, use
+    :func:`dedup_simhash_with_audit` instead — it shares the Arrow
+    pass; this standalone form re-executes it (streaming, unspilled:
+    checkpoint=False, single consumer)."""
+    _, widths = _simhash_core(docs, id_col, text_col, n_blocks, checkpoint=False)
+    return widths.where(F.col("width") > max_bucket)
 
 
 def minhash_dropped_buckets(
@@ -433,17 +492,11 @@ def minhash_dropped_buckets(
     buckets the width cap DROPS. A candidate pair whose ONLY shared
     band bucket is wider than ``max_bucket`` is silently lost; this
     count-only aggregation (no self-join, no id lists) makes that
-    recall bound observable per run."""
-    sh_df = shingle_table(docs, id_col, text_col, n, hashed=True)
-    sig_df = sh_df.select(F.col(id_col), minhash_sig_array(F.col("sh"), k).alias("sig"))
-    bands_df = sig_df.select(
-        F.posexplode(band_keys_array(F.col("sig"), k, bands)).alias("band", "band_key")
-    )
-    return (
-        bands_df.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("width"))
-        .where(F.col("width") > max_bucket)
-    )
+    recall bound observable per run. When the pair op ALSO runs in the
+    same job, use :func:`dedup_minhash_with_audit` instead — it shares
+    the shingle/md5 pass."""
+    _, _, widths = _minhash_core(docs, id_col, text_col, k, bands, n, checkpoint=False)
+    return widths.where(F.col("width") > max_bucket)
 
 
 def cosine_col(a: Column, b: Column) -> Column:

@@ -296,17 +296,18 @@ def win_norm_paths_udf(paths: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def posix_normpath_udf(paths: pd.Series) -> pd.Series:
     """F10 as a column operator: the reference's posix normpath
-    contract (`_internal/posix_utils.py:9-31`), Arrow-batched."""
+    contract (`_internal/posix_utils.py:9-31`), Arrow-batched.
+    NULL in -> NULL out (na_action: general path tables carry NULLs)."""
     from ..functions.paths import posix_normpath
 
-    return paths.map(posix_normpath)
+    return paths.map(posix_normpath, na_action="ignore")
 
 
 @F.pandas_udf(T.StringType())
 def win_norm_udf(paths: pd.Series) -> pd.Series:
     """Scalar win_norm (case/separator-insensitive canonical key,
-    `windows_utils.py:35-38`), Arrow-batched."""
-    return paths.map(win_norm)
+    `windows_utils.py:35-38`), Arrow-batched. NULL in -> NULL out."""
+    return paths.map(win_norm, na_action="ignore")
 
 
 def _nodes_by_install_path(nodes: DataFrame, windows: bool) -> DataFrame:

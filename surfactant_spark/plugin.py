@@ -224,11 +224,11 @@ def default_registry() -> HookRegistry:
     return reg
 
 
-def active_registry(config_manager=None) -> HookRegistry:
-    """The default registry minus the hooks disabled via
-    ``plugin disable`` (persisted as ``core.disable_plugins`` in the
-    sectioned config, same section/key as the reference's
-    `cmd/plugin.py:24-27`)."""
+def disabled_plugins(config_manager=None) -> list:
+    """The persisted disabled-hook list (``core.disable_plugins``,
+    same section/key as the reference's `cmd/plugin.py:24-27`),
+    coerced to a list. The single place that knows the persistence
+    format — the CLI and :func:`active_registry` must not drift."""
     if config_manager is None:
         from .config import ConfigManager
 
@@ -236,4 +236,10 @@ def active_registry(config_manager=None) -> HookRegistry:
     disabled = config_manager.get("core", "disable_plugins", [])
     if isinstance(disabled, str):
         disabled = [disabled]
-    return default_registry().without(disabled)
+    return list(disabled)
+
+
+def active_registry(config_manager=None) -> HookRegistry:
+    """The default registry minus the hooks disabled via
+    ``plugin disable``."""
+    return default_registry().without(disabled_plugins(config_manager))

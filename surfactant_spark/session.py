@@ -102,13 +102,17 @@ def spread_partitions(df, *cols, factor: int = 2):
       partition and its output is small by construction, so the
       repartition is cheap and the single-task cliff is certain
       otherwise.
-    - join/aggregate/repartition roots: skipped without probing. The
-      exchange re-spreads to ``spark.sql.shuffle.partitions`` width
-      (= session parallelism here); the residual caveat is a TINY
-      join/agg output that AQE coalesces to ~1 partition — a caller
-      feeding compute-amplified work from such a frame should
-      repartition explicitly (no operator in this codebase does;
-      every internal call site is scan-rooted)."""
+    - join/aggregate roots: skipped without probing. The exchange
+      re-spreads to ``spark.sql.shuffle.partitions`` width (= session
+      parallelism here); the residual caveat is a TINY join/agg output
+      that AQE coalesces to ~1 partition — a caller feeding
+      compute-amplified work from such a frame should repartition
+      explicitly (no operator in this codebase does; every internal
+      call site is scan-rooted).
+    - explicit repartition(n) roots: also skipped, BY CONTRACT — an
+      explicit width is a caller decision this helper must not widen
+      (note repartition(2) therefore stays at 2, NOT at session
+      parallelism; pass the target width at the call site instead)."""
     import re
 
     sc = df.sparkSession.sparkContext

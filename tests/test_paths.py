@@ -43,3 +43,19 @@ def test_win_is_absolute():
     assert win_is_absolute("C:\\x\\y.dll")
     assert not win_is_absolute("y.dll")
     assert not win_is_absolute("sub\\y.dll")
+
+
+def test_normpath_udfs_null_in_null_out(spark):
+    """The column forms must pass NULLs through, not crash the Arrow
+    worker — general path tables carry NULL installPath rows."""
+    from surfactant_spark.operators.link import posix_normpath_udf, win_norm_udf
+
+    df = spark.createDataFrame(
+        [("/a/./b", "C:\\App\\X.DLL"), (None, None)], "p string, w string"
+    )
+    rows = df.select(
+        posix_normpath_udf("p").alias("n"), win_norm_udf("w").alias("k")
+    ).collect()
+    got = {(r.n, r.k) for r in rows}
+    assert ("/a/b", "c:/app/x.dll") in got
+    assert (None, None) in got
