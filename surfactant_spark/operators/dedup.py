@@ -570,6 +570,27 @@ def dedup_embedding(
     )
 
 
+def embedding_dropped_buckets(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Recall diagnostic for :func:`dedup_embedding`, completing the
+    family (:func:`simhash_dropped_buckets`,
+    :func:`minhash_dropped_buckets`): the (block, width) quantizer
+    cells its width cap DROPS. A near-dup pair inside a dropped cell is
+    silently lost; this count-only aggregation makes that bound
+    observable per run. Cheaper than its siblings — no hash pass, just
+    one count over the blocking column; a large result means the
+    quantizer is too coarse (more centroids), not that the cap should
+    rise."""
+    return (
+        embeddings.groupBy(F.col(block_col).alias("block"))
+        .agg(F.count(F.lit(1)).alias("width"))
+        .where(F.col("width") > max_bucket)
+    )
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame,
     id_col: str = "doc_id",

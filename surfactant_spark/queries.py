@@ -391,6 +391,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_AUDIT_MAX_BUCKET = 50
+
+
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-quantizer-cell recall audit for the embedding near-dup
+    family (operators/dedup.embedding_dropped_buckets), completing the
+    per-family audit set (simhash/minhash audits feed the pipeline's
+    lineage `audit` stage). Cap 50 so the sf0.01 table exercises both
+    branches (4 of 10 label cells dropped)."""
+    from .operators.dedup import embedding_dropped_buckets
+
+    return embedding_dropped_buckets(
+        _read(spark, sf_dir, "embeddings"), max_bucket=EMB_AUDIT_MAX_BUCKET
+    )
+
+
+SQL_EMBEDDING_AUDIT = f"""
+SELECT label AS block, count(*) AS width
+FROM embeddings
+GROUP BY label
+HAVING count(*) > {EMB_AUDIT_MAX_BUCKET}
+"""
+
+
 def _sql_dedup_embedding() -> str:
     # SQL_COSINE resolves at call time (ORACLE_SQL build), after its
     # definition below
@@ -1961,6 +1985,7 @@ QUERIES = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "embedding_audit": q_embedding_audit,
     "text_analysis": q_text_analysis,
     "topk_bruteforce": q_topk_bruteforce,
     "topk_ivf": q_topk_ivf,
@@ -2044,6 +2069,7 @@ ORACLE_SQL = {
     "archive_expand": SQL_ARCHIVE_EXPAND,
     "dedup_simhash": _sql_dedup_simhash(),
     "dedup_embedding": _sql_dedup_embedding(),
+    "embedding_audit": SQL_EMBEDDING_AUDIT,
     "topk_lsh": _sql_topk_lsh(),
     "topk_ivf": _sql_topk_ivf(),
     "classify_magic": _sql_classify_magic(_fixture_file("magic_pages")),

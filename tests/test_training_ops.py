@@ -247,6 +247,20 @@ def test_simhash_dropped_buckets_diagnostic(spark):
     assert simhash_dropped_buckets(df, max_bucket=500).count() == 0
 
 
+def test_embedding_dropped_buckets_diagnostic(spark):
+    """The embedding family's recall audit, twin of the simhash one:
+    quantizer cells wider than the cap are reported, not silently
+    absent from the pair output."""
+    from surfactant_spark.operators.dedup import embedding_dropped_buckets
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(300)]
+    rows += [(20_000, [0.0, 1.0], 1), (20_001, [0.0, 1.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    dropped = embedding_dropped_buckets(df, max_bucket=256).collect()
+    assert [(r.block, r.width) for r in dropped] == [(0, 300)]
+    assert embedding_dropped_buckets(df, max_bucket=1024).count() == 0
+
+
 def test_lsh_bucket_dim_mismatch_is_null_not_zero(spark):
     """A vector whose length disagrees with the plane dim must get a
     NULL bucket (visible drop), never silently collapse into bucket 0."""
