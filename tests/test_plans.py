@@ -217,6 +217,15 @@ def test_spread_partitions_widens_single_split_input(spark):
     wide = spark.range(1000).repartition(4 * par)
     # already wider than target -> untouched (no shrink at real scale)
     assert spread_partitions(wide) is wide
+    # GlobalLimit executes as ONE partition and its output is small by
+    # construction -> spread unconditionally (no .rdd probe, which with
+    # AQE would materialize upstream stages just to read a count)
+    limited = spark.range(1000).limit(100)
+    assert spread_partitions(limited).rdd.getNumPartitions() == 2 * par
+    # explicit repartition(n) is a caller decision -> respected BY
+    # CONTRACT even when narrow (see spread_partitions docstring)
+    narrow = spark.range(1000).repartition(2)
+    assert spread_partitions(narrow) is narrow
 
 
 def test_ngram_pair_join_runs_spread_not_single_task(spark):
