@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "pattern_mentions",
     "sessionize",
     "windowed_events",
+    "dedup_clusters",
+    "entity_rank",
 ]
 
 

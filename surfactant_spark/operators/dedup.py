@@ -647,3 +647,66 @@ def dedup_ngram_jaccard(
         .select("id1", "id2", F.round(jaccard_col(F.col("sh1"), F.col("sh2")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Turn near-dup PAIRS into actionable per-document drop decisions —
+    the step that makes a pair-emitting dedup family (minhash / simhash /
+    embedding) an actual corpus deduplicator: transitively-connected
+    docs form one cluster, and exactly one survivor is elected per
+    cluster (highest ``quality_col``, ties to the smallest id), the
+    standard keep-the-best-copy policy of LLM training-data pipelines.
+
+    pairs(id1, id2) -> undirected connected components
+    (canon.connected_components_auto: driver union-find for
+    dimension-sized pair sets, checkpointed min-label propagation at
+    scale) -> left join back to the full corpus (singletons are their
+    own cluster) -> one max_by election per cluster.
+
+    Ids are compared as strings (component labels are the lexicographic
+    min member), matching the SQL oracle's VARCHAR semantics; the
+    election itself orders by (quality desc, id asc) so it never depends
+    on the label rule. Returns (doc_id, cluster_id, is_survivor) —
+    one row per input doc; downstream keeps ``is_survivor`` rows.
+
+    Scale: the pair set is sparse (bounded by the LSH families' bucket
+    caps), so CC runs over near-dup edges only, never the corpus; the
+    corpus-wide work is one left join on id + one aggregation on
+    cluster_id. Reference analogy: Surfactant's merge-by-hash keeps the
+    first sighting (`_sbom.py:75-122`); this generalizes it to
+    transitive *near*-identity with an explicit quality policy.
+    """
+    from .canon import connected_components_auto
+
+    edges = pairs.select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    comp = connected_components_auto(edges, "id1", "id2")
+    lab = (
+        docs.select(F.col(id_col).cast("string").alias("doc_id"), F.col(quality_col))
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            F.col(quality_col),
+        )
+    )
+    # election as an AGGREGATION (min_by over a sort-struct), not a
+    # row_number window: partial aggs combine map-side, no per-cluster
+    # sort materializes (same shape as q_kg_edges' top-token pick)
+    surv = lab.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col(quality_col)).alias("q"), F.col("doc_id"))
+        ).alias("survivor")
+    )
+    return lab.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("survivor")).alias("is_survivor"),
+    )

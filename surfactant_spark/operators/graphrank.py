@@ -1,0 +1,94 @@
+"""Fixed-iteration PageRank over an entity edge table.
+
+The KG pipeline's graph-analytics step: once edges exist (Surfactant's
+relationship-establishment output, `relationships/__init__.py` dict
+join — our `link.py` / `q_kg_edges`), entity salience ranks canonical
+nodes for output ordering, canonicalization tie-breaks, and crawl
+prioritization — the classic web-scale companion of a Common-Crawl KG.
+
+Spark-first shape: per iteration ONE equi join (edges x ranks on src)
+and ONE aggregation (sum of contributions by dst), both shuffles on the
+edge keys — the same plan GraphX/Pregel lowers to, expressed directly
+in DataFrame ops so Catalyst/AQE handle partition sizing and skew. The
+rank frame is ``localCheckpoint``-ed every iteration: iterative
+self-referential lineage otherwise grows a plan tree exponentially
+(the north rule's 'iterative DataFrame self-join with checkpointing',
+same discipline as canon.connected_components). At cluster scale the
+edge table would be bucketed by ``src`` so the per-iteration join side
+never re-shuffles; in-session we checkpoint it once instead.
+
+Cross-engine determinism: ranks are integer micro-units (fixed point,
+``scale`` = 1e6 per node) and every update uses integer division
+(``div``), whose result is exact and order-independent — float sums
+depend on aggregation order, so a double-typed rank would never
+hash-match a DuckDB replay (same reason similarity.topk_ivf sums its
+centroids in canonical order). Production would use doubles; the plan
+shape is identical.
+
+Dangling nodes (no out-edges) leak their mass instead of
+redistributing it — the common large-scale simplification (their
+global-redistribution term costs an extra all-node aggregate per
+iteration); ranks are therefore salience scores up to a constant
+factor, not a probability distribution. Deterministic either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Run ``iters`` synchronous PageRank rounds over (src, dst) edges.
+
+    rank_0(v) = scale
+    rank_i(v) = scale*(100-d)/100  +  d * sum_{u->v} (rank_{i-1}(u) div
+                outdeg(u)) div 100        [all integer, d = damping_pct]
+
+    Multi-edges contribute multiply — pass a distinct edge set for the
+    unweighted form. Returns (id, rank) with rank in micro-units.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # one materialization: e feeds nodes, outdeg, and every iteration
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    src_side = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            src_side.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(c, 0L)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

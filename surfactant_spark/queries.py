@@ -1974,6 +1974,107 @@ FROM read_parquet('{pages_path}')
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters: pairs -> connected components -> survivor election
+# ---------------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END STEP (pairs alone don't dedup a corpus): minhash
+    near-dup pairs -> transitive clusters -> one survivor per cluster
+    (longest doc, ties to smallest id). One row per document with its
+    cluster label and keep/drop decision — downstream training-data
+    prep filters on ``is_survivor``."""
+    from .operators.dedup import dedup_minhash, near_dup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup_minhash(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD
+    )
+    return near_dup_clusters(docs, pairs)
+
+
+# the pair CTEs are the proven-bit-exact minhash replay
+# (_sql_minhash_tables + the jaccard verify); clustering is the same
+# recursive-CTE reachability fold as SQL_CC_TOKENS; the election
+# replays (n_chars DESC, doc_id ASC) as a window
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_minhash_tables()},
+verified AS (
+  SELECT p.id1, p.id2 FROM pairs p
+  JOIN sh a ON a.doc_id = p.id1
+  JOIN sh b ON b.doc_id = p.id2
+  WHERE round({SQL_JACCARD.format(a='a.sh', b='b.sh')}, 6) >= {MINHASH_THRESHOLD}),
+sym AS (
+  SELECT CAST(id1 AS VARCHAR) AS a, CAST(id2 AS VARCHAR) AS b FROM verified
+  UNION
+  SELECT CAST(id2 AS VARCHAR), CAST(id1 AS VARCHAR) FROM verified),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS id, LEAST(MIN(b), a) AS component FROM reach GROUP BY a),
+lab AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         COALESCE(c.component, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON CAST(d.doc_id AS VARCHAR) = c.id),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM lab) WHERE rn = 1)
+SELECT l.doc_id, l.cluster_id, (l.doc_id = s.survivor) AS is_survivor
+FROM lab l JOIN surv s USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# entity salience: fixed-point PageRank over the Uses graph
+# ---------------------------------------------------------------------------
+PAGERANK_ITERS = 5
+
+
+def q_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the KG output: 5 synchronous PageRank
+    rounds on the distinct (subj, obj) Uses edges, checkpointed
+    iterative joins (operators/graphrank.py). Integer micro-unit ranks
+    make the iteration bit-exact replayable in SQL."""
+    from .operators.graphrank import pagerank_fixed
+
+    edges = q_kg_edges(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    ranks = pagerank_fixed(edges, iters=PAGERANK_ITERS)
+    return ranks.select(F.col("id").alias("entity"), "rank")
+
+
+def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
+    """Unrolled integer-PageRank replay: r0..r{iters} as chained CTEs,
+    same integer floor-division recurrence as pagerank_fixed (all values
+    non-negative, so DuckDB's // and Spark's div agree exactly)."""
+    scale, base = 1_000_000, 150_000
+    ctes = [
+        f"edges AS (SELECT subj_id AS src, obj_id AS dst FROM ({SQL_KG_EDGES}))",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.id,
+         CAST({base} + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, r.rank // o.outdeg AS contrib
+    FROM edges e
+    JOIN r{i-1} r ON e.src = r.id
+    JOIN outdeg o ON e.src = o.src) c
+  ON n.id = c.id GROUP BY n.id)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT id AS entity, rank FROM r{iters}"
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -2030,6 +2131,8 @@ QUERIES = {
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
     "ole_decode": q_ole_decode,
+    "dedup_clusters": q_dedup_clusters,
+    "entity_rank": q_entity_rank,
 }
 
 
@@ -2108,4 +2211,6 @@ ORACLE_SQL = {
     "normpath": _sql_normpath(_fixture_file("norm_paths")),
     "macho_decode": _sql_macho_decode(_fixture_file("macho_pages")),
     "ole_decode": _sql_ole_decode(_fixture_file("ole_pages")),
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "entity_rank": _sql_entity_rank(),
 }

@@ -253,3 +253,16 @@ def test_ngram_pair_join_runs_spread_not_single_task(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert out.count() > 0
+
+
+def test_graph_analytics_plan_shapes(spark):
+    """entity_rank's checkpointed iterative joins and dedup_clusters'
+    pairs->CC->election chain stay distributed-safe: equi joins only,
+    no nested-loop/cartesian anywhere in either final plan."""
+    from surfactant_spark.queries import q_dedup_clusters, q_entity_rank
+
+    for q in (q_entity_rank, q_dedup_clusters):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
