@@ -89,6 +89,12 @@ def cmd_generate(args) -> int:
         # the recall bound of the near-dup width cap, per run
         out["near_dup_pairs"] = _rows("near_dup", res.near_dup)
         out["audit_dropped_buckets"] = _rows("audit", res.audit)
+        # per-document keep/drop decisions (clusters stage snapshot)
+        from pyspark.sql import functions as F
+
+        out["dedup_survivors"] = int(
+            res.clusters.where(F.col("is_survivor")).count()
+        )
     print(json.dumps(out))
     return 0
 

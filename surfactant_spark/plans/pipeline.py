@@ -129,6 +129,9 @@ class PipelineResult:
     stages_resumed: List[str] = field(default_factory=list)
     near_dup: Optional[DataFrame] = None
     audit: Optional[DataFrame] = None
+    # per-document keep/drop decisions derived from near_dup pairs
+    # (url, cluster_id, is_survivor) — see operators.dedup.near_dup_clusters
+    clusters: Optional[DataFrame] = None
     # write-time observed row count per stage (resumed stages: the
     # count recorded in their marker; None only for pre-count markers)
     # — callers should read these instead of launching count() jobs
@@ -190,6 +193,12 @@ def run_pipeline(
                   run instead of on demand (the lineage row's
                   output_rows is the dropped-bucket count; the
                   snapshot holds the buckets themselves)
+      clusters  : (with near_dup) per-document keep/drop decisions —
+                  pairs folded into transitive clusters (connected
+                  components over near-dup edges only, never the
+                  corpus) with one survivor per cluster (longest
+                  extracted text, ties to smallest url); downstream
+                  training-data prep filters on ``is_survivor``
 
     ``n_salt > 0`` runs the dictionary joins of the edges stage through
     the deterministic salted join (hot-domain skew; result-identical —
@@ -265,7 +274,7 @@ def run_pipeline(
 
     edges = stage("edges", _edges, partition_by=["pred"])
 
-    near_df = audit_df = None
+    near_df = audit_df = clusters_df = None
     if near_dup:
         from ..operators.dedup import (
             dedup_minhash_with_audit,
@@ -302,6 +311,20 @@ def run_pipeline(
             sig=near_dup_sig,
         )
 
+        def _clusters() -> DataFrame:
+            from ..operators.dedup import near_dup_clusters
+
+            docs = extracted.select(
+                "url", F.length("text_extracted").alias("n_chars")
+            )
+            return near_dup_clusters(docs, near_df, id_col="url").withColumnRenamed(
+                "doc_id", "url"
+            )
+
+        # reads the near_dup SNAPSHOT, not the shared pass — a resumed
+        # near_dup satisfies this stage without re-hashing the corpus
+        clusters_df = stage("clusters", _clusters, sig=near_dup_sig)
+
     lineage_batches: List[DataFrame] = []
     if pending:
         # extract is 1:1 with pages: its write-time observed count IS
@@ -316,7 +339,7 @@ def run_pipeline(
             n_pages = extracted.count()
         per_stage_input = {
             "extract": n_pages, "nodes": n_pages, "edges": n_pages,
-            "near_dup": n_pages, "audit": n_pages,
+            "near_dup": n_pages, "audit": n_pages, "clusters": n_pages,
         }
         for name, out, wall_ms, snapshot_id, n_rows in pending:
             lineage_batches.append(
@@ -335,5 +358,6 @@ def run_pipeline(
     return PipelineResult(
         nodes=nodes, edges=edges, lineage=lineage_df,
         stages_run=run, stages_resumed=resumed,
-        near_dup=near_df, audit=audit_df, stage_rows=dict(stage_rows),
+        near_dup=near_df, audit=audit_df, clusters=clusters_df,
+        stage_rows=dict(stage_rows),
     )

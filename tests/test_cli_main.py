@@ -429,3 +429,17 @@ def test_generate_specimen_materializes_install_paths(spark, spark_pages, spark_
     assert rc == 0
     ip2 = spark.read.parquet(os.path.join(out2, "install_paths"))
     assert all(r.install_path is None for r in ip2.collect())
+
+
+def test_generate_near_dup_reports_survivors(staged, capsys):
+    out = str(staged["tmp"] / "kg_nd")
+    rc = main(
+        ["--master", "local[4]", "generate", "--pages", staged["pages"],
+         "--alias", staged["alias"], "--out", out, "--near-dup", "minhash"]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "near_dup_pairs" in info and "audit_dropped_buckets" in info
+    # every corpus doc is labeled; survivors <= docs; clusters snapshot on disk
+    assert 0 < info["dedup_survivors"]
+    assert os.path.exists(os.path.join(out, "_clusters_OK"))

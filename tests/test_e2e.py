@@ -68,8 +68,19 @@ def test_pipeline_near_dup_audit_in_lineage(spark, spark_pages, spark_alias, tmp
     )
     lin = res.lineage.toPandas()
     stages = set(lin.stage)
-    assert {"extract", "nodes", "edges", "near_dup", "audit"} <= stages
+    assert {"extract", "nodes", "edges", "near_dup", "audit", "clusters"} <= stages
     assert res.audit is not None and res.near_dup is not None
+    # clusters: every page labeled, exactly one survivor per cluster,
+    # paired pages share a cluster
+    clusters = res.clusters.toPandas()
+    assert set(clusters.columns) == {"url", "cluster_id", "is_survivor"}
+    assert len(clusters) == spark_pages.count()
+    per_cluster = clusters.groupby("cluster_id").is_survivor.sum()
+    assert (per_cluster == 1).all()
+    pairs = res.near_dup.toPandas()
+    if len(pairs):
+        lbl = dict(zip(clusters.url, clusters.cluster_id))
+        assert all(lbl[r.id1] == lbl[r.id2] for r in pairs.itertuples())
     audit = res.audit.toPandas()
     assert set(audit.columns) == {"block", "block_key", "width", "family"}
     assert (audit.family == "simhash").all()
