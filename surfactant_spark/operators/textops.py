@@ -95,3 +95,79 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_col(t).alias("quality"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus sampling / splitting
+# ---------------------------------------------------------------------------
+SAMPLE_MOD = 1_000_000
+
+
+def sample_bucket_col(id_c: Column, salt: str, mod: int = SAMPLE_MOD) -> Column:
+    """Deterministic bucket in [0, mod) from the portable md5-prefix
+    hash of ``salt + ':' + id``. Unlike DataFrame.sample (partition-
+    order-dependent) or rand(seed) (plan-dependent), the bucket is a
+    pure function of the row's id — stable across retries, repartitions,
+    engines (bit-identical in DuckDB), and re-runs, which is what makes
+    sampling decisions reproducible and auditable at 100 TB. Different
+    salts give independent buckets (sampling independent of splitting)."""
+    return F.pmod(
+        portable_hash64_col(F.concat(F.lit(salt + ":"), id_c.cast("string"))),
+        F.lit(mod),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Per-stratum downsampling (the language/domain rebalancing step of
+    training-data prep): keep a row iff its hash bucket falls under its
+    stratum's rate. ``rates`` maps stratum value -> keep rate in [0, 1];
+    unlisted strata keep ``default_rate``. The rate CASE is a literal
+    chain over a driver-side dict (strata are dimension-sized), so the
+    whole filter is one JVM expression on the scan — no shuffle, no UDF,
+    pushdown-eligible, and exactly reproducible (see sample_bucket_col)."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    thr = None
+    for k, r in rates.items():
+        t = F.lit(int(round(r * SAMPLE_MOD)))
+        cond = F.col(stratum_col) == k
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default = F.lit(int(round(default_rate * SAMPLE_MOD)))
+    thr = default if thr is None else thr.otherwise(default)
+    return docs.where(bucket < thr)
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test-style label by
+    cumulative hash-bucket ranges (insertion order of ``weights``; the
+    last label absorbs integer-rounding remainder). A row's split never
+    changes when the corpus grows — new ids land in the same fixed
+    ranges — so incremental ingests can't leak yesterday's val docs
+    into today's train set."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    names = list(weights)
+    cum = 0
+    out = None
+    for name in names[:-1]:
+        cum += int(round(weights[name] * SAMPLE_MOD))
+        cond = bucket < F.lit(cum)
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    last = F.lit(names[-1])
+    return docs.withColumn(split_col, last if out is None else out.otherwise(last))

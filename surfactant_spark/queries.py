@@ -2075,6 +2075,47 @@ def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# deterministic corpus sampling + splitting
+# ---------------------------------------------------------------------------
+SAMPLE_RATES = {"en": 0.25, "fr": 0.5}
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep: deterministic train/val/test assignment +
+    per-language downsampling (rebalance the en-heavy corpus), both by
+    portable-hash buckets — one shuffle-free JVM projection+filter on
+    the scan, bit-identically reproducible in any engine."""
+    from .operators.textops import hash_split, stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        hash_split(docs, SPLIT_WEIGHTS), SAMPLE_RATES
+    ).select("doc_id", "lang", "split")
+
+
+def _sql_corpus_sample() -> str:
+    mod = 1_000_000
+    sb = _H.format(expr="'sample:v1:' || CAST(doc_id AS VARCHAR)") + f" % {mod}"
+    pb = _H.format(expr="'split:v1:' || CAST(doc_id AS VARCHAR)") + f" % {mod}"
+    rate_case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {int(round(r * mod))}" for k, r in SAMPLE_RATES.items()
+    ) + f" ELSE {mod} END"
+    names = list(SPLIT_WEIGHTS)
+    cum, arms = 0, []
+    for name in names[:-1]:
+        cum += int(round(SPLIT_WEIGHTS[name] * mod))
+        arms.append(f"WHEN pb < {cum} THEN '{name}'")
+    split_case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {sb} AS sb, {pb} AS pb FROM documents)
+SELECT doc_id, lang, {split_case} AS split
+FROM b WHERE sb < {rate_case}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -2133,6 +2174,7 @@ QUERIES = {
     "ole_decode": q_ole_decode,
     "dedup_clusters": q_dedup_clusters,
     "entity_rank": q_entity_rank,
+    "corpus_sample": q_corpus_sample,
 }
 
 
@@ -2213,4 +2255,5 @@ ORACLE_SQL = {
     "ole_decode": _sql_ole_decode(_fixture_file("ole_pages")),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "entity_rank": _sql_entity_rank(),
+    "corpus_sample": _sql_corpus_sample(),
 }

@@ -84,3 +84,67 @@ def test_near_dup_clusters_election(spark):
     assert len(rows) == 5
     survivors = [r for r in rows.values() if r.is_survivor]
     assert len(survivors) == 3
+
+
+def test_stratified_sample_and_hash_split(spark):
+    from surfactant_spark.operators.textops import (
+        hash_split,
+        sample_bucket_col,
+        stratified_sample,
+    )
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = stratified_sample(docs, {"en": 0.25}, default_rate=1.0).toPandas()
+    n_en = (kept.lang == "en").sum()
+    n_de = (kept.lang == "de").sum()
+    assert n_de == 2000  # default rate keeps everything
+    assert 400 < n_en < 600  # ~25% of 2000
+
+    # split: covers every row, roughly proportional, deterministic
+    split = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).toPandas()
+    counts = split.groupby("split").size()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts.sum() == 4000 and counts["train"] > 3400
+    again = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).toPandas()
+    assert dict(zip(split.doc_id, split.split)) == dict(zip(again.doc_id, again.split))
+
+    # growth stability: a doc's split never changes when the corpus
+    # grows (the label is a pure function of the id, not of the corpus)
+    small = hash_split(
+        docs.where(F.col("doc_id") < 100), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    small_map = {r.doc_id: r.split for r in small.collect()}
+    big_map = dict(zip(split.doc_id, split.split))
+    assert small_map and all(big_map[k] == v for k, v in small_map.items())
+
+    # independence: sample and split buckets use different salts
+    b = docs.select(
+        sample_bucket_col(F.col("doc_id"), "sample:v1").alias("s"),
+        sample_bucket_col(F.col("doc_id"), "split:v1").alias("p"),
+    ).toPandas()
+    assert (b.s != b.p).any()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(docs, {"en": 1.5})
+    with _pytest.raises(ValueError):
+        hash_split(docs, {})
+
+
+def test_corpus_sample_plan_is_scan_rooted_no_shuffle(spark):
+    """The sampling query is one projection+filter on the parquet scan:
+    no Exchange (shuffle), no Python, and the scan reads only the two
+    projected columns."""
+    from surfactant_spark.queries import q_corpus_sample
+    from tests.conftest import SF_DIR
+
+    df = q_corpus_sample(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan and "text" not in scan[0]
