@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "windowed_events",
     "dedup_clusters",
     "entity_rank",
+    "dup_spans",
 ]
 
 

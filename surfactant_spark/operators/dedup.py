@@ -710,3 +710,75 @@ def near_dup_clusters(
         "cluster_id",
         (F.col("doc_id") == F.col("survivor")).alias("is_survivor"),
     )
+
+
+def window_hash_array(toks: Column, w: int) -> Column:
+    """Positional w-token window hashes (31-bit portable): element i is
+    the hash of tokens [i, i+w) — ORDER-PRESERVING, unlike the
+    de-duplicated shingle sets of the MinHash path, because the
+    consumer needs token offsets. ``toks`` must be a materialized
+    column reference (see shingles_from_toks on lambda CSE)."""
+    k = F.size(toks)
+    return F.when(k < w, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - w),
+            lambda i: F.pmod(
+                portable_hash64_col(F.concat_ws(" ", F.slice(toks, i + 1, w))),
+                F.lit(_P31),
+            ),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token SPANS — the exact-substring
+    dedup primitive (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): MinHash says two docs are similar
+    overall; this says WHICH token ranges are verbatim-shared (boiler-
+    plate, licenses, eval-set contamination), so a pipeline can excise
+    spans instead of dropping whole documents.
+
+    Plan: positional w-token window hashes (one narrow projection) ->
+    countDistinct(doc) per hash -> hashes in >= min_docs docs joined
+    back (one shuffle each, both on the window-hash key; every step is
+    linear in total occurrences — nothing quadratic, no pair join) ->
+    adjacent duplicate positions fused per doc by the gaps-and-islands
+    fold (pos - row_number(), window bounded by one document's tokens).
+
+    Returns (doc_id, span_start, span_end, n_windows): inclusive token
+    offsets, span_end = last window start + w - 1.
+    """
+    from ..session import spread_partitions
+
+    tok = tokenized(spread_partitions(docs), text_col, keep=(id_col,))
+    win = tok.select(
+        F.col(id_col),
+        F.posexplode(window_hash_array(F.col("_toks"), w)).alias("pos", "wh"),
+    )
+    win = win.localCheckpoint(eager=True)  # feeds the count AND the join-back
+    shared = (
+        win.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    dup = win.join(shared, "wh").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    seq = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    return (
+        dup.withColumn("grp", F.col("pos") - seq)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )

@@ -2075,6 +2075,42 @@ def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplicate spans
+# ---------------------------------------------------------------------------
+DUP_SPAN_W = 8
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-shared token ranges across documents (exact-substring
+    dedup primitive): which spans are duplicated, not just which docs
+    are similar — the excise-don't-drop complement of dedup_minhash."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_read(spark, sf_dir, "documents"), w=DUP_SPAN_W)
+
+
+def _sql_dup_spans(w: int = DUP_SPAN_W) -> str:
+    from .functions.hashing import P31
+
+    wh = _H.format(expr=f"array_to_string(toks[i:i+{w - 1}], ' ')") + f" % {P31}"
+    return f"""
+WITH toks AS ({SQL_TOKS_SUBSELECT}),
+win AS (
+  SELECT doc_id, i - 1 AS pos, {wh} AS wh
+  FROM toks, UNNEST(range(1, len(toks) - {w} + 2)) AS g(i)),
+shared AS (
+  SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM win JOIN shared USING (wh))
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {w - 1} AS span_end,
+       COUNT(*) AS n_windows
+FROM dup GROUP BY doc_id, grp
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic corpus sampling + splitting
 # ---------------------------------------------------------------------------
 SAMPLE_RATES = {"en": 0.25, "fr": 0.5}
@@ -2175,6 +2211,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "entity_rank": q_entity_rank,
     "corpus_sample": q_corpus_sample,
+    "dup_spans": q_dup_spans,
 }
 
 
@@ -2256,4 +2293,5 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "entity_rank": _sql_entity_rank(),
     "corpus_sample": _sql_corpus_sample(),
+    "dup_spans": _sql_dup_spans(),
 }

@@ -148,3 +148,28 @@ def test_corpus_sample_plan_is_scan_rooted_no_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     scan = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
     assert scan and "text" not in scan[0]
+
+
+def test_duplicate_spans_known_overlap(spark):
+    from surfactant_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, shared + " unrelated tail content here now"),
+            (3, "completely different text with no overlap at all whatsoever"),
+            # internal repetition only — not cross-doc, must NOT fire
+            (4, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_spans(docs, w=8, min_docs=2).collect()}
+    # doc 1: shared tokens at offsets 2..11 -> windows 2,3,4 fuse to one span
+    assert out[1].span_start == 2 and out[1].span_end == 11 and out[1].n_windows == 3
+    # doc 2: same content at offsets 0..9
+    assert out[2].span_start == 0 and out[2].span_end == 9 and out[2].n_windows == 3
+    assert 3 not in out and 4 not in out
+    # min_docs=1 turns internal repetition visible for doc 4
+    solo = duplicate_spans(docs, w=8, min_docs=1)
+    assert solo.where(F.col("doc_id") == 4).count() > 0
