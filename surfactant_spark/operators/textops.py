@@ -171,3 +171,74 @@ def hash_split(
         out = F.when(cond, name) if out is None else out.when(cond, name)
     last = F.lit(names[-1])
     return docs.withColumn(split_col, last if out is None else out.otherwise(last))
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+def _bigram_array(toks: Column) -> Column:
+    k = F.size(toks)
+    return F.when(k < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals, the Gopher-rule family
+    (Rae et al. 2021 §A1.1): documents dominated by a few repeated
+    n-grams are low-quality (spam, keyword stuffing, broken extractors)
+    even when no OTHER document duplicates them — the intra-doc
+    complement of the cross-doc dedup families.
+
+    Returns per doc: n_bigrams, top_bigram_frac (occurrences of the most
+    frequent bigram / all bigram occurrences), dup_bigram_frac (fraction
+    of bigram occurrences whose bigram repeats), distinct_token_ratio.
+    Degenerate docs (< 2 tokens) report 0 bigrams and 0.0 fractions.
+
+    Shape: one explode + two aggregations, all keyed by the document id
+    — partial aggs combine map-side and the shuffle key is the natural
+    partitioning of a per-doc metric, so the pass scales with the corpus
+    like any groupBy(doc_id). Pure JVM expressions; ratios are exact-int
+    divisions rounded to 6 places (IEEE-identical in the SQL twin).
+    """
+    tok = docs.select(F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"))
+    counts = (
+        tok.select(F.col(id_col), F.explode(_bigram_array(F.col("_toks"))).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("nb"),
+        F.max("c").alias("topc"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dupc"),
+    )
+    tokstats = tok.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("nt"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("nd"),
+    )
+    return (
+        tokstats.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.when(F.col("nb").isNull(), F.lit(0.0)).otherwise(
+                    F.col("topc") / F.col("nb")
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(F.col("nb").isNull(), F.lit(0.0)).otherwise(
+                    F.col("dupc") / F.col("nb")
+                ),
+                6,
+            ).alias("dup_bigram_frac"),
+            F.round(F.col("nd") / F.col("nt"), 6).alias("distinct_token_ratio"),
+        )
+    )

@@ -2111,6 +2111,41 @@ FROM dup GROUP BY doc_id, grp
 
 
 # ---------------------------------------------------------------------------
+# within-document repetition metrics
+# ---------------------------------------------------------------------------
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition quality signals (the
+    cross-doc dedup families' complement): bigram concentration +
+    distinct-token ratio per document."""
+    from .operators.textops import repetition_metrics
+
+    return repetition_metrics(_read(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = f"""
+WITH toks AS ({SQL_TOKS_SUBSELECT}),
+big AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+  FROM toks, UNNEST(range(1, len(toks))) AS r(i)),
+counts AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS nb, MAX(c) AS topc,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+  FROM counts GROUP BY doc_id),
+ts AS (
+  SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd FROM toks)
+SELECT t.doc_id,
+       COALESCE(p.nb, 0) AS n_bigrams,
+       round(CASE WHEN p.nb IS NULL THEN 0.0 ELSE p.topc * 1.0 / p.nb END, 6)
+         AS top_bigram_frac,
+       round(CASE WHEN p.nb IS NULL THEN 0.0 ELSE p.dupc * 1.0 / p.nb END, 6)
+         AS dup_bigram_frac,
+       round(t.nd * 1.0 / t.nt, 6) AS distinct_token_ratio
+FROM ts t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic corpus sampling + splitting
 # ---------------------------------------------------------------------------
 SAMPLE_RATES = {"en": 0.25, "fr": 0.5}
@@ -2212,6 +2247,7 @@ QUERIES = {
     "entity_rank": q_entity_rank,
     "corpus_sample": q_corpus_sample,
     "dup_spans": q_dup_spans,
+    "doc_repetition": q_doc_repetition,
 }
 
 
@@ -2294,4 +2330,5 @@ ORACLE_SQL = {
     "entity_rank": _sql_entity_rank(),
     "corpus_sample": _sql_corpus_sample(),
     "dup_spans": _sql_dup_spans(),
+    "doc_repetition": SQL_DOC_REPETITION,
 }

@@ -173,3 +173,25 @@ def test_duplicate_spans_known_overlap(spark):
     # min_docs=1 turns internal repetition visible for doc 4
     solo = duplicate_spans(docs, w=8, min_docs=1)
     assert solo.where(F.col("doc_id") == 4).count() > 0
+
+
+def test_repetition_metrics_known_values(spark):
+    from surfactant_spark.operators.textops import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # bigrams: ab,ba,ab,ba,ab -> top 3/5, all dup
+            (2, "w x y z"),          # 3 bigrams, all unique
+            (3, "solo"),             # <2 tokens -> degenerate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[1].n_bigrams == 5
+    assert out[1].top_bigram_frac == 0.6 and out[1].dup_bigram_frac == 1.0
+    assert out[1].distinct_token_ratio == round(2 / 6, 6)
+    assert out[2].n_bigrams == 3
+    assert out[2].top_bigram_frac == round(1 / 3, 6) and out[2].dup_bigram_frac == 0.0
+    assert out[2].distinct_token_ratio == 1.0
+    assert out[3].n_bigrams == 0
+    assert out[3].top_bigram_frac == 0.0 and out[3].dup_bigram_frac == 0.0
