@@ -44,19 +44,33 @@ def pagerank_fixed(
     iters: int = 5,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    weight_col: str = None,
 ) -> DataFrame:
     """Run ``iters`` synchronous PageRank rounds over (src, dst) edges.
 
     rank_0(v) = scale
-    rank_i(v) = scale*(100-d)/100  +  d * sum_{u->v} (rank_{i-1}(u) div
-                outdeg(u)) div 100        [all integer, d = damping_pct]
+    rank_i(v) = scale*(100-d)/100  +  d * sum_{u->v} contrib(u->v)
+                div 100            [all integer, d = damping_pct]
+
+    where contrib(u->v) = rank_{i-1}(u) div outdeg(u) unweighted, or
+    (rank_{i-1}(u) * w(u->v)) div wsum(u) with ``weight_col`` (integer
+    edge weights > 0, e.g. evidence counts — a heavily-evidenced edge
+    carries proportionally more of its source's mass).
 
     Multi-edges contribute multiply — pass a distinct edge set for the
     unweighted form. Returns (id, rank) with rank in micro-units.
+
+    Overflow bound (weighted): rank*w must stay under 2^63 — total mass
+    is <= n_nodes*scale, so at 10^12 nodes drop ``scale`` to ~10^3 or
+    pre-normalize weights; the integer recurrence is otherwise exact at
+    any size.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+    e = edges.select(*cols)
     # one materialization: e feeds nodes, outdeg, and every iteration
     e = e.localCheckpoint(eager=True)
     nodes = (
@@ -65,8 +79,10 @@ def pagerank_fixed(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    wsum = F.sum("w") if weight_col else F.count(F.lit(1))
+    outdeg = e.groupBy("src").agg(wsum.alias("outdeg"))
     src_side = e.join(outdeg, "src").localCheckpoint(eager=True)
+    contrib_expr = "(rank * w) div outdeg" if weight_col else "rank div outdeg"
 
     base = scale * (100 - damping_pct) // 100
     ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
@@ -75,7 +91,7 @@ def pagerank_fixed(
             src_side.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
-                F.expr("rank div outdeg").alias("contrib"),
+                F.expr(contrib_expr).alias("contrib"),
             )
             .groupBy("id")
             .agg(F.sum("contrib").alias("c"))

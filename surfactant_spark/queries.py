@@ -2035,27 +2035,33 @@ PAGERANK_ITERS = 5
 
 def q_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the KG output: 5 synchronous PageRank
-    rounds on the distinct (subj, obj) Uses edges, checkpointed
-    iterative joins (operators/graphrank.py). Integer micro-unit ranks
-    make the iteration bit-exact replayable in SQL."""
+    rounds on the (subj, obj) Uses edges weighted by their evidence
+    counts (a heavily-evidenced edge carries proportionally more of its
+    source's mass), checkpointed iterative joins
+    (operators/graphrank.py). Integer micro-unit ranks make the
+    iteration bit-exact replayable in SQL."""
     from .operators.graphrank import pagerank_fixed
 
     edges = q_kg_edges(spark, sf_dir).select(
-        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        F.col("subj_id").alias("src"),
+        F.col("obj_id").alias("dst"),
+        "n_evidence",
     )
-    ranks = pagerank_fixed(edges, iters=PAGERANK_ITERS)
+    ranks = pagerank_fixed(edges, iters=PAGERANK_ITERS, weight_col="n_evidence")
     return ranks.select(F.col("id").alias("entity"), "rank")
 
 
 def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
     """Unrolled integer-PageRank replay: r0..r{iters} as chained CTEs,
-    same integer floor-division recurrence as pagerank_fixed (all values
-    non-negative, so DuckDB's // and Spark's div agree exactly)."""
+    same integer floor-division recurrence as pagerank_fixed incl. the
+    evidence weighting (all values non-negative, so DuckDB's // and
+    Spark's div agree exactly)."""
     scale, base = 1_000_000, 150_000
     ctes = [
-        f"edges AS (SELECT subj_id AS src, obj_id AS dst FROM ({SQL_KG_EDGES}))",
+        "edges AS (SELECT subj_id AS src, obj_id AS dst, n_evidence AS w"
+        f" FROM ({SQL_KG_EDGES}))",
         "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
-        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "outdeg AS (SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src)",
         f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
@@ -2064,7 +2070,7 @@ def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
   SELECT n.id,
          CAST({base} + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS id, r.rank // o.outdeg AS contrib
+    SELECT e.dst AS id, (r.rank * e.w) // o.outdeg AS contrib
     FROM edges e
     JOIN r{i-1} r ON e.src = r.id
     JOIN outdeg o ON e.src = o.src) c

@@ -195,3 +195,33 @@ def test_repetition_metrics_known_values(spark):
     assert out[2].distinct_token_ratio == 1.0
     assert out[3].n_bigrams == 0
     assert out[3].top_bigram_frac == 0.0 and out[3].dup_bigram_frac == 0.0
+
+
+def test_pagerank_weighted_matches_reference_recurrence(spark):
+    from surfactant_spark.operators.graphrank import pagerank_fixed
+
+    wedges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5)]
+
+    def py_weighted(edges, iters=4, scale=1_000_000, damp=85):
+        nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+        wsum = {}
+        for a, _, w in edges:
+            wsum[a] = wsum.get(a, 0) + w
+        rank = {v: scale for v in nodes}
+        base = scale * (100 - damp) // 100
+        for _ in range(iters):
+            inc = {v: 0 for v in nodes}
+            for a, b, w in edges:
+                inc[b] += (rank[a] * w) // wsum[a]
+            rank = {v: base + (damp * inc[v]) // 100 for v in nodes}
+        return rank
+
+    df = spark.createDataFrame(wedges, "src string, dst string, n long")
+    got = {
+        r.id: r.rank
+        for r in pagerank_fixed(df, iters=4, weight_col="n").collect()
+    }
+    assert got == py_weighted(wedges, iters=4)
+    # weighting changes the result vs unweighted on the same edges
+    unw = {r.id: r.rank for r in pagerank_fixed(df, iters=4).collect()}
+    assert got != unw
