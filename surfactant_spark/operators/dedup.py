@@ -769,6 +769,12 @@ def duplicate_spans(
         .select("wh")
     )
     dup = win.join(shared, "wh").select(id_col, "pos")
+    return _fuse_spans(dup, id_col, w)
+
+
+def _fuse_spans(dup: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Gaps-and-islands fold: adjacent duplicate window positions ->
+    (id, span_start, span_end, n_windows); window bounded per doc."""
     from pyspark.sql import Window
 
     seq = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
@@ -782,3 +788,43 @@ def duplicate_spans(
         )
         .drop("grp")
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = None,
+    w: int = 8,
+) -> DataFrame:
+    """Eval-set DECONTAMINATION: token ranges of ``docs`` that appear
+    verbatim (w-token windows) anywhere in ``probes`` (the held-out /
+    benchmark texts). The asymmetric twin of duplicate_spans — training
+    docs are scanned once against the probe windows, probe docs are
+    never paired with each other, and the output names the training-side
+    spans to excise before the corpus is trained on.
+
+    Plan: distinct probe window hashes (an eval set is dimension-sized
+    next to a training corpus — the join side AQE will broadcast) equi-
+    joined against positional corpus window hashes, then the per-doc
+    gaps-and-islands span fusion. One corpus-scale projection + one
+    join keyed on the window hash; nothing quadratic.
+
+    Returns (doc_id, span_start, span_end, n_windows) over ``docs``.
+    """
+    from ..session import spread_partitions
+
+    ptc = probe_text_col or text_col
+    pwin = (
+        tokenized(probes, ptc)
+        .select(F.explode(window_hash_array(F.col("_toks"), w)).alias("wh"))
+        .dropDuplicates()
+    )
+    tok = tokenized(spread_partitions(docs), text_col, keep=(id_col,))
+    twin = tok.select(
+        F.col(id_col),
+        F.posexplode(window_hash_array(F.col("_toks"), w)).alias("pos", "wh"),
+    )
+    hits = twin.join(pwin, "wh").select(id_col, "pos")
+    return _fuse_spans(hits, id_col, w)

@@ -2117,6 +2117,45 @@ FROM dup GROUP BY doc_id, grp
 
 
 # ---------------------------------------------------------------------------
+# eval-set decontamination
+# ---------------------------------------------------------------------------
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: which token spans of the training split appear
+    verbatim in the held-out split (every 17th doc plays the eval set —
+    the same deterministic partition both engines compute)."""
+    from .operators.dedup import contamination_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return contamination_spans(train, probes, w=DUP_SPAN_W)
+
+
+def _sql_contamination(w: int = DUP_SPAN_W) -> str:
+    from .functions.hashing import P31
+
+    wh = _H.format(expr=f"array_to_string(toks[i:i+{w - 1}], ' ')") + f" % {P31}"
+    return f"""
+WITH toks AS ({SQL_TOKS_SUBSELECT}),
+pwin AS (
+  SELECT DISTINCT {wh} AS wh
+  FROM toks, UNNEST(range(1, len(toks) - {w} + 2)) AS g(i)
+  WHERE doc_id % 17 = 0),
+twin AS (
+  SELECT doc_id, i - 1 AS pos, {wh} AS wh
+  FROM toks, UNNEST(range(1, len(toks) - {w} + 2)) AS g(i)
+  WHERE doc_id % 17 <> 0),
+hits AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM twin JOIN pwin USING (wh))
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {w - 1} AS span_end,
+       COUNT(*) AS n_windows
+FROM hits GROUP BY doc_id, grp
+"""
+
+
+# ---------------------------------------------------------------------------
 # within-document repetition metrics
 # ---------------------------------------------------------------------------
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2254,6 +2293,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "dup_spans": q_dup_spans,
     "doc_repetition": q_doc_repetition,
+    "contamination": q_contamination,
 }
 
 
@@ -2337,4 +2377,5 @@ ORACLE_SQL = {
     "corpus_sample": _sql_corpus_sample(),
     "dup_spans": _sql_dup_spans(),
     "doc_repetition": SQL_DOC_REPETITION,
+    "contamination": _sql_contamination(),
 }

@@ -225,3 +225,23 @@ def test_pagerank_weighted_matches_reference_recurrence(spark):
     # weighting changes the result vs unweighted on the same edges
     unw = {r.id: r.rank for r in pagerank_fixed(df, iters=4).collect()}
     assert got != unw
+
+
+def test_contamination_spans_directional(spark):
+    from surfactant_spark.operators.dedup import contamination_spans
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    train = spark.createDataFrame(
+        [
+            (1, "intro words " + bench + " outro words"),
+            (2, "nothing shared with any benchmark text here at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_spans(train, probes, w=8).collect()}
+    # only the contaminated train doc is flagged, with the right offsets
+    assert list(out) == [1]
+    assert out[1].span_start == 2 and out[1].span_end == 11 and out[1].n_windows == 3
+    # probes never pair with each other / are never reported
+    assert 100 not in out
