@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "entity_rank",
     "dup_spans",
+    "contamination",
+    "doc_repetition",
 ]
 
 

@@ -256,12 +256,26 @@ def test_ngram_pair_join_runs_spread_not_single_task(spark):
 
 
 def test_graph_analytics_plan_shapes(spark):
-    """entity_rank's checkpointed iterative joins and dedup_clusters'
-    pairs->CC->election chain stay distributed-safe: equi joins only,
-    no nested-loop/cartesian anywhere in either final plan."""
-    from surfactant_spark.queries import q_dedup_clusters, q_entity_rank
+    """The round-4 additions (entity_rank's checkpointed iterative
+    joins, dedup_clusters' pairs->CC->election chain, the span
+    detectors' window-hash joins, the repetition aggregations) stay
+    distributed-safe: equi joins only, no nested-loop/cartesian, no
+    Python anywhere in any final plan."""
+    from surfactant_spark.queries import (
+        q_contamination,
+        q_dedup_clusters,
+        q_doc_repetition,
+        q_dup_spans,
+        q_entity_rank,
+    )
 
-    for q in (q_entity_rank, q_dedup_clusters):
+    for q in (
+        q_entity_rank,
+        q_dedup_clusters,
+        q_dup_spans,
+        q_contamination,
+        q_doc_repetition,
+    ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
