@@ -2039,15 +2039,20 @@ def q_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (a heavily-evidenced edge carries proportionally more of its
     source's mass), checkpointed iterative joins
     (operators/graphrank.py). Integer micro-unit ranks make the
-    iteration bit-exact replayable in SQL."""
-    from .operators.graphrank import pagerank_fixed
+    iteration bit-exact replayable in SQL. Auto dispatch: the
+    canonical-entity graph of a small corpus is dimension-sized, so the
+    driver recurrence applies (one take() instead of ~3 shuffle jobs
+    per iteration — the connected_components_auto discipline); a
+    web-scale entity graph takes the distributed checkpointed loop
+    automatically."""
+    from .operators.graphrank import pagerank_auto
 
     edges = q_kg_edges(spark, sf_dir).select(
         F.col("subj_id").alias("src"),
         F.col("obj_id").alias("dst"),
         "n_evidence",
     )
-    ranks = pagerank_fixed(edges, iters=PAGERANK_ITERS, weight_col="n_evidence")
+    ranks = pagerank_auto(edges, iters=PAGERANK_ITERS, weight_col="n_evidence")
     return ranks.select(F.col("id").alias("entity"), "rank")
 
 

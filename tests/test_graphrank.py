@@ -245,3 +245,21 @@ def test_contamination_spans_directional(spark):
     assert out[1].span_start == 2 and out[1].span_end == 11 and out[1].n_windows == 3
     # probes never pair with each other / are never reported
     assert 100 not in out
+
+
+def test_pagerank_auto_paths_agree(spark):
+    from surfactant_spark.operators.graphrank import pagerank_auto, pagerank_fixed
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    small = {r.id: r.rank for r in pagerank_auto(df, iters=5).collect()}
+    big = {r.id: r.rank for r in pagerank_auto(df, iters=5, small_threshold=0).collect()}
+    fixed = {r.id: r.rank for r in pagerank_fixed(df, iters=5).collect()}
+    assert small == big == fixed == _py_pagerank(EDGES, iters=5)
+    # weighted dispatch agrees too, and long ids keep their type
+    wdf = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 1)], "src long, dst long, n long"
+    )
+    ws = pagerank_auto(wdf, iters=3, weight_col="n")
+    wb = pagerank_auto(wdf, iters=3, weight_col="n", small_threshold=0)
+    assert ws.schema["id"].dataType.simpleString() == "bigint"
+    assert {r.id: r.rank for r in ws.collect()} == {r.id: r.rank for r in wb.collect()}
