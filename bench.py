@@ -194,8 +194,18 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
             os.path.join(pipe_tmp.name, f"work_{rep}"), n_pages,
         )
         p_noise = _nonguest_parts(cpu1)
+        # web-graph family over the SAME staged corpus (host link graph
+        # + co-mention lift): fixture-backed in the oracle suite, so its
+        # scale evidence lives here, on the sf-sized synthetic pages
+        from surfactant_spark.operators.webgraph import comention_lift, host_graph
+
+        t0 = time.time()
+        host_graph(pipe_pages).count()
+        comention_lift(pipe_pages).count()
+        wg_wall = round(time.time() - t0, 3)
         frac = q_noise["frac"]
         times["kg_pipeline_synthetic"] = pipe_wall
+        times["webgraph_synthetic"] = wg_wall
         reps.append(
             {
                 "rep": rep,
@@ -204,7 +214,7 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
                 # re-executes compiled plans, so total_s is comparable
                 # across reps only via total_warm_s (+ pipeline wall,
                 # which is steady-state at every rep)
-                "total_warm_s": round(sum(warm.values()) + pipe_wall, 3),
+                "total_warm_s": round(sum(warm.values()) + pipe_wall + wg_wall, 3),
                 "queries": times,
                 "queries_warm": warm,
                 "nonguest_cpu_frac": frac,

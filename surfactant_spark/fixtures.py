@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r4b"
+FIXTURE_VERSION = "r4c"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -313,6 +313,50 @@ def synth_norm_paths() -> Dict[str, list]:
         parts = [p for p in (f"Dir{i % 4}", "SubDir", f"lib{i}.DLL") if p]
         win.append((drive + sep if drive else "") + sep.join(parts))
     return {"path": posix, "win": win}
+
+
+def synth_web_pages(n: int = 250) -> Dict[str, list]:
+    """The synthetic Common-Crawl-style corpus (synth.make_corpus,
+    seed=42) staged as a parquet fixture so the web-graph query family
+    (host link graph, anchor-text mining, co-mention statistics) and
+    its DuckDB oracles read byte-identical pages. html stays raw bytes
+    (the input_hint binary column); both engines decode utf-8 at query
+    time."""
+    from .synth import make_corpus
+
+    pages, _ = make_corpus(n, seed=42)
+    return {
+        "url": list(pages["url"]),
+        "warc_ts": [int(t.timestamp()) for t in pages["warc_ts"]],
+        "html": list(pages["html"]),
+        "text": list(pages["text"]),
+        "lang": list(pages["lang"]),
+    }
+
+
+def synth_raw_urls(n: int = 72) -> Dict[str, list]:
+    """Messy URL variants for the canonicalization oracle: every base
+    url appears in several surface forms (uppercased scheme/host,
+    explicit default port, fragment, bare-host) that RFC 3986 §6
+    normalization folds to one canonical spelling. Deterministic
+    literal arithmetic — no rng."""
+    raw: List[str] = []
+    for i in range(n):
+        host = f"site{i % 7}.example.org"
+        path = f"/p/{i}.html"
+        base = f"https://{host}{path}"
+        raw.append(base)
+        raw.append(f"HTTPS://{host.upper()}{path}")
+        if i % 2 == 0:
+            raw.append(f"https://{host}:443{path}")
+        if i % 3 == 0:
+            raw.append(f"{base}#sec-{i}")
+        if i % 4 == 0:
+            raw.append(f"http://{host.title()}:80{path}")
+        if i % 5 == 0:
+            raw.append(f"https://{host.upper()}")  # bare host -> '/'
+            raw.append(f"https://{host}/")
+    return {"raw_url": raw}
 
 
 # ---------------------------------------------------------------------------
@@ -742,6 +786,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
         "audit_rows", "cp_software", "cp_map", "cp_edges",
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
+        "web_pages", "raw_urls",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -884,6 +929,8 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["norm_paths"], synth_norm_paths())
     _write_parquet(paths["macho_pages"], synth_macho_pages())
     _write_parquet(paths["ole_pages"], synth_ole_pages())
+    _write_parquet(paths["web_pages"], synth_web_pages())
+    _write_parquet(paths["raw_urls"], synth_raw_urls())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

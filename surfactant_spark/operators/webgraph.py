@@ -1,0 +1,188 @@
+"""Web-graph analytics over the pages corpus: hyperlink extraction,
+host-level link graph, anchor-text alias mining, URL canonicalization,
+and entity co-mention statistics.
+
+These are the web-text complement of the KG link stage: where
+``operators/link.py`` resolves import->export symbol probes (the
+reference's relationship plugins, `surfactant/relationships/*.py`),
+this module mines the *hyperlink* structure of the crawl itself — the
+signals a web-scale KG build uses to weight entities (host authority),
+enrich the alias dictionary (anchor texts are how the web names an
+entity), and collapse crawl-duplicate urls (RFC 3986 canonicalization)
+before content dedup even runs.
+
+Scale notes (100 TB):
+
+- ``extract_links`` is ONE JVM regex pass over html — no Python, no
+  shuffle. It is compute-amplified relative to its input bytes, so
+  callers route the pages scan through ``session.spread_partitions``
+  first (the round-3 discipline for heavy per-row passes).
+- ``host_graph`` / ``anchor_stats`` reduce with hash aggregations whose
+  partial (map-side) combine absorbs the hot-domain skew the corpus is
+  built with: a 30 %-hot domain collapses to one row per (src, dst)
+  pair per map task before any shuffle.
+- ``comention_lift``'s within-page pair join is quadratic only in the
+  per-page mention count (bounded by page size, single digits here);
+  the shuffle key is the page url, never an entity, so entity skew
+  cannot concentrate a reducer. The global doc count is a driver
+  literal counted off the eager checkpoint, never a cartesian join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..session import spread_partitions
+
+# one anchor element per match; href and text re-extracted per element
+_A_ELEM = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+_A_HREF = r'<a href="([^"]*)"'
+_A_TEXT = r'>([^<]*)</a>'
+
+# scheme://host of an absolute url (host = authority up to first '/')
+_URL_HOST = r'^[a-z]+://([^/]+)'
+
+
+def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(url, href, anchor) per ``<a>`` element of each page.
+
+    Pure whole-stage-codegen JVM: utf-8 decode + regexp_extract_all +
+    explode. The pages scan is spread first because regex over full
+    page bodies amplifies compute far beyond input bytes (a one-split
+    small corpus would otherwise run the whole pass on one task)."""
+    spread = spread_partitions(pages.select(url_col, html_col))
+    elems = spread.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col).cast("string"), F.lit(_A_ELEM), 0)
+        ).alias("elem"),
+    )
+    return elems.select(
+        "url",
+        F.regexp_extract("elem", _A_HREF, 1).alias("href"),
+        F.regexp_extract("elem", _A_TEXT, 1).alias("anchor"),
+    )
+
+
+def host_graph(pages: DataFrame) -> DataFrame:
+    """Host-level hyperlink graph: (src_host, dst_host, n_links,
+    n_src_pages) over absolute http(s) link targets (``bundle://``
+    wrappers unwrapped — the corpus's Contains-style references carry
+    a real url inside).
+
+    The web-scale shape of Common Crawl's host-graph product: one
+    extraction pass, one aggregation keyed by the (src, dst) host pair.
+    countDistinct plans as a two-phase aggregate, so the hot domain's
+    fan-in combines map-side before the shuffle."""
+    links = extract_links(pages)
+    targets = links.select(
+        "url", F.regexp_replace("href", r"^bundle://", "").alias("tgt")
+    ).where(F.col("tgt").rlike(r"^https?://"))
+    return (
+        targets.select(
+            F.regexp_extract("url", _URL_HOST, 1).alias("src_host"),
+            F.regexp_extract("tgt", _URL_HOST, 1).alias("dst_host"),
+            "url",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("url").alias("n_src_pages"),
+        )
+    )
+
+
+def anchor_stats(pages: DataFrame) -> DataFrame:
+    """Anchor-text mining per link target: (href, n_anchors, n_texts,
+    top_text). Inbound anchor texts are the web's alias dictionary —
+    this is the candidate-generation stage for entity-linking surface
+    forms (the enrichment input to the pipeline's alias broadcast
+    join).
+
+    Two stacked hash aggregations, no window: the top text is a min_by
+    over (-count, text), so partial aggs combine map-side and no
+    per-target sort runs (the q_kg_edges top-token discipline)."""
+    links = extract_links(pages).where(F.col("href") != "")
+    per_text = links.groupBy("href", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_text.groupBy("href").agg(
+        F.sum("cnt").alias("n_anchors"),
+        F.count(F.lit(1)).alias("n_texts"),
+        F.min_by(
+            "anchor", F.struct((-F.col("cnt")).alias("nc"), F.col("anchor"))
+        ).alias("top_text"),
+    )
+
+
+def url_canonicalize(col: Column) -> Column:
+    """RFC 3986 §6 syntax-based URL normalization as a pure JVM column
+    expression: strip the fragment, lowercase scheme+authority, drop
+    the scheme's default port, and give a bare authority the root path.
+    Deterministic string algebra — replayable verbatim in any engine
+    (the DuckDB oracle runs the same four rewrites).
+
+    Crawl frontiers and url-keyed dedup both want this *before* any
+    content hash: syntactic duplicates collapse for free, content
+    fetch/dedup only sees one spelling per resource."""
+    u = F.regexp_replace(col, r"#.*", "")
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?]|$)", "$1$2")
+    return F.when(
+        u.rlike(r"^[a-z][a-z0-9+.\-]*://[^/?#]+$"), F.concat(u, F.lit("/"))
+    ).otherwise(u)
+
+
+def comention_lift(pages: DataFrame) -> DataFrame:
+    """Entity co-mention statistics over ``lib://`` link targets:
+    for each alias pair appearing on a common page, the observed/
+    expected co-occurrence ratio ``lift = n_ab * N / (n_a * n_b)``
+    (PMI's argument — monotone in PMI, exact-integer-derived so the
+    one double division replays bit-identically cross-engine).
+
+    Candidate-relation scoring for the KG: a high-lift pair is evidence
+    of a real relationship *before* any predicate extraction runs. The
+    pair join shuffles on the page url (bounded per-page width); the
+    corpus-wide page count is a driver literal counted off the eager
+    localCheckpoint (one cheap job over already-materialized blocks —
+    the LSH-plane "driver-precomputed literal" discipline; a constant-
+    key join constant-folds to a BroadcastNestedLoopJoin, which the
+    plan guards forbid)."""
+    ments = (
+        extract_links(pages)
+        .where(F.col("href").startswith("lib://"))
+        .select("url", F.expr("substring(href, 7)").alias("ent"))
+        .distinct()
+    )
+    ments = ments.localCheckpoint(eager=True)  # 3 consumers, one regex pass
+    n_ent = ments.groupBy("ent").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = ments.select(F.countDistinct("url")).first()[0]
+    a, b = ments.alias("a"), ments.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.url") == F.col("b.url")) & (F.col("a.ent") < F.col("b.ent")))
+        .groupBy(
+            F.col("a.ent").alias("ent_a"), F.col("b.ent").alias("ent_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = n_ent.select(F.col("ent").alias("ent_a"), F.col("n").alias("n_a"))
+    nb = n_ent.select(F.col("ent").alias("ent_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "ent_a")
+        .join(nb, "ent_b")
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_docs",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -2237,6 +2237,144 @@ FROM b WHERE sb < {rate_case}
 
 
 # ---------------------------------------------------------------------------
+# web-graph family: hyperlink structure of the crawl itself
+# (operators/webgraph.py — host graph, anchor-text alias mining, URL
+# canonicalization, co-mention lift)
+# ---------------------------------------------------------------------------
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level hyperlink graph over the staged pages corpus (the
+    Common-Crawl host-graph product shape): one JVM regex extraction
+    pass + one (src, dst)-keyed aggregation with map-side combine."""
+    from .operators.webgraph import host_graph
+
+    p = _fixture_paths()
+    return host_graph(spark.read.parquet(p["web_pages"]))
+
+
+# shared link-extraction CTE over the staged pages parquet; both
+# engines decode the binary html as utf-8 and re-extract per element
+_SQL_LINKS = """
+pages AS (SELECT url, decode(html) AS h FROM read_parquet('{path}')),
+el AS (SELECT url, unnest(regexp_extract_all(h,
+         '<a href="[^"]*"[^>]*>[^<]*</a>')) AS e FROM pages),
+links AS (SELECT url, regexp_extract(e, '<a href="([^"]*)"', 1) AS href,
+                 regexp_extract(e, '>([^<]*)</a>', 1) AS anchor FROM el)"""
+
+
+def _sql_host_graph(path: str) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+t AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt FROM links),
+ht AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS src_host,
+         regexp_extract(tgt, '^[a-z]+://([^/]+)', 1) AS dst_host, url
+  FROM t WHERE regexp_matches(tgt, '^https?://'))
+SELECT src_host, dst_host, COUNT(*) AS n_links,
+       COUNT(DISTINCT url) AS n_src_pages
+FROM ht GROUP BY src_host, dst_host
+"""
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias mining per link target: the candidate surface
+    forms an entity-linking alias dictionary is enriched with. Two
+    stacked hash aggs, min_by top text — no window sort."""
+    from .operators.webgraph import anchor_stats
+
+    p = _fixture_paths()
+    return anchor_stats(spark.read.parquet(p["web_pages"]))
+
+
+def _sql_anchor_texts(path: str) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+per_text AS (
+  SELECT href, anchor, COUNT(*) AS cnt FROM links
+  WHERE href <> '' GROUP BY href, anchor)
+SELECT href, n_anchors, n_texts, anchor AS top_text FROM (
+  SELECT href, anchor,
+         CAST(SUM(cnt) OVER (PARTITION BY href) AS BIGINT) AS n_anchors,
+         COUNT(*) OVER (PARTITION BY href) AS n_texts,
+         ROW_NUMBER() OVER (PARTITION BY href ORDER BY cnt DESC, anchor) AS rn
+  FROM per_text) WHERE rn = 1
+"""
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §6 URL canonicalization + canonical-url grouping over
+    the messy-variant fixture: syntactic crawl duplicates collapse
+    before any content hash runs. Pure JVM string algebra."""
+    from .operators.webgraph import url_canonicalize
+
+    p = _fixture_paths()
+    raw = spark.read.parquet(p["raw_urls"])
+    return (
+        raw.select("raw_url", url_canonicalize(F.col("raw_url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+        )
+    )
+
+
+def _sql_url_canon(path: str) -> str:
+    return rf"""
+WITH c1 AS (
+  SELECT raw_url, regexp_replace(raw_url, '#.*', '') AS u
+  FROM read_parquet('{path}')),
+c2 AS (
+  SELECT raw_url,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1))
+           || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS u
+  FROM c1),
+c3 AS (
+  SELECT raw_url,
+         regexp_replace(
+           regexp_replace(u, '^(https://[^/:?#]+):443([/?]|$)', '\1\2'),
+           '^(http://[^/:?#]+):80([/?]|$)', '\1\2') AS u
+  FROM c2),
+canon AS (
+  SELECT raw_url,
+         CASE WHEN regexp_matches(u, '^[a-z][a-z0-9+.\-]*://[^/?#]+$')
+              THEN u || '/' ELSE u END AS canon_url
+  FROM c3)
+SELECT canon_url, COUNT(*) AS n_raw, COUNT(DISTINCT raw_url) AS n_distinct_raw
+FROM canon GROUP BY canon_url
+"""
+
+
+def q_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-mention lift between lib:// link targets sharing a page —
+    relation-candidate scoring before predicate extraction. Exact
+    integer counts + one IEEE double division (bit-exact replay)."""
+    from .operators.webgraph import comention_lift
+
+    p = _fixture_paths()
+    return comention_lift(spark.read.parquet(p["web_pages"]))
+
+
+def _sql_entity_pmi(path: str) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+m AS (SELECT DISTINCT url, substr(href, 7) AS ent FROM links
+      WHERE href LIKE 'lib://%'),
+na AS (SELECT ent, COUNT(*) AS n FROM m GROUP BY ent),
+nn AS (SELECT COUNT(DISTINCT url) AS n_docs FROM m),
+pairs AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, COUNT(*) AS n_ab
+  FROM m a JOIN m b ON a.url = b.url AND a.ent < b.ent
+  GROUP BY a.ent, b.ent)
+SELECT p.ent_a, p.ent_b, p.n_ab, na1.n AS n_a, na2.n AS n_b, nn.n_docs,
+       round((CAST(p.n_ab AS DOUBLE) * CAST(nn.n_docs AS DOUBLE))
+             / (CAST(na1.n AS DOUBLE) * CAST(na2.n AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN na na1 ON p.ent_a = na1.ent
+JOIN na na2 ON p.ent_b = na2.ent, nn
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 QUERIES = {
@@ -2299,6 +2437,10 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "doc_repetition": q_doc_repetition,
     "contamination": q_contamination,
+    "host_graph": q_host_graph,
+    "anchor_texts": q_anchor_texts,
+    "url_canon": q_url_canon,
+    "entity_pmi": q_entity_pmi,
 }
 
 
@@ -2383,4 +2525,8 @@ ORACLE_SQL = {
     "dup_spans": _sql_dup_spans(),
     "doc_repetition": SQL_DOC_REPETITION,
     "contamination": _sql_contamination(),
+    "host_graph": _sql_host_graph(_fixture_file("web_pages")),
+    "anchor_texts": _sql_anchor_texts(_fixture_file("web_pages")),
+    "url_canon": _sql_url_canon(_fixture_file("raw_urls")),
+    "entity_pmi": _sql_entity_pmi(_fixture_file("web_pages")),
 }

@@ -1,0 +1,134 @@
+"""Web-graph family unit tests: hyperlink extraction, host graph,
+anchor-text mining, URL canonicalization, co-mention lift — small
+hand-computed cases plus distributed-plan-shape guards.
+
+(The cross-engine oracle replay for the same queries runs in
+test_entry.py::test_query_matches_oracle like every other family.)
+"""
+
+from pyspark.sql import functions as F
+
+from surfactant_spark.operators.webgraph import (
+    anchor_stats,
+    comention_lift,
+    extract_links,
+    host_graph,
+    url_canonicalize,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_extract_links_basic(spark):
+    df = _pages(
+        spark,
+        [
+            (
+                "https://a.org/1",
+                '<p>x</p><a href="lib://foo">foo</a> <a href="https://b.org/p">B</a>',
+            ),
+            ("https://a.org/2", "<p>no links</p>"),
+        ],
+    )
+    got = {tuple(r) for r in extract_links(df).collect()}
+    assert got == {
+        ("https://a.org/1", "lib://foo", "foo"),
+        ("https://a.org/1", "https://b.org/p", "B"),
+    }
+
+
+def test_host_graph_unwraps_bundle_and_counts(spark):
+    df = _pages(
+        spark,
+        [
+            (
+                "https://src.org/1",
+                '<a href="bundle://https://dst.org/x">x</a>'
+                '<a href="https://dst.org/y">y</a>'
+                '<a href="lib://notaurl">n</a>',
+            ),
+            ("https://src.org/2", '<a href="https://dst.org/z">z</a>'),
+        ],
+    )
+    rows = {tuple(r) for r in host_graph(df).collect()}
+    assert rows == {("src.org", "dst.org", 3, 2)}
+
+
+def test_anchor_stats_top_text_by_count_then_text(spark):
+    df = _pages(
+        spark,
+        [
+            ("u1", '<a href="lib://e">alpha</a><a href="lib://e">beta</a>'),
+            ("u2", '<a href="lib://e">beta</a>'),
+        ],
+    )
+    row = anchor_stats(df).collect()[0]
+    assert (row.href, row.n_anchors, row.n_texts, row.top_text) == (
+        "lib://e", 3, 2, "beta",
+    )
+    # tie on count -> lexicographically first text wins
+    df2 = _pages(spark, [("u1", '<a href="lib://e">b</a><a href="lib://e">a</a>')])
+    assert anchor_stats(df2).collect()[0].top_text == "a"
+
+
+def test_url_canonicalize_cases(spark):
+    cases = {
+        "https://site.org/p/1.html": "https://site.org/p/1.html",
+        "HTTPS://SITE.ORG/p/1.html": "https://site.org/p/1.html",
+        "https://site.org:443/p/1.html": "https://site.org/p/1.html",
+        "http://Site.Org:80/a": "http://site.org/a",
+        "https://site.org/p/1.html#frag": "https://site.org/p/1.html",
+        "https://SITE.org": "https://site.org/",
+        "https://site.org/": "https://site.org/",
+        # non-default port survives; path case survives
+        "https://site.org:8443/P": "https://site.org:8443/P",
+        # no scheme -> untouched except fragment strip
+        "site.org/x#y": "site.org/x",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = dict(
+        df.select("u", url_canonicalize(F.col("u")).alias("c")).collect()
+    )
+    assert got == cases
+
+
+def test_comention_lift_hand_computed(spark):
+    # e1 on both pages, e2 on page1, e3 on page2 (twice -> distinct once)
+    df = _pages(
+        spark,
+        [
+            ("u1", '<a href="lib://e1">.</a><a href="lib://e2">.</a>'),
+            (
+                "u2",
+                '<a href="lib://e1">.</a><a href="lib://e3">.</a>'
+                '<a href="lib://e3">.</a>',
+            ),
+        ],
+    )
+    rows = {(r.ent_a, r.ent_b): r for r in comention_lift(df).collect()}
+    assert set(rows) == {("e1", "e2"), ("e1", "e3")}
+    r = rows[("e1", "e2")]
+    # n_ab=1, N=2, n_a=2, n_b=1 -> lift = 2/2 = 1.0
+    assert (r.n_ab, r.n_a, r.n_b, r.n_docs, r.lift) == (1, 2, 1, 2, 1.0)
+
+
+def test_webgraph_plan_shapes(spark):
+    """No cartesian/nested-loop anywhere in the family: the global doc
+    count is a driver literal off the eager checkpoint, the pair join
+    is an equi join on the page url."""
+    from surfactant_spark.queries import (
+        q_anchor_texts,
+        q_entity_pmi,
+        q_host_graph,
+        q_url_canon,
+    )
+
+    for q in (q_host_graph, q_anchor_texts, q_url_canon, q_entity_pmi):
+        plan = q(spark, "unused")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "PythonUDF" not in plan, q.__name__
