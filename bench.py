@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "contamination",
     "doc_repetition",
+    "kg_incremental",
 ]
 
 

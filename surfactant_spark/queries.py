@@ -2237,6 +2237,28 @@ FROM b WHERE sb < {rate_case}
 
 
 # ---------------------------------------------------------------------------
+# incremental KG maintenance (operators/incremental.py)
+# ---------------------------------------------------------------------------
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-equals-full-rebuild: build KG state on the first half of the
+    corpus (doc_id below the split), fold the second half in as an
+    append-only crawl batch, surface the folded edges. The oracle is
+    the UNSPLIT kg_edges SQL — identity with the full rebuild IS the
+    correctness claim of incremental view maintenance."""
+    from .operators.incremental import (
+        edges_surface,
+        kg_state_build,
+        kg_state_fold,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    split = 250  # sf0.01 has 500 docs; any id split preserves append-only order
+    state = kg_state_build(docs.where(F.col("doc_id") < split), TOKEN_PAT)
+    state = kg_state_fold(state, docs.where(F.col("doc_id") >= split), TOKEN_PAT)
+    return edges_surface(state)
+
+
+# ---------------------------------------------------------------------------
 # web-graph family: hyperlink structure of the crawl itself
 # (operators/webgraph.py — host graph, anchor-text alias mining, URL
 # canonicalization, co-mention lift)
@@ -2441,6 +2463,7 @@ QUERIES = {
     "anchor_texts": q_anchor_texts,
     "url_canon": q_url_canon,
     "entity_pmi": q_entity_pmi,
+    "kg_incremental": q_kg_incremental,
 }
 
 
@@ -2529,4 +2552,7 @@ ORACLE_SQL = {
     "anchor_texts": _sql_anchor_texts(_fixture_file("web_pages")),
     "url_canon": _sql_url_canon(_fixture_file("raw_urls")),
     "entity_pmi": _sql_entity_pmi(_fixture_file("web_pages")),
+    # the incremental fold must equal the full rebuild EXACTLY — its
+    # oracle is the unsplit kg_edges SQL
+    "kg_incremental": SQL_KG_EDGES,
 }

@@ -1,0 +1,107 @@
+"""Incremental KG maintenance: fold-equals-full-rebuild under
+append-only batches, multi-batch folds, and the no-reshuffle-of-old-
+data plan shape.
+"""
+
+from pyspark.sql import functions as F
+
+from surfactant_spark.operators.incremental import (
+    edges_surface,
+    kg_state_build,
+    kg_state_fold,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def _edge_set(df):
+    return {
+        (r.subj_id, r.pred, r.obj_id, r.n_evidence, r.sources)
+        for r in df.collect()
+    }
+
+
+CORPUS = [
+    # batch 0: alpha exports "alpha-lib", beta mentions it
+    (0, "s", "alpha-lib alpha-lib provides core-utils"),
+    (1, "s", "beta-app uses alpha-lib and core-utils"),
+    # batch 1: gamma exports core-utils... no: its top token decides.
+    # gamma duplicates doc 0 byte-for-byte (old sha, old canonical);
+    # delta introduces a NEW exporter token that doc 1 already mentions
+    (2, "s", "alpha-lib alpha-lib provides core-utils"),
+    (3, "s", "core-utils core-utils from gamma-pkg"),
+    # batch 2: another new doc mentioning everything
+    (4, "s", "delta-tool uses alpha-lib core-utils gamma-pkg"),
+]
+
+
+def _full(spark, rows):
+    return edges_surface(kg_state_build(_docs(spark, rows)))
+
+
+def test_single_fold_equals_full_rebuild(spark):
+    old = [r for r in CORPUS if r[0] < 2]
+    new = [r for r in CORPUS if 2 <= r[0] < 4]
+    state = kg_state_build(_docs(spark, old))
+    folded = edges_surface(kg_state_fold(state, _docs(spark, new)))
+    assert _edge_set(folded) == _edge_set(_full(spark, old + new))
+
+
+def test_new_exporter_token_reaches_old_mentions(spark):
+    """Doc 3 makes 'core-utils' an exported token; docs 0/1 mentioned it
+    before any exporter existed. The fold must emit those OLD-mention
+    edges via the broadcast probe of added tokens."""
+    old = [r for r in CORPUS if r[0] < 2]
+    new = [r for r in CORPUS if 2 <= r[0] < 4]
+    state = kg_state_build(_docs(spark, old))
+    before = _edge_set(edges_surface(state))
+    folded = kg_state_fold(state, _docs(spark, new))
+    after = _edge_set(edges_surface(folded))
+    core_exporter = {e for e in after if e not in before}
+    # doc 1 (beta) must now link to doc 3's canonical via core-utils
+    assert any(s == 1 and o == 3 for (s, _, o, _, _) in core_exporter)
+
+
+def test_multi_batch_folds(spark):
+    state = kg_state_build(_docs(spark, CORPUS[:2]))
+    state = kg_state_fold(state, _docs(spark, CORPUS[2:4]))
+    state = kg_state_fold(state, _docs(spark, CORPUS[4:]))
+    assert _edge_set(edges_surface(state)) == _edge_set(_full(spark, CORPUS))
+
+
+def test_duplicate_sha_keeps_old_canonical(spark):
+    """Doc 2 is byte-identical to doc 0: its mentions must carry doc 0's
+    canonical id, and the canon table must not gain a new row."""
+    state = kg_state_build(_docs(spark, CORPUS[:2]))
+    folded = kg_state_fold(state, _docs(spark, CORPUS[2:4]))
+    canon = {r.sha: r.canonical_id for r in folded.canon.collect()}
+    assert len(canon) == 3  # docs 0/2 share one sha
+    assert 2 not in canon.values()
+
+
+def test_fold_plan_shape(spark):
+    """The old-mention probe must be a broadcast join of the added
+    exporter tokens (standing data never shuffles for the probe), and
+    the fold plan stays BNLJ/cartesian/PythonUDF-free."""
+    state = kg_state_build(_docs(spark, CORPUS[:2]))
+    folded = edges_surface(kg_state_fold(state, _docs(spark, CORPUS[2:4])))
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_query_entry_matches_kg_edges(spark):
+    """q_kg_incremental over the driver corpus must equal q_kg_edges
+    row-for-row (the oracle identity, asserted engine-side too)."""
+    from surfactant_spark.queries import q_kg_edges, q_kg_incremental
+    from tests.conftest import SF_DIR
+
+    inc = _edge_set(q_kg_incremental(spark, SF_DIR))
+    full = _edge_set(q_kg_edges(spark, SF_DIR))
+    assert inc == full
