@@ -113,6 +113,50 @@ def anchor_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+def host_metrics(pages: DataFrame) -> DataFrame:
+    """Per-host link-graph position: distinct out/in neighbor counts,
+    total out/in link volumes, and how many out-neighbors link back
+    (reciprocity — the mutual-link signal crawl frontier scoring and
+    spam heuristics both use).
+
+    Runs entirely over the host_graph edge *aggregate* (host-level, a
+    dimension table relative to the corpus: ~10^8 hosts vs 10^12
+    pages), so the self-join for reciprocity and the outer joins here
+    shuffle host-cardinality rows, never page-cardinality ones."""
+    hg = host_graph(pages).localCheckpoint(eager=True)  # 3 consumers
+    out = hg.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.sum("n_links").alias("out_links"),
+    )
+    inn = hg.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg"),
+        F.sum("n_links").alias("in_links"),
+    )
+    a, b = hg.alias("a"), hg.alias("b")
+    recip = (
+        a.join(
+            b,
+            (F.col("a.src_host") == F.col("b.dst_host"))
+            & (F.col("a.dst_host") == F.col("b.src_host")),
+        )
+        .groupBy(F.col("a.src_host").alias("host"))
+        .agg(F.count(F.lit(1)).alias("reciprocal"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        out.join(inn, "host", "full_outer")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", z).alias("out_deg"),
+            F.coalesce("in_deg", z).alias("in_deg"),
+            F.coalesce("out_links", z).alias("out_links"),
+            F.coalesce("in_links", z).alias("in_links"),
+            F.coalesce("reciprocal", z).alias("reciprocal"),
+        )
+    )
+
+
 def url_canonicalize(col: Column) -> Column:
     """RFC 3986 §6 syntax-based URL normalization as a pure JVM column
     expression: strip the fragment, lowercase scheme+authority, drop

@@ -2297,6 +2297,41 @@ FROM ht GROUP BY src_host, dst_host
 """
 
 
+def q_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host degree/volume/reciprocity over the host link graph —
+    all joins at host cardinality (a dimension table vs the corpus)."""
+    from .operators.webgraph import host_metrics
+
+    p = _fixture_paths()
+    return host_metrics(spark.read.parquet(p["web_pages"]))
+
+
+def _sql_host_metrics(path: str) -> str:
+    return f"""
+WITH hg AS ({_sql_host_graph(path)}),
+o AS (SELECT src_host AS host, COUNT(*) AS out_deg,
+             CAST(SUM(n_links) AS BIGINT) AS out_links
+      FROM hg GROUP BY src_host),
+i AS (SELECT dst_host AS host, COUNT(*) AS in_deg,
+             CAST(SUM(n_links) AS BIGINT) AS in_links
+      FROM hg GROUP BY dst_host),
+r AS (SELECT a.src_host AS host, COUNT(*) AS reciprocal
+      FROM hg a JOIN hg b
+        ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+      GROUP BY a.src_host)
+SELECT h.host,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg,
+       COALESCE(o.out_links, 0) AS out_links,
+       COALESCE(i.in_links, 0) AS in_links,
+       COALESCE(r.reciprocal, 0) AS reciprocal
+FROM (SELECT host FROM o UNION SELECT host FROM i) h
+LEFT JOIN o ON h.host = o.host
+LEFT JOIN i ON h.host = i.host
+LEFT JOIN r ON h.host = r.host
+"""
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text alias mining per link target: the candidate surface
     forms an entity-linking alias dictionary is enriched with. Two
@@ -2460,6 +2495,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "contamination": q_contamination,
     "host_graph": q_host_graph,
+    "host_metrics": q_host_metrics,
     "anchor_texts": q_anchor_texts,
     "url_canon": q_url_canon,
     "entity_pmi": q_entity_pmi,
@@ -2549,6 +2585,7 @@ ORACLE_SQL = {
     "doc_repetition": SQL_DOC_REPETITION,
     "contamination": _sql_contamination(),
     "host_graph": _sql_host_graph(_fixture_file("web_pages")),
+    "host_metrics": _sql_host_metrics(_fixture_file("web_pages")),
     "anchor_texts": _sql_anchor_texts(_fixture_file("web_pages")),
     "url_canon": _sql_url_canon(_fixture_file("raw_urls")),
     "entity_pmi": _sql_entity_pmi(_fixture_file("web_pages")),

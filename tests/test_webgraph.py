@@ -13,6 +13,7 @@ from surfactant_spark.operators.webgraph import (
     comention_lift,
     extract_links,
     host_graph,
+    host_metrics,
     url_canonicalize,
 )
 
@@ -56,6 +57,27 @@ def test_host_graph_unwraps_bundle_and_counts(spark):
     )
     rows = {tuple(r) for r in host_graph(df).collect()}
     assert rows == {("src.org", "dst.org", 3, 2)}
+
+
+def test_host_metrics_degrees_and_reciprocity(spark):
+    # a -> b (2 links), b -> a (1 link), a -> c: reciprocal pair (a,b)
+    df = _pages(
+        spark,
+        [
+            (
+                "https://a.org/1",
+                '<a href="https://b.org/x">.</a><a href="https://b.org/y">.</a>'
+                '<a href="https://c.org/z">.</a>',
+            ),
+            ("https://b.org/1", '<a href="https://a.org/w">.</a>'),
+        ],
+    )
+    rows = {r.host: r for r in host_metrics(df).collect()}
+    assert set(rows) == {"a.org", "b.org", "c.org"}
+    a, b, c = rows["a.org"], rows["b.org"], rows["c.org"]
+    assert (a.out_deg, a.in_deg, a.out_links, a.in_links, a.reciprocal) == (2, 1, 3, 1, 1)
+    assert (b.out_deg, b.in_deg, b.out_links, b.in_links, b.reciprocal) == (1, 1, 1, 2, 1)
+    assert (c.out_deg, c.in_deg, c.out_links, c.in_links, c.reciprocal) == (0, 1, 0, 1, 0)
 
 
 def test_anchor_stats_top_text_by_count_then_text(spark):
@@ -124,10 +146,11 @@ def test_webgraph_plan_shapes(spark):
         q_anchor_texts,
         q_entity_pmi,
         q_host_graph,
+        q_host_metrics,
         q_url_canon,
     )
 
-    for q in (q_host_graph, q_anchor_texts, q_url_canon, q_entity_pmi):
+    for q in (q_host_graph, q_host_metrics, q_anchor_texts, q_url_canon, q_entity_pmi):
         plan = q(spark, "unused")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
