@@ -102,3 +102,106 @@ def run_incremental_batch(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+# ---------------------------------------------------------------------------
+# streaming KG maintenance: fold each micro-batch into standing state
+# ---------------------------------------------------------------------------
+_DOCS_SCHEMA = "doc_id long, source string, text string"
+_STATE_TABLES = ("canon", "mentions", "exporters", "edges")
+
+
+def _state_version_dirs(state_dir: str):
+    import os
+    import re
+
+    if not os.path.isdir(state_dir):
+        return {}
+    out = {}
+    for name in os.listdir(state_dir):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and os.path.exists(os.path.join(state_dir, name, "_OK")):
+            out[int(m.group(1))] = os.path.join(state_dir, name)
+    return out
+
+
+def _read_state(spark: SparkSession, vdir: str):
+    import os
+
+    from ..operators.incremental import KgState
+
+    return KgState(
+        **{t: spark.read.parquet(os.path.join(vdir, t)) for t in _STATE_TABLES}
+    )
+
+
+def _write_state(state, vdir: str) -> None:
+    """Overwrite-then-marker: a replayed batch (driver died between the
+    fold and the sink checkpoint advancing) rewrites its own versioned
+    directory deterministically; readers only trust marked versions."""
+    import os
+
+    for t in _STATE_TABLES:
+        getattr(state, t).write.mode("overwrite").parquet(os.path.join(vdir, t))
+    with open(os.path.join(vdir, "_OK"), "w", encoding="utf-8") as f:
+        f.write("ok")
+
+
+def stream_kg_fold(
+    spark: SparkSession,
+    docs_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 4,
+):
+    """Checkpoint-resumable streaming KG maintenance: every micro-batch
+    of documents-shaped rows folds into the standing KG state via
+    ``operators.incremental.kg_state_fold`` (first batch builds it), so
+    the graph stays current without ever recomputing old batches — the
+    streaming twin of the kg_incremental query.
+
+    Exactly-once state: the Structured Streaming checkpoint replays an
+    interrupted batch with the SAME batch_id; the fold writes its state
+    snapshot to ``state_dir/v{batch_id}`` and marks it atomically, so a
+    replay either finds the marker (fully committed — no-op) or
+    overwrites its own partial output. State snapshots are parquet, so
+    each fold's lineage is one batch deep (the plans/pipeline.py
+    stage-snapshot pattern; an Iceberg deployment swaps these for
+    table snapshots + MERGE INTO).
+
+    Batches must be append-only with increasing doc_ids across batches
+    (the operators/incremental.py precondition). Runs availableNow to
+    completion; returns the latest committed KgState read back from
+    disk (None when no batch has ever committed)."""
+    from ..operators.incremental import kg_state_build, kg_state_fold
+
+    import os
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(vdir, "_OK")):
+            return  # replay of a committed fold
+        committed = _state_version_dirs(state_dir)
+        prior = [v for v in committed if v < batch_id]
+        if prior:
+            prev = _read_state(batch_df.sparkSession, committed[max(prior)])
+            _write_state(kg_state_fold(prev, batch_df), vdir)
+        else:
+            _write_state(kg_state_build(batch_df), vdir)
+
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = _state_version_dirs(state_dir)
+    if not committed:
+        return None
+    return _read_state(spark, committed[max(committed)])

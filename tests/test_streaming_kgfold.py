@@ -1,0 +1,74 @@
+"""Streaming KG maintenance: availableNow micro-batches fold into
+versioned state snapshots; a later run resumes from the checkpoint and
+folds only new files; replayed batches are idempotent via the marker.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from surfactant_spark.operators.incremental import edges_surface, kg_state_build
+from surfactant_spark.streaming.incremental import stream_kg_fold
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, lo, hi):
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .select("doc_id", "source", "text")
+    )
+
+
+def _edge_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_fold_resumes_and_matches_batch_build(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch A arrives
+    _docs(spark, 0, 60).coalesce(1).write.mode("append").parquet(src)
+    st = stream_kg_fold(spark, src, state, ckpt)
+    got_a = _edge_set(edges_surface(st))
+    want_a = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 60))))
+    assert got_a == want_a
+
+    # batch B arrives later; the checkpoint resumes and folds ONLY it
+    _docs(spark, 60, 120).coalesce(1).write.mode("append").parquet(src)
+    st = stream_kg_fold(spark, src, state, ckpt)
+    got_ab = _edge_set(edges_surface(st))
+    want_ab = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 120))))
+    assert got_ab == want_ab
+
+    # two committed versions, monotone
+    versions = sorted(
+        int(v[1:]) for v in os.listdir(state)
+        if v.startswith("v") and os.path.exists(os.path.join(state, v, "_OK"))
+    )
+    assert len(versions) == 2
+
+    # no new files -> no new state version, state unchanged
+    st = stream_kg_fold(spark, src, state, ckpt)
+    assert _edge_set(edges_surface(st)) == got_ab
+    after = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(after) == 2
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Simulate a replay: drop the marker of the last version (a fold
+    that committed its parquet but 'died' before... the inverse — a
+    marked fold replayed) by calling the fold again over the same
+    checkpoint; the marker short-circuits and nothing changes."""
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(spark, 0, 40).coalesce(1).write.mode("append").parquet(src)
+    st1 = stream_kg_fold(spark, src, state, ckpt)
+    e1 = _edge_set(edges_surface(st1))
+    # fresh checkpoint over the same files replays batch 0 against the
+    # already-marked v0 -> marker no-op, state identical
+    st2 = stream_kg_fold(spark, src, state, str(tmp_path / "ckpt2"))
+    assert _edge_set(edges_surface(st2)) == e1
