@@ -342,10 +342,14 @@ def _warm(spark):
     ).count()
 
 
-def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
+def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3, job: str = "pipeline"):
     """Same job, two parallelism levels, same staged input. The corpus
     is synthesized distributed (per-row deterministic) and written to
-    parquet ONCE; both levels read the identical files."""
+    parquet ONCE; both levels read the identical files.
+
+    job="pipeline" times the full KG pipeline; job="webgraph" times the
+    web-graph family (host_graph + comention_lift) over the same staged
+    corpus — the N-vs-4N evidence for the hyperlink operators."""
     from surfactant_spark.plans.pipeline import run_pipeline
     from surfactant_spark.session import get_spark
     from surfactant_spark.synth import alias_dict_to_spark, synth_pages_distributed
@@ -394,6 +398,16 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
             workdir = os.path.join(shared, f"work{cpus}-{rep}")
             t0 = time.time()
             cpu0 = _cpu_snap()
+            if job == "webgraph":
+                from surfactant_spark.operators.webgraph import (
+                    comention_lift,
+                    host_graph,
+                )
+
+                n_triples = host_graph(pages).count() + comention_lift(pages).count()
+                walls.append(time.time() - t0)
+                steals.append(_nonguest_frac(cpu0))
+                continue
             res = run_pipeline(spark, pages, alias, workdir, resume=False)
             n_triples = res.edges.count()
             walls.append(time.time() - t0)
@@ -425,7 +439,7 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
         shutil.rmtree(created_dir, ignore_errors=True)
     eff = results[hi]["docs_per_sec"] / ((hi // lo) * results[lo]["docs_per_sec"])
     out = {
-        "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (N vs {hi // lo}N stand-in)",
+        "metric": f"{job} scaling efficiency local[{lo}] -> local[{hi}] (N vs {hi // lo}N stand-in)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "n_pages": n_pages,
@@ -435,7 +449,7 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3):
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-webgraph" in sys.argv:
         n, levels, reps = 600000, (8, 32), 3
         for a in sys.argv:
             if a.startswith("--pages="):
@@ -444,6 +458,7 @@ if __name__ == "__main__":
                 levels = tuple(int(x) for x in a.split("=")[1].split(","))
             if a.startswith("--reps="):
                 reps = int(a.split("=")[1])
-        scaling_mode(n, levels, reps)
+        job = "webgraph" if "--scaling-webgraph" in sys.argv else "pipeline"
+        scaling_mode(n, levels, reps, job)
     else:
         default_mode()
