@@ -70,7 +70,7 @@ def cmd_generate(args) -> int:
     alias = spark.read.parquet(args.alias)
     res = run_pipeline(
         spark, pages, alias, args.out, resume=not args.no_resume, n_salt=args.salt,
-        near_dup=args.near_dup,
+        near_dup=args.near_dup, host_graph=args.host_graph,
     )
     def _rows(name: str, df) -> int:
         # write-time observed counts (stage markers) over count() jobs;
@@ -85,6 +85,8 @@ def cmd_generate(args) -> int:
         "stages_resumed": res.stages_resumed,
         "out": args.out,
     }
+    if res.host_edges is not None:
+        out["host_edges"] = _rows("hostgraph", res.host_edges)
     if res.audit is not None:
         # the recall bound of the near-dup width cap, per run
         out["near_dup_pairs"] = _rows("near_dup", res.near_dup)
@@ -487,6 +489,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["simhash", "minhash"],
         help="also materialize a near-dup pair stage + its dropped-bucket "
         "recall audit as lineage-tracked stages",
+    )
+    g.add_argument(
+        "--host-graph",
+        action="store_true",
+        help="also materialize the host-level hyperlink graph over the "
+        "raw pages as a lineage-tracked stage",
     )
     g.set_defaults(fn=cmd_generate)
 

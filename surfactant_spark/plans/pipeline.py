@@ -132,6 +132,8 @@ class PipelineResult:
     # per-document keep/drop decisions derived from near_dup pairs
     # (url, cluster_id, is_survivor) — see operators.dedup.near_dup_clusters
     clusters: Optional[DataFrame] = None
+    # host-level hyperlink graph over the raw pages (optional stage)
+    host_edges: Optional[DataFrame] = None
     # write-time observed row count per stage (resumed stages: the
     # count recorded in their marker; None only for pre-count markers)
     # — callers should read these instead of launching count() jobs
@@ -175,6 +177,7 @@ def run_pipeline(
     n_salt: int = 0,
     near_dup: Optional[str] = None,
     near_dup_max_bucket: int = 64,
+    host_graph: bool = False,
 ) -> PipelineResult:
     """pages + alias_dict -> materialized nodes/edges/lineage.
 
@@ -199,6 +202,11 @@ def run_pipeline(
                   corpus) with one survivor per cluster (longest
                   extracted text, ties to smallest url); downstream
                   training-data prep filters on ``is_survivor``
+      hostgraph : (optional) host-level hyperlink graph over the RAW
+                  pages (operators/webgraph.host_graph) — crawl
+                  structure is a property of the html, so this stage
+                  reads pages, not extracted, and shares the run's
+                  snapshot/lineage/resume machinery
 
     ``n_salt > 0`` runs the dictionary joins of the edges stage through
     the deterministic salted join (hot-domain skew; result-identical —
@@ -325,6 +333,12 @@ def run_pipeline(
         # near_dup satisfies this stage without re-hashing the corpus
         clusters_df = stage("clusters", _clusters, sig=near_dup_sig)
 
+    host_df = None
+    if host_graph:
+        from ..operators.webgraph import host_graph as _host_graph_op
+
+        host_df = stage("hostgraph", lambda: _host_graph_op(pages))
+
     lineage_batches: List[DataFrame] = []
     if pending:
         # extract is 1:1 with pages: its write-time observed count IS
@@ -340,6 +354,7 @@ def run_pipeline(
         per_stage_input = {
             "extract": n_pages, "nodes": n_pages, "edges": n_pages,
             "near_dup": n_pages, "audit": n_pages, "clusters": n_pages,
+            "hostgraph": n_pages,
         }
         for name, out, wall_ms, snapshot_id, n_rows in pending:
             lineage_batches.append(
@@ -359,5 +374,6 @@ def run_pipeline(
         nodes=nodes, edges=edges, lineage=lineage_df,
         stages_run=run, stages_resumed=resumed,
         near_dup=near_df, audit=audit_df, clusters=clusters_df,
+        host_edges=host_df,
         stage_rows=dict(stage_rows),
     )

@@ -160,3 +160,27 @@ def test_pipeline_salted_join_equivalence(spark, spark_pages, spark_alias, tmp_p
     a = {(r.subj_uuid, r.pred, r.obj_uuid, r.n_evidence) for r in plain.edges.collect()}
     b = {(r.subj_uuid, r.pred, r.obj_uuid, r.n_evidence) for r in salted.edges.collect()}
     assert a == b
+
+
+def test_pipeline_host_graph_stage(spark, spark_pages, spark_alias, tmp_path):
+    """Optional hostgraph stage: equals the direct operator output,
+    appears in lineage with the page count as input_rows, and resumes
+    from its snapshot."""
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.operators.webgraph import host_graph
+
+    wd = str(tmp_path / "wd_hg")
+    res = run_pipeline(spark, spark_pages, spark_alias, wd, host_graph=True)
+    assert "hostgraph" in res.stages_run
+    got = {tuple(r) for r in res.host_edges.collect()}
+    want = {tuple(r) for r in host_graph(spark_pages).collect()}
+    assert got == want and got
+    lrow = res.lineage.where(F.col("stage") == "hostgraph").agg(
+        F.max("input_rows"), F.sum("output_rows")
+    ).first()
+    assert lrow[0] == spark_pages.count() and lrow[1] == len(got)
+
+    res2 = run_pipeline(spark, spark_pages, spark_alias, wd, host_graph=True)
+    assert "hostgraph" in res2.stages_resumed
+    assert {tuple(r) for r in res2.host_edges.collect()} == got
