@@ -198,11 +198,17 @@ def default_mode(max_reps: int = 5, clean_thresh: float = 0.05):
         # web-graph family over the SAME staged corpus (host link graph
         # + co-mention lift): fixture-backed in the oracle suite, so its
         # scale evidence lives here, on the sf-sized synthetic pages
-        from surfactant_spark.operators.webgraph import comention_lift, host_graph
+        from surfactant_spark.operators.webgraph import (
+            comention_lift,
+            extract_links,
+            host_graph,
+        )
 
         t0 = time.time()
-        host_graph(pipe_pages).count()
-        comention_lift(pipe_pages).count()
+        wg_links = extract_links(pipe_pages).localCheckpoint(eager=True)
+        host_graph(pipe_pages, wg_links).count()
+        comention_lift(pipe_pages, wg_links).count()
+        wg_links.unpersist()
         wg_wall = round(time.time() - t0, 3)
         frac = q_noise["frac"]
         times["kg_pipeline_synthetic"] = pipe_wall
@@ -401,10 +407,16 @@ def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3, job: str 
             if job == "webgraph":
                 from surfactant_spark.operators.webgraph import (
                     comention_lift,
+                    extract_links,
                     host_graph,
                 )
 
-                n_triples = host_graph(pages).count() + comention_lift(pages).count()
+                links = extract_links(pages).localCheckpoint(eager=True)
+                n_triples = (
+                    host_graph(pages, links).count()
+                    + comention_lift(pages, links).count()
+                )
+                links.unpersist()
                 walls.append(time.time() - t0)
                 steals.append(_nonguest_frac(cpu0))
                 continue

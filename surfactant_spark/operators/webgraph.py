@@ -64,7 +64,7 @@ def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html"
     )
 
 
-def host_graph(pages: DataFrame) -> DataFrame:
+def host_graph(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
     """Host-level hyperlink graph: (src_host, dst_host, n_links,
     n_src_pages) over absolute http(s) link targets (``bundle://``
     wrappers unwrapped — the corpus's Contains-style references carry
@@ -73,8 +73,14 @@ def host_graph(pages: DataFrame) -> DataFrame:
     The web-scale shape of Common Crawl's host-graph product: one
     extraction pass, one aggregation keyed by the (src, dst) host pair.
     countDistinct plans as a two-phase aggregate, so the hot domain's
-    fan-in combines map-side before the shuffle."""
-    links = extract_links(pages)
+    fan-in combines map-side before the shuffle.
+
+    ``links`` lets callers share ONE extraction pass across the family
+    (the dedup_minhash_with_audit shared-pass discipline): pass
+    ``extract_links(pages).localCheckpoint()`` when running several
+    web-graph operators over the same corpus."""
+    if links is None:
+        links = extract_links(pages)
     targets = links.select(
         "url", F.regexp_replace("href", r"^bundle://", "").alias("tgt")
     ).where(F.col("tgt").rlike(r"^https?://"))
@@ -92,7 +98,7 @@ def host_graph(pages: DataFrame) -> DataFrame:
     )
 
 
-def anchor_stats(pages: DataFrame) -> DataFrame:
+def anchor_stats(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
     """Anchor-text mining per link target: (href, n_anchors, n_texts,
     top_text). Inbound anchor texts are the web's alias dictionary —
     this is the candidate-generation stage for entity-linking surface
@@ -102,7 +108,9 @@ def anchor_stats(pages: DataFrame) -> DataFrame:
     Two stacked hash aggregations, no window: the top text is a min_by
     over (-count, text), so partial aggs combine map-side and no
     per-target sort runs (the q_kg_edges top-token discipline)."""
-    links = extract_links(pages).where(F.col("href") != "")
+    if links is None:
+        links = extract_links(pages)
+    links = links.where(F.col("href") != "")
     per_text = links.groupBy("href", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
     return per_text.groupBy("href").agg(
         F.sum("cnt").alias("n_anchors"),
@@ -113,7 +121,7 @@ def anchor_stats(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_metrics(pages: DataFrame) -> DataFrame:
+def host_metrics(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
     """Per-host link-graph position: distinct out/in neighbor counts,
     total out/in link volumes, and how many out-neighbors link back
     (reciprocity — the mutual-link signal crawl frontier scoring and
@@ -123,7 +131,7 @@ def host_metrics(pages: DataFrame) -> DataFrame:
     dimension table relative to the corpus: ~10^8 hosts vs 10^12
     pages), so the self-join for reciprocity and the outer joins here
     shuffle host-cardinality rows, never page-cardinality ones."""
-    hg = host_graph(pages).localCheckpoint(eager=True)  # 3 consumers
+    hg = host_graph(pages, links).localCheckpoint(eager=True)  # 3 consumers
     out = hg.groupBy(F.col("src_host").alias("host")).agg(
         F.count(F.lit(1)).alias("out_deg"),
         F.sum("n_links").alias("out_links"),
@@ -178,7 +186,7 @@ def url_canonicalize(col: Column) -> Column:
     ).otherwise(u)
 
 
-def comention_lift(pages: DataFrame) -> DataFrame:
+def comention_lift(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
     """Entity co-mention statistics over ``lib://`` link targets:
     for each alias pair appearing on a common page, the observed/
     expected co-occurrence ratio ``lift = n_ab * N / (n_a * n_b)``
@@ -193,8 +201,10 @@ def comention_lift(pages: DataFrame) -> DataFrame:
     the LSH-plane "driver-precomputed literal" discipline; a constant-
     key join constant-folds to a BroadcastNestedLoopJoin, which the
     plan guards forbid)."""
+    if links is None:
+        links = extract_links(pages)
     ments = (
-        extract_links(pages)
+        links
         .where(F.col("href").startswith("lib://"))
         .select("url", F.expr("substring(href, 7)").alias("ent"))
         .distinct()
