@@ -2056,15 +2056,14 @@ def q_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("id").alias("entity"), "rank")
 
 
-def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
+def _sql_pagerank_unrolled(edges_sql: str, id_name: str, iters: int = PAGERANK_ITERS) -> str:
     """Unrolled integer-PageRank replay: r0..r{iters} as chained CTEs,
     same integer floor-division recurrence as pagerank_fixed incl. the
-    evidence weighting (all values non-negative, so DuckDB's // and
-    Spark's div agree exactly)."""
+    weighting (all values non-negative, so DuckDB's // and Spark's div
+    agree exactly). ``edges_sql`` must yield (src, dst, w)."""
     scale, base = 1_000_000, 150_000
     ctes = [
-        "edges AS (SELECT subj_id AS src, obj_id AS dst, n_evidence AS w"
-        f" FROM ({SQL_KG_EDGES}))",
+        f"edges AS ({edges_sql})",
         "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "outdeg AS (SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src)",
         f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM nodes)",
@@ -2082,7 +2081,16 @@ def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
   ON n.id = c.id GROUP BY n.id)"""
         )
     joined = ",\n".join(ctes)
-    return f"WITH {joined}\nSELECT id AS entity, rank FROM r{iters}"
+    return f"WITH {joined}\nSELECT id AS {id_name}, rank FROM r{iters}"
+
+
+def _sql_entity_rank(iters: int = PAGERANK_ITERS) -> str:
+    return _sql_pagerank_unrolled(
+        "SELECT subj_id AS src, obj_id AS dst, n_evidence AS w"
+        f" FROM ({SQL_KG_EDGES})",
+        "entity",
+        iters,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2357,6 +2365,32 @@ SELECT href, n_anchors, n_texts, anchor AS top_text FROM (
 """
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority: the generic fixed-point PageRank operator over
+    the host link graph, weighted by link counts — the crawl-side twin
+    of entity_rank (same integer recurrence, same auto dispatch, string
+    node ids)."""
+    from .operators.graphrank import pagerank_auto
+    from .operators.webgraph import host_graph
+
+    p = _fixture_paths()
+    edges = host_graph(spark.read.parquet(p["web_pages"])).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        "n_links",
+    )
+    ranks = pagerank_auto(edges, iters=PAGERANK_ITERS, weight_col="n_links")
+    return ranks.select(F.col("id").alias("host"), "rank")
+
+
+def _sql_host_rank(path: str) -> str:
+    return _sql_pagerank_unrolled(
+        "SELECT src_host AS src, dst_host AS dst, n_links AS w"
+        f" FROM ({_sql_host_graph(path)})",
+        "host",
+    )
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 §6 URL canonicalization + canonical-url grouping over
     the messy-variant fixture: syntactic crawl duplicates collapse
@@ -2496,6 +2530,7 @@ QUERIES = {
     "contamination": q_contamination,
     "host_graph": q_host_graph,
     "host_metrics": q_host_metrics,
+    "host_rank": q_host_rank,
     "anchor_texts": q_anchor_texts,
     "url_canon": q_url_canon,
     "entity_pmi": q_entity_pmi,
@@ -2586,6 +2621,7 @@ ORACLE_SQL = {
     "contamination": _sql_contamination(),
     "host_graph": _sql_host_graph(_fixture_file("web_pages")),
     "host_metrics": _sql_host_metrics(_fixture_file("web_pages")),
+    "host_rank": _sql_host_rank(_fixture_file("web_pages")),
     "anchor_texts": _sql_anchor_texts(_fixture_file("web_pages")),
     "url_canon": _sql_url_canon(_fixture_file("raw_urls")),
     "entity_pmi": _sql_entity_pmi(_fixture_file("web_pages")),

@@ -155,3 +155,19 @@ def test_webgraph_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "PythonUDF" not in plan, q.__name__
+
+
+def test_host_rank_driver_and_distributed_paths_agree(spark):
+    """String node ids through both pagerank paths: the driver
+    recurrence (dimension-sized dispatch) and the distributed
+    checkpointed loop produce identical integer ranks."""
+    from surfactant_spark.operators.graphrank import pagerank_auto, pagerank_fixed
+    from surfactant_spark.queries import _fixture_paths
+
+    p = _fixture_paths()
+    edges = host_graph(spark.read.parquet(p["web_pages"])).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"), "n_links"
+    )
+    auto = {(r.id, r.rank) for r in pagerank_auto(edges, weight_col="n_links").collect()}
+    dist = {(r.id, r.rank) for r in pagerank_fixed(edges, weight_col="n_links").collect()}
+    assert auto == dist and auto
