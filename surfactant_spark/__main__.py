@@ -7,6 +7,7 @@ this sandbox), parquet-table-native:
   python -m surfactant_spark stat --nodes NODES_PARQUET
   python -m surfactant_spark find --nodes NODES_PARQUET [filters]
   python -m surfactant_spark sessionize --events E --out DIR
+  python -m surfactant_spark kg-fold --docs D --out DIR
 
 On a cluster: ``spark-submit --py-files surfactant_spark.zip
 surfactant_spark/__main__.py --master yarn generate ...`` — pass the
@@ -463,6 +464,26 @@ def cmd_sessionize(args) -> int:
     return 0
 
 
+def cmd_kg_fold(args) -> int:
+    """Checkpoint-resumable incremental KG maintenance: fold newly
+    arrived documents-shaped parquet into standing state; reruns only
+    process files the checkpoint hasn't seen (streaming/incremental.
+    stream_kg_fold; batches must be append-only by doc_id)."""
+    from .operators.incremental import edges_surface
+    from .streaming.incremental import stream_kg_fold
+
+    spark = _spark(args)
+    state = stream_kg_fold(
+        spark, args.docs, os.path.join(args.out, "state"),
+        os.path.join(args.out, "ckpt"),
+    )
+    if state is None:
+        print(json.dumps({"edges": 0, "out": args.out, "note": "no input batches"}))
+        return 0
+    print(json.dumps({"edges": edges_surface(state).count(), "out": args.out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="surfactant_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -542,6 +563,15 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--set", default=None, help='{"field": value} scalar sets')
     e.add_argument("--append", default=None, help='{"field": [values]} array appends')
     e.set_defaults(fn=cmd_edit)
+
+    kf = sub.add_parser(
+        "kg-fold",
+        help="fold newly arrived documents into standing KG state "
+        "(checkpoint-resumable, append-only batches)",
+    )
+    kf.add_argument("--docs", required=True, help="documents parquet directory")
+    kf.add_argument("--out", required=True, help="state + checkpoint root")
+    kf.set_defaults(fn=cmd_kg_fold)
 
     z = sub.add_parser("sessionize", help="stateful event sessionization")
     z.add_argument("--events", required=True)

@@ -443,3 +443,28 @@ def test_generate_near_dup_reports_survivors(staged, capsys):
     # every corpus doc is labeled; survivors <= docs; clusters snapshot on disk
     assert 0 < info["dedup_survivors"]
     assert os.path.exists(os.path.join(out, "_clusters_OK"))
+
+
+def test_kg_fold_command_resumes(spark, tmp_path, capsys):
+    """kg-fold CLI: first run builds state from the staged batch, a
+    rerun with a new batch folds only it, and the folded edge count
+    matches the full-corpus kg_edges query."""
+    from pyspark.sql import functions as F
+
+    from surfactant_spark.queries import q_kg_edges
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "kgstate")
+    docs.where(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    assert main(["--master", "local[4]", "kg-fold", "--docs", src, "--out", out]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    assert main(["--master", "local[4]", "kg-fold", "--docs", src, "--out", out]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = q_kg_edges(spark, SF_DIR).count()
+    assert second["edges"] == want
+    assert first["edges"] != second["edges"]
