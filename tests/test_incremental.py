@@ -105,3 +105,29 @@ def test_query_entry_matches_kg_edges(spark):
     inc = _edge_set(q_kg_incremental(spark, SF_DIR))
     full = _edge_set(q_kg_edges(spark, SF_DIR))
     assert inc == full
+
+
+from hypothesis import given, settings, strategies as st
+
+_TOKS = ["alpha-lib", "beta-app", "core-utils", "gamma-pkg",
+         "delta-tool", "uses", "provides", "from"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_TOKS), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=8),
+)
+def test_fold_equals_rebuild_any_split(spark, texts, k):
+    """Property: for ANY corpus and ANY append-only split point
+    (including empty first or second batch), folding the tail into the
+    head's state equals the full rebuild."""
+    rows = [(i, "s", " ".join(t)) for i, t in enumerate(texts)]
+    k = min(k, len(rows))
+    state = kg_state_build(_docs(spark, rows[:k]))
+    folded = kg_state_fold(state, _docs(spark, rows[k:]))
+    assert _edge_set(edges_surface(folded)) == _edge_set(_full(spark, rows))

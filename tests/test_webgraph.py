@@ -171,3 +171,38 @@ def test_host_rank_driver_and_distributed_paths_agree(spark):
     auto = {(r.id, r.rank) for r in pagerank_auto(edges, weight_col="n_links").collect()}
     dist = {(r.id, r.rank) for r in pagerank_fixed(edges, weight_col="n_links").collect()}
     assert auto == dist and auto
+
+
+from hypothesis import given, settings, strategies as st
+
+_host_st = st.text(
+    alphabet="abcXYZ09.-", min_size=1, max_size=10
+).filter(lambda h: not h.startswith("-"))
+_url_st = st.builds(
+    lambda scheme, host, port, path, frag: (
+        f"{scheme}://{host}"
+        + (f":{port}" if port else "")
+        + (f"/{path}" if path is not None else "")
+        + (f"#{frag}" if frag is not None else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs", "ftp"]),
+    _host_st,
+    st.sampled_from([None, 80, 443, 8080]),
+    st.one_of(st.none(), st.text(alphabet="abP09/_.-", max_size=8)),
+    st.one_of(st.none(), st.text(alphabet="abc#?", max_size=4)),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_url_st, min_size=1, max_size=30))
+def test_url_canonicalize_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u) for arbitrary scheme/host/port/path/
+    fragment combinations — the property a crawl frontier needs to key
+    on canonical urls without re-normalizing."""
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = url_canonicalize(F.col("u"))
+    rows = df.select(
+        once.alias("c1"), url_canonicalize(once).alias("c2")
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.c1, r.c2)
