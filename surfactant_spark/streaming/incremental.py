@@ -153,6 +153,7 @@ def stream_kg_fold(
     state_dir: str,
     checkpoint: str,
     max_files_per_trigger: int = 4,
+    retain: int = 2,
 ):
     """Checkpoint-resumable streaming KG maintenance: every micro-batch
     of documents-shaped rows folds into the standing KG state via
@@ -172,10 +173,19 @@ def stream_kg_fold(
     Batches must be append-only with increasing doc_ids across batches
     (the operators/incremental.py precondition). Runs availableNow to
     completion; returns the latest committed KgState read back from
-    disk (None when no batch has ever committed)."""
+    disk (None when no batch has ever committed).
+
+    ``retain`` bounds the state directory: after each committed fold,
+    only the newest ``retain`` versions survive (a long-running stream
+    otherwise accumulates one full state copy per micro-batch — a real
+    disk leak at corpus scale). Folds only ever read the LATEST
+    committed version, so retention never breaks resume; markers are
+    removed before data so an interrupted cleanup leaves an ignored
+    (unmarked) directory, never a half-trusted one."""
     from ..operators.incremental import kg_state_build, kg_state_fold
 
     import os
+    import shutil
 
     def fold_batch(batch_df, batch_id: int) -> None:
         vdir = os.path.join(state_dir, f"v{batch_id}")
@@ -188,6 +198,11 @@ def stream_kg_fold(
             _write_state(kg_state_fold(prev, batch_df), vdir)
         else:
             _write_state(kg_state_build(batch_df), vdir)
+        if retain and retain > 0:
+            done = _state_version_dirs(state_dir)
+            for v in sorted(done)[:-retain]:
+                os.remove(os.path.join(done[v], "_OK"))
+                shutil.rmtree(done[v], ignore_errors=True)
 
     stream = (
         spark.readStream.schema(_DOCS_SCHEMA)

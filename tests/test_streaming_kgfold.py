@@ -72,3 +72,24 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     # already-marked v0 -> marker no-op, state identical
     st2 = stream_kg_fold(spark, src, state, str(tmp_path / "ckpt2"))
     assert _edge_set(edges_surface(st2)) == e1
+
+
+def test_state_retention_bounds_versions(spark, tmp_path):
+    """retain=1: after three micro-batches (one file per trigger) only
+    the newest committed version survives, and the final state still
+    equals the full batch build."""
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        _docs(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+    st = stream_kg_fold(
+        spark, src, state, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, retain=1,
+    )
+    committed = [
+        v for v in os.listdir(state)
+        if v.startswith("v") and os.path.exists(os.path.join(state, v, "_OK"))
+    ]
+    assert len(committed) == 1
+    want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 90))))
+    assert _edge_set(edges_surface(st)) == want
