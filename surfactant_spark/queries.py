@@ -2245,6 +2245,34 @@ FROM b WHERE sb < {rate_case}
 
 
 # ---------------------------------------------------------------------------
+# deterministic count-min sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of corpus token frequencies: depth x width
+    cells from one explode + one hash agg, every hash the portable
+    md5-prefix hash — bit-exactly replayable, shard-mergeable by
+    cell-wise sum (unlike engine-private approx_count_distinct)."""
+    from .operators.sketch import cms_sketch
+
+    return cms_sketch(_read(spark, sf_dir, "documents"))
+
+
+def _sql_token_cms(depth: int = 3, width: int = 64) -> str:
+    h = _H.format(expr="'cms' || CAST(r.row_id AS VARCHAR) || ':' || t.tok")
+    rows = ",".join(f"({r})" for r in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PAT}')) AS tok
+  FROM documents),
+cells AS (
+  SELECT r.row_id, {h} % {width} AS bucket
+  FROM toks t, (VALUES {rows}) AS r(row_id))
+SELECT row_id, bucket, COUNT(*) AS cnt
+FROM cells GROUP BY row_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental KG maintenance (operators/incremental.py)
 # ---------------------------------------------------------------------------
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2535,6 +2563,7 @@ QUERIES = {
     "url_canon": q_url_canon,
     "entity_pmi": q_entity_pmi,
     "kg_incremental": q_kg_incremental,
+    "token_cms": q_token_cms,
 }
 
 
@@ -2628,4 +2657,5 @@ ORACLE_SQL = {
     # the incremental fold must equal the full rebuild EXACTLY — its
     # oracle is the unsplit kg_edges SQL
     "kg_incremental": SQL_KG_EDGES,
+    "token_cms": _sql_token_cms(),
 }
