@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "contamination",
     "doc_repetition",
     "kg_incremental",
+    "token_cms",
 ]
 
 
