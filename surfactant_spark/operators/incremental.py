@@ -43,6 +43,7 @@ re-scanning old specimens (`surfactant/cmd/merge.py`).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -55,12 +56,20 @@ TOKEN_PAT = r"[a-z][a-z0-9_.\-]{3,}"
 class KgState:
     """Standing KG state between crawl batches. ``edges`` keeps the
     evidence-url set as an array; the query surface joins it to the
-    driver-hashable string form."""
+    driver-hashable string form.
+
+    ``mentions_delta`` is THIS batch's mention rows alone (build: the
+    whole corpus; fold: just the delta) — the append-only unit a
+    persistent store writes per batch, so standing mentions are never
+    rewritten (canon/exporters/edges are compact — dimension- or
+    aggregate-sized — and cheap to rewrite per version; mention rows
+    are corpus-sized and must only ever append)."""
 
     canon: DataFrame      # sha, canonical_id
     mentions: DataFrame   # subj_id, url, tok (distinct per doc)
     exporters: DataFrame  # tok, obj_id
     edges: DataFrame      # subj_id, obj_id, src_arr
+    mentions_delta: Optional[DataFrame] = None
 
 
 def prepare_base(docs: DataFrame, token_pat: str = TOKEN_PAT) -> DataFrame:
@@ -135,7 +144,10 @@ def kg_state_build(docs: DataFrame, token_pat: str = TOKEN_PAT) -> KgState:
     edges = _edge_partials(ments, exp).withColumn(
         "src_arr", F.array_sort("src_arr")
     )
-    return KgState(canon=canon, mentions=ments, exporters=exp, edges=edges)
+    return KgState(
+        canon=canon, mentions=ments, exporters=exp, edges=edges,
+        mentions_delta=ments,
+    )
 
 
 def kg_state_fold(
@@ -165,6 +177,7 @@ def kg_state_fold(
         mentions=state.mentions.unionByName(ments_d),
         exporters=exp_all,
         edges=edges,
+        mentions_delta=ments_d,
     )
 
 

@@ -108,7 +108,13 @@ def run_incremental_batch(
 # streaming KG maintenance: fold each micro-batch into standing state
 # ---------------------------------------------------------------------------
 _DOCS_SCHEMA = "doc_id long, source string, text string"
-_STATE_TABLES = ("canon", "mentions", "exporters", "edges")
+# compact per-version tables: canon and exporters are dimension-sized,
+# edges is the per-(subj, obj) aggregate — all cheap to rewrite per
+# batch. Mention rows are CORPUS-sized and live as per-batch deltas
+# under state_dir/mentions/d{batch_id} instead: standing mentions are
+# never rewritten (an O(corpus) write per micro-batch otherwise), only
+# appended — the Iceberg-append analogue.
+_COMPACT_TABLES = ("canon", "exporters", "edges")
 
 
 def _state_version_dirs(state_dir: str):
@@ -125,24 +131,41 @@ def _state_version_dirs(state_dir: str):
     return out
 
 
-def _read_state(spark: SparkSession, vdir: str):
+def _read_state(spark: SparkSession, state_dir: str, version: int):
+    """Load version ``version``: compact tables from its v-dir, standing
+    mentions as the UNION of the mention deltas of batches 0..version
+    (deltas are append-only and exempt from retention, so they are all
+    present even when older compact versions were cleaned up)."""
     import os
 
     from ..operators.incremental import KgState
 
+    vdir = os.path.join(state_dir, f"v{version}")
+    deltas = [
+        os.path.join(state_dir, "mentions", f"d{b}")
+        for b in range(version + 1)
+        if os.path.isdir(os.path.join(state_dir, "mentions", f"d{b}"))
+    ]
     return KgState(
-        **{t: spark.read.parquet(os.path.join(vdir, t)) for t in _STATE_TABLES}
+        mentions=spark.read.parquet(*deltas),
+        **{t: spark.read.parquet(os.path.join(vdir, t)) for t in _COMPACT_TABLES},
     )
 
 
-def _write_state(state, vdir: str) -> None:
+def _write_state(state, state_dir: str, batch_id: int) -> None:
     """Overwrite-then-marker: a replayed batch (driver died between the
     fold and the sink checkpoint advancing) rewrites its own versioned
-    directory deterministically; readers only trust marked versions."""
+    directory and mention delta deterministically; readers only trust
+    marked versions, and a partially-written delta is always overwritten
+    by its own replay before the marker can appear."""
     import os
 
-    for t in _STATE_TABLES:
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    for t in _COMPACT_TABLES:
         getattr(state, t).write.mode("overwrite").parquet(os.path.join(vdir, t))
+    state.mentions_delta.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "mentions", f"d{batch_id}")
+    )
     with open(os.path.join(vdir, "_OK"), "w", encoding="utf-8") as f:
         f.write("ok")
 
@@ -175,13 +198,22 @@ def stream_kg_fold(
     completion; returns the latest committed KgState read back from
     disk (None when no batch has ever committed).
 
-    ``retain`` bounds the state directory: after each committed fold,
-    only the newest ``retain`` versions survive (a long-running stream
-    otherwise accumulates one full state copy per micro-batch — a real
-    disk leak at corpus scale). Folds only ever read the LATEST
-    committed version, so retention never breaks resume; markers are
-    removed before data so an interrupted cleanup leaves an ignored
-    (unmarked) directory, never a half-trusted one."""
+    Store layout is write-cost-aware: compact tables (canon, exporters,
+    edges — dimension/aggregate-sized) rewrite per version, while the
+    corpus-sized mention rows append as per-batch deltas under
+    ``state_dir/mentions/d{batch_id}`` and are NEVER rewritten — a fold
+    costs O(delta) write I/O, not O(corpus) (the Iceberg-append
+    analogue; a bucketed-by-token layout would additionally let the
+    broadcast probe prune its read).
+
+    ``retain`` bounds the compact-version directories: after each
+    committed fold, only the newest ``retain`` versions survive (a
+    long-running stream otherwise accumulates one compact-state copy
+    per micro-batch). Mention deltas are exempt — they are the data,
+    not a copy. Folds only ever read the LATEST committed version, so
+    retention never breaks resume; markers are removed before data so
+    an interrupted cleanup leaves an ignored (unmarked) directory,
+    never a half-trusted one."""
     from ..operators.incremental import kg_state_build, kg_state_fold
 
     import os
@@ -194,10 +226,10 @@ def stream_kg_fold(
         committed = _state_version_dirs(state_dir)
         prior = [v for v in committed if v < batch_id]
         if prior:
-            prev = _read_state(batch_df.sparkSession, committed[max(prior)])
-            _write_state(kg_state_fold(prev, batch_df), vdir)
+            prev = _read_state(batch_df.sparkSession, state_dir, max(prior))
+            _write_state(kg_state_fold(prev, batch_df), state_dir, batch_id)
         else:
-            _write_state(kg_state_build(batch_df), vdir)
+            _write_state(kg_state_build(batch_df), state_dir, batch_id)
         if retain and retain > 0:
             done = _state_version_dirs(state_dir)
             for v in sorted(done)[:-retain]:
@@ -219,4 +251,4 @@ def stream_kg_fold(
     committed = _state_version_dirs(state_dir)
     if not committed:
         return None
-    return _read_state(spark, committed[max(committed)])
+    return _read_state(spark, state_dir, max(committed))

@@ -93,3 +93,32 @@ def test_state_retention_bounds_versions(spark, tmp_path):
     assert len(committed) == 1
     want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 90))))
     assert _edge_set(edges_surface(st)) == want
+
+
+def test_mention_deltas_append_only(spark, tmp_path):
+    """Standing mentions must never be rewritten: after a second fold,
+    batch 0's mention delta parquet files are byte-for-byte untouched,
+    compact versions hold no mentions table, and deltas survive
+    retention."""
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(spark, 0, 60).coalesce(1).write.mode("append").parquet(src)
+    stream_kg_fold(spark, src, state, ckpt, retain=1)
+    d0 = os.path.join(state, "mentions", "d0")
+    before = {
+        f: os.path.getmtime(os.path.join(d0, f)) for f in os.listdir(d0)
+    }
+    _docs(spark, 60, 120).coalesce(1).write.mode("append").parquet(src)
+    st = stream_kg_fold(spark, src, state, ckpt, retain=1)
+    after = {
+        f: os.path.getmtime(os.path.join(d0, f)) for f in os.listdir(d0)
+    }
+    assert after == before  # delta 0 untouched by the second fold
+    versions = [v for v in os.listdir(state) if v.startswith("v")]
+    assert versions == ["v1"]  # retention removed v0's compact tables
+    assert sorted(os.listdir(os.path.join(state, "mentions"))) == ["d0", "d1"]
+    for v in versions:
+        assert "mentions" not in os.listdir(os.path.join(state, v))
+    want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 120))))
+    assert _edge_set(edges_surface(st)) == want
