@@ -242,3 +242,47 @@ def repetition_metrics(
             F.round(F.col("nd") / F.col("nt"), 6).alias("distinct_token_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact distribution quantiles (histogram-cumsum shape)
+# ---------------------------------------------------------------------------
+def exact_quantiles(
+    values: DataFrame,
+    qs,
+    value_col: str = "v",
+) -> DataFrame:
+    """Exact rank-based quantiles of an integer-valued column, computed
+    the way a 100 TB corpus report must: the corpus reduces to a
+    (value, frequency) HISTOGRAM first (one hash agg — dimension-sized
+    for any bounded-range statistic like token counts), and the global
+    sort/cumsum window runs over the histogram only, never the corpus.
+    quantile q = the value at 0-based rank floor(q * (N - 1)) of the
+    sorted multiset (quantile_disc semantics) — pure integer selection,
+    bit-identical in any engine, unlike interpolating percentile()/
+    quantile_cont whose float arithmetic is engine-shaped.
+
+    Each requested q becomes one filter over the cumulative histogram
+    (no range join — a broadcast inequality join would plan as the
+    BNLJ the plan guards forbid). Returns (q, value) rows."""
+    from pyspark.sql import Window
+
+    hist = values.groupBy(F.col(value_col).alias("val")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "val", "f", F.sum("f").over(w).alias("hi")
+    ).withColumn("lo", F.col("hi") - F.col("f"))
+    cum = cum.localCheckpoint(eager=True)  # one consumer per q
+    n = cum.agg(F.max("hi")).first()[0] or 0
+    out = None
+    for q in qs:
+        idx = int(q * (n - 1)) if n else 0
+        part = cum.where(
+            (F.col("lo") <= idx) & (F.lit(idx) < F.col("hi"))
+        ).select(
+            F.lit(float(q)).alias("q"), F.col("val").alias("value")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

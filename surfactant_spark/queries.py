@@ -2245,6 +2245,48 @@ FROM b WHERE sb < {rate_case}
 
 
 # ---------------------------------------------------------------------------
+# exact corpus-distribution quantiles (histogram-cumsum shape)
+# ---------------------------------------------------------------------------
+QUANTILE_QS = (0.1, 0.5, 0.9, 0.99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-count quantiles of the corpus: the report a data
+    card needs, computed with the corpus reduced to a value histogram
+    first so the rank selection never sorts corpus-sized data
+    (quantile_disc semantics — integer selection, engine-agnostic,
+    unlike interpolating percentile())."""
+    from .operators.textops import exact_quantiles, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_quantiles(
+        docs.select(token_count_col(F.col("text")).alias("v")), QUANTILE_QS
+    )
+
+
+def _sql_length_quantiles() -> str:
+    from .operators.textops import TOKEN_REGEX
+
+    qvals = ",".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILE_QS)
+    return f"""
+WITH v AS (
+  SELECT CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS val
+  FROM documents),
+hist AS (SELECT val, COUNT(*) AS f FROM v GROUP BY val),
+cum AS (
+  SELECT val, f,
+         CAST(SUM(f) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM hist),
+c2 AS (SELECT val, hi - f AS lo, hi FROM cum),
+n AS (SELECT MAX(hi) AS n FROM cum)
+SELECT t.q, c2.val AS value
+FROM (VALUES {qvals}) t(q), c2, n
+WHERE c2.lo <= CAST(FLOOR(t.q * (n.n - 1)) AS BIGINT)
+  AND CAST(FLOOR(t.q * (n.n - 1)) AS BIGINT) < c2.hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic count-min sketch (operators/sketch.py)
 # ---------------------------------------------------------------------------
 def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2564,6 +2606,7 @@ QUERIES = {
     "entity_pmi": q_entity_pmi,
     "kg_incremental": q_kg_incremental,
     "token_cms": q_token_cms,
+    "length_quantiles": q_length_quantiles,
 }
 
 
@@ -2658,4 +2701,5 @@ ORACLE_SQL = {
     # oracle is the unsplit kg_edges SQL
     "kg_incremental": SQL_KG_EDGES,
     "token_cms": _sql_token_cms(),
+    "length_quantiles": _sql_length_quantiles(),
 }

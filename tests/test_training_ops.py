@@ -277,3 +277,22 @@ def test_lsh_bucket_dim_mismatch_is_null_not_zero(spark):
     }
     assert got[1] is not None
     assert got[2] is None
+
+
+def test_exact_quantiles_hand_computed(spark):
+    """quantile_disc semantics: value at 0-based rank floor(q*(N-1)) of
+    the sorted multiset, verified against Python sorting; the window
+    runs over the histogram, never the input rows."""
+    from surfactant_spark.operators.textops import exact_quantiles
+
+    vals = [5, 1, 9, 1, 7, 3, 3, 3, 12, 2]  # N=10
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    got = {r.q: r.value for r in exact_quantiles(df, qs).collect()}
+    s = sorted(vals)
+    want = {float(q): s[int(q * (len(s) - 1))] for q in qs}
+    assert got == want
+
+    # single value and empty-safe degenerate
+    one = spark.createDataFrame([(4,)], "v int")
+    assert {r.value for r in exact_quantiles(one, (0.5,)).collect()} == {4}
