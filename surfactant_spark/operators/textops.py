@@ -251,38 +251,45 @@ def exact_quantiles(
     values: DataFrame,
     qs,
     value_col: str = "v",
+    group_cols=(),
 ) -> DataFrame:
     """Exact rank-based quantiles of an integer-valued column, computed
     the way a 100 TB corpus report must: the corpus reduces to a
     (value, frequency) HISTOGRAM first (one hash agg — dimension-sized
-    for any bounded-range statistic like token counts), and the global
+    for any bounded-range statistic like token counts), and the
     sort/cumsum window runs over the histogram only, never the corpus.
     quantile q = the value at 0-based rank floor(q * (N - 1)) of the
-    sorted multiset (quantile_disc semantics) — pure integer selection,
+    sorted multiset (quantile_disc semantics) — an integer selection,
     bit-identical in any engine, unlike interpolating percentile()/
     quantile_cont whose float arithmetic is engine-shaped.
 
-    Each requested q becomes one filter over the cumulative histogram
-    (no range join — a broadcast inequality join would plan as the
-    BNLJ the plan guards forbid). Returns (q, value) rows."""
+    With ``group_cols`` the histogram, windows, and per-group N are all
+    keyed by the group (per-language report shape); N is a window
+    column, so no driver action runs. The requested qs explode as
+    literals over the cumulative histogram and each row keeps the qs
+    whose rank it covers — a projection + filter, never a range join
+    (a broadcast inequality join would plan as the BNLJ the plan
+    guards forbid). Returns (*group_cols, q, value) rows."""
     from pyspark.sql import Window
 
-    hist = values.groupBy(F.col(value_col).alias("val")).agg(
+    g = list(group_cols)
+    hist = values.groupBy(*g, F.col(value_col).alias("val")).agg(
         F.count(F.lit(1)).alias("f")
     )
-    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = hist.select(
-        "val", "f", F.sum("f").over(w).alias("hi")
+        *g, "val", "f", F.sum("f").over(w).alias("hi")
     ).withColumn("lo", F.col("hi") - F.col("f"))
-    cum = cum.localCheckpoint(eager=True)  # one consumer per q
-    n = cum.agg(F.max("hi")).first()[0] or 0
-    out = None
-    for q in qs:
-        idx = int(q * (n - 1)) if n else 0
-        part = cum.where(
-            (F.col("lo") <= idx) & (F.lit(idx) < F.col("hi"))
-        ).select(
-            F.lit(float(q)).alias("q"), F.col("val").alias("value")
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    nw = Window.partitionBy(*g)
+    cum = cum.withColumn("n", F.max("hi").over(nw))
+    q_col = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    idx = F.floor(F.col("q") * (F.col("n") - 1)).cast("long")
+    return (
+        cum.select(*g, "val", "lo", "hi", "n", q_col)
+        .where((F.col("lo") <= idx) & (idx < F.col("hi")))
+        .select(*g, "q", F.col("val").alias("value"))
+    )

@@ -2286,6 +2286,41 @@ WHERE c2.lo <= CAST(FLOOR(t.q * (n.n - 1)) AS BIGINT)
 """
 
 
+def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count quantiles — the grouped form: histogram,
+    cumsum window, and N are all keyed by lang; no driver action."""
+    from .operators.textops import exact_quantiles, token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.select("lang", token_count_col(F.col("text")).alias("v"))
+    return exact_quantiles(vals, QUANTILE_QS, group_cols=("lang",))
+
+
+def _sql_lang_quantiles() -> str:
+    from .operators.textops import TOKEN_REGEX
+
+    qvals = ",".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILE_QS)
+    return f"""
+WITH v AS (
+  SELECT lang, CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS val
+  FROM documents),
+hist AS (SELECT lang, val, COUNT(*) AS f FROM v GROUP BY lang, val),
+cum AS (
+  SELECT lang, val, f,
+         CAST(SUM(f) OVER (PARTITION BY lang ORDER BY val
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM hist),
+c2 AS (
+  SELECT lang, val, hi - f AS lo, hi,
+         MAX(hi) OVER (PARTITION BY lang) AS n
+  FROM cum)
+SELECT lang, t.q, val AS value
+FROM c2, (VALUES {qvals}) t(q)
+WHERE lo <= CAST(FLOOR(t.q * (n - 1)) AS BIGINT)
+  AND CAST(FLOOR(t.q * (n - 1)) AS BIGINT) < hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic count-min sketch (operators/sketch.py)
 # ---------------------------------------------------------------------------
@@ -2607,6 +2642,7 @@ QUERIES = {
     "kg_incremental": q_kg_incremental,
     "token_cms": q_token_cms,
     "length_quantiles": q_length_quantiles,
+    "lang_quantiles": q_lang_quantiles,
 }
 
 
@@ -2702,4 +2738,5 @@ ORACLE_SQL = {
     "kg_incremental": SQL_KG_EDGES,
     "token_cms": _sql_token_cms(),
     "length_quantiles": _sql_length_quantiles(),
+    "lang_quantiles": _sql_lang_quantiles(),
 }

@@ -296,3 +296,20 @@ def test_exact_quantiles_hand_computed(spark):
     # single value and empty-safe degenerate
     one = spark.createDataFrame([(4,)], "v int")
     assert {r.value for r in exact_quantiles(one, (0.5,)).collect()} == {4}
+
+
+def test_exact_quantiles_grouped(spark):
+    from surfactant_spark.operators.textops import exact_quantiles
+
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [10, 20]]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r.g, r.q): r.value
+        for r in exact_quantiles(df, (0.5, 1.0), group_cols=("g",)).collect()
+    }
+    # a sorted [1,2,3,4]: rank floor(.5*3)=1 -> 2; rank 3 -> 4
+    # b sorted [10,20]:   rank floor(.5*1)=0 -> 10; rank 1 -> 20
+    assert got == {
+        ("a", 0.5): 2, ("a", 1.0): 4,
+        ("b", 0.5): 10, ("b", 1.0): 20,
+    }
