@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "kg_incremental",
     "token_cms",
+    "length_quantiles",
+    "lang_quantiles",
 ]
 
 
