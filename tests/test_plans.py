@@ -280,3 +280,29 @@ def test_graph_analytics_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_late_round4_queries_plan_shapes(spark):
+    """The late round-4 additions (incremental fold, host PageRank,
+    count-min sketch, exact quantiles) stay distributed-safe: equi
+    joins only, no nested-loop/cartesian, no Python in any final plan
+    (the quantiles' per-q selection is a filter, never a range join)."""
+    from surfactant_spark.queries import (
+        q_host_rank,
+        q_kg_incremental,
+        q_lang_quantiles,
+        q_length_quantiles,
+        q_token_cms,
+    )
+
+    for q in (
+        q_kg_incremental,
+        q_host_rank,
+        q_token_cms,
+        q_length_quantiles,
+        q_lang_quantiles,
+    ):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
