@@ -206,3 +206,24 @@ def test_url_canonicalize_idempotent(spark, urls):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, (r.c1, r.c2)
+
+
+_html_st = st.text(
+    alphabet='<>ab"c/=# \nhref', max_size=120
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_html_st, min_size=1, max_size=20))
+def test_extract_links_total_on_arbitrary_markup(spark, bodies):
+    """extract_links is total over arbitrary (broken) markup: it never
+    throws, and every href/anchor it emits appears verbatim inside its
+    page's html."""
+    rows = [(f"u{i}", b.encode("utf-8")) for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = extract_links(df).collect()
+    by_url = dict(rows)
+    for r in got:
+        h = by_url[r.url].decode("utf-8")
+        assert f'href="{r.href}"' in h
+        assert f">{r.anchor}</a>" in h
