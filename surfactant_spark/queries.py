@@ -2496,6 +2496,56 @@ def _sql_host_rank(path: str) -> str:
     )
 
 
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site clusters: connected components over the (undirected) host
+    link graph with component sizes — the component-statistics product
+    published with real web graphs, via the generic CC operator (string
+    ids, auto driver/distributed dispatch). Self-loops are dropped;
+    hosts with no cross-host links are their own singleton."""
+    from .operators.canon import connected_components_auto
+    from .operators.webgraph import host_graph
+
+    p = _fixture_paths()
+    hg = host_graph(spark.read.parquet(p["web_pages"])).localCheckpoint(eager=True)
+    edges = hg.where(F.col("src_host") != F.col("dst_host")).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    comp = connected_components_auto(edges, "src", "dst")
+    nodes = (
+        hg.select(F.col("src_host").alias("host"))
+        .unionByName(hg.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    lab = nodes.join(comp.withColumnRenamed("id", "host"), "host", "left").select(
+        "host", F.coalesce("component", F.col("host")).alias("component")
+    )
+    sizes = lab.groupBy("component").agg(F.count(F.lit(1)).alias("comp_size"))
+    return lab.join(sizes, "component").select("host", "component", "comp_size")
+
+
+def _sql_host_components(path: str) -> str:
+    return f"""
+WITH RECURSIVE hg AS ({_sql_host_graph(path)}),
+e AS (SELECT src_host AS a, dst_host AS b FROM hg WHERE src_host <> dst_host),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+nodes AS (
+  -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB evaluates a
+  -- plain UNION between non-recursive branches without deduplicating
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM hg UNION ALL SELECT dst_host FROM hg)),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS host, LEAST(MIN(b), a) AS component FROM reach GROUP BY a),
+lab AS (
+  SELECT n.host, COALESCE(c.component, n.host) AS component
+  FROM nodes n LEFT JOIN comp c USING (host)),
+sz AS (SELECT component, COUNT(*) AS comp_size FROM lab GROUP BY component)
+SELECT l.host, l.component, s.comp_size FROM lab l JOIN sz s USING (component)
+"""
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 §6 URL canonicalization + canonical-url grouping over
     the messy-variant fixture: syntactic crawl duplicates collapse
@@ -2636,6 +2686,7 @@ QUERIES = {
     "host_graph": q_host_graph,
     "host_metrics": q_host_metrics,
     "host_rank": q_host_rank,
+    "host_components": q_host_components,
     "anchor_texts": q_anchor_texts,
     "url_canon": q_url_canon,
     "entity_pmi": q_entity_pmi,
@@ -2730,6 +2781,7 @@ ORACLE_SQL = {
     "host_graph": _sql_host_graph(_fixture_file("web_pages")),
     "host_metrics": _sql_host_metrics(_fixture_file("web_pages")),
     "host_rank": _sql_host_rank(_fixture_file("web_pages")),
+    "host_components": _sql_host_components(_fixture_file("web_pages")),
     "anchor_texts": _sql_anchor_texts(_fixture_file("web_pages")),
     "url_canon": _sql_url_canon(_fixture_file("raw_urls")),
     "entity_pmi": _sql_entity_pmi(_fixture_file("web_pages")),
