@@ -158,3 +158,82 @@ def pagerank_auto(
     return spark.createDataFrame(
         [(v, rank[v]) for v in nodes], f"id {id_type}, rank long"
     )
+
+
+def edge_negatives(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 2,
+    buckets: int = 1024,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training: for
+    each (src, dst) edge emit ``k`` corrupted tails drawn from the node
+    table — the (subj, pred, obj_corrupt) negatives every
+    TransE/DistMult-style trainer consumes next to the positive edges.
+
+    Rejecting ``rand()`` on purpose: negatives must be reproducible
+    across retries, repartitions, and engines (the corpus_sample
+    argument), so the draw is pure hash algebra — nodes land in
+    ``buckets`` hash buckets with a deterministic representative
+    (min id) per bucket, occupied buckets are ranked into contiguous
+    SLOTS, and each (edge, i) probes slot H('neg{i}:' src|dst) mod
+    n_slots — every probe hits a representative regardless of how
+    sparse the bucket space is (a raw bucket probe silently yields
+    nothing when |nodes| << buckets). Near-uniform over nodes once
+    buckets ~ O(|nodes|); the bias (one representative per bucket) is
+    the documented price of exact replayability.
+
+    Plan shape: the representative table is dimension-sized (its
+    ranking window and the driver-literal slot count are entity-scale,
+    the comention_lift discipline), and the edge side pays one explode
+    plus one broadcast equi join — no rand(), no corpus window.
+    Negatives that collide with the edge's own endpoints are dropped
+    (standard filtered negative sampling), so callers get UP TO k rows
+    per edge.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash64_col
+
+    rep = (
+        nodes.select(
+            F.pmod(
+                portable_hash64_col(
+                    F.concat(F.lit("negb:"), F.col(id_col).cast("string"))
+                ),
+                F.lit(buckets),
+            ).alias("bucket"),
+            F.col(id_col).alias("neg"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("neg").alias("neg"))
+        .withColumn(
+            "slot", F.row_number().over(Window.orderBy("bucket")) - 1
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_slots = rep.count()
+    probes = edges.select(
+        src, dst,
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+    ).withColumn(
+        "slot",
+        F.pmod(
+            portable_hash64_col(
+                F.concat(
+                    F.lit("neg"), F.col("i").cast("string"), F.lit(":"),
+                    F.col(src).cast("string"), F.lit("|"),
+                    F.col(dst).cast("string"),
+                )
+            ),
+            F.lit(n_slots),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(rep.select("slot", "neg")), "slot")
+        .where((F.col("neg") != F.col(src)) & (F.col("neg") != F.col(dst)))
+        .select(src, dst, "i", "neg")
+    )

@@ -2245,6 +2245,54 @@ FROM b WHERE sb < {rate_case}
 
 
 # ---------------------------------------------------------------------------
+# deterministic negative sampling for KG-embedding training
+# ---------------------------------------------------------------------------
+NEG_K, NEG_BUCKETS = 2, 1024
+
+
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, obj, i, corrupted-tail) negatives over the flagship KG —
+    pure hash algebra (no rand()), one broadcast equi join against the
+    per-bucket representative table, reproducible in any engine."""
+    from .operators.graphrank import edge_negatives
+
+    edges = q_kg_edges(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    nodes = q_kg_nodes(spark, sf_dir).select(F.col("canonical_id").alias("id"))
+    return edge_negatives(edges, nodes, k=NEG_K, buckets=NEG_BUCKETS).select(
+        F.col("src").alias("subj_id"),
+        F.col("dst").alias("obj_id"),
+        "i",
+        F.col("neg").alias("neg_obj_id"),
+    )
+
+
+def _sql_kg_negatives(k: int = NEG_K, buckets: int = NEG_BUCKETS) -> str:
+    hb = _H.format(expr="'negb:' || CAST(canonical_id AS VARCHAR)")
+    hp = _H.format(
+        expr="'neg' || CAST(i.i AS VARCHAR) || ':' || CAST(e.src AS VARCHAR)"
+        " || '|' || CAST(e.dst AS VARCHAR)"
+    )
+    ivals = ",".join(f"({i})" for i in range(k))
+    return f"""
+WITH e AS (SELECT subj_id AS src, obj_id AS dst FROM ({SQL_KG_EDGES})),
+n AS (SELECT canonical_id FROM ({SQL_KG_NODES})),
+rep AS (
+  SELECT bucket, neg, ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS slot
+  FROM (SELECT {hb} % {buckets} AS bucket, MIN(canonical_id) AS neg
+        FROM n GROUP BY bucket)),
+ns AS (SELECT COUNT(*) AS n FROM rep),
+probes AS (
+  SELECT e.src, e.dst, i.i, {hp} % ns.n AS slot
+  FROM e, (VALUES {ivals}) i(i), ns)
+SELECT p.src AS subj_id, p.dst AS obj_id, p.i, r.neg AS neg_obj_id
+FROM probes p JOIN rep r USING (slot)
+WHERE r.neg <> p.src AND r.neg <> p.dst
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact corpus-distribution quantiles (histogram-cumsum shape)
 # ---------------------------------------------------------------------------
 QUANTILE_QS = (0.1, 0.5, 0.9, 0.99)
@@ -2694,6 +2742,7 @@ QUERIES = {
     "token_cms": q_token_cms,
     "length_quantiles": q_length_quantiles,
     "lang_quantiles": q_lang_quantiles,
+    "kg_negatives": q_kg_negatives,
 }
 
 
@@ -2791,4 +2840,5 @@ ORACLE_SQL = {
     "token_cms": _sql_token_cms(),
     "length_quantiles": _sql_length_quantiles(),
     "lang_quantiles": _sql_lang_quantiles(),
+    "kg_negatives": _sql_kg_negatives(),
 }

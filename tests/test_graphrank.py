@@ -263,3 +263,39 @@ def test_pagerank_auto_paths_agree(spark):
     wb = pagerank_auto(wdf, iters=3, weight_col="n", small_threshold=0)
     assert ws.schema["id"].dataType.simpleString() == "bigint"
     assert {r.id: r.rank for r in ws.collect()} == {r.id: r.rank for r in wb.collect()}
+
+
+def test_edge_negatives_deterministic_and_filtered(spark):
+    """Negative sampling: reproducible across runs/repartitions, never
+    emits an edge endpoint as its own negative, at most k per edge,
+    and every negative is a real node."""
+    from surfactant_spark.operators.graphrank import edge_negatives
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (7, 9)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "id long")
+    a = {tuple(r) for r in edge_negatives(edges, nodes, k=3).collect()}
+    b = {
+        tuple(r)
+        for r in edge_negatives(edges.repartition(7), nodes, k=3).collect()
+    }
+    assert a == b and a
+    node_set = set(range(1, 12))
+    per_edge = {}
+    for src, dst, i, neg in a:
+        assert neg != src and neg != dst
+        assert neg in node_set
+        per_edge[(src, dst)] = per_edge.get((src, dst), 0) + 1
+    assert all(c <= 3 for c in per_edge.values())
+
+
+def test_edge_negatives_plan_is_broadcast_equi(spark):
+    from surfactant_spark.operators.graphrank import edge_negatives
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    plan = edge_negatives(edges, nodes)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
