@@ -2292,6 +2292,44 @@ WHERE r.neg <> p.src AND r.neg <> p.dst
 """
 
 
+def q_kg_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction train/val/test split over the KG edges — the
+    same growth-stable hash-range assignment as corpus_sample, keyed by
+    the (subj, obj) pair, so an edge's split never changes as the graph
+    grows and incremental folds cannot leak eval edges into training."""
+    from .operators.textops import hash_split
+
+    edges = q_kg_edges(spark, sf_dir).select("subj_id", "obj_id")
+    keyed = edges.withColumn(
+        "ek",
+        F.concat(
+            F.col("subj_id").cast("string"), F.lit("|"),
+            F.col("obj_id").cast("string"),
+        ),
+    )
+    return hash_split(keyed, SPLIT_WEIGHTS, id_col="ek").select(
+        "subj_id", "obj_id", "split"
+    )
+
+
+def _sql_kg_edge_split() -> str:
+    mod = 1_000_000
+    pb = _H.format(
+        expr="'split:v1:' || CAST(subj_id AS VARCHAR) || '|' || CAST(obj_id AS VARCHAR)"
+    ) + f" % {mod}"
+    names = list(SPLIT_WEIGHTS)
+    cum, arms = 0, []
+    for name in names[:-1]:
+        cum += int(round(SPLIT_WEIGHTS[name] * mod))
+        arms.append(f"WHEN pb < {cum} THEN '{name}'")
+    split_case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+    return f"""
+WITH e AS (SELECT subj_id, obj_id FROM ({SQL_KG_EDGES})),
+b AS (SELECT subj_id, obj_id, {pb} AS pb FROM e)
+SELECT subj_id, obj_id, {split_case} AS split FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # exact corpus-distribution quantiles (histogram-cumsum shape)
 # ---------------------------------------------------------------------------
@@ -2743,6 +2781,7 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "lang_quantiles": q_lang_quantiles,
     "kg_negatives": q_kg_negatives,
+    "kg_edge_split": q_kg_edge_split,
 }
 
 
@@ -2841,4 +2880,5 @@ ORACLE_SQL = {
     "length_quantiles": _sql_length_quantiles(),
     "lang_quantiles": _sql_lang_quantiles(),
     "kg_negatives": _sql_kg_negatives(),
+    "kg_edge_split": _sql_kg_edge_split(),
 }
