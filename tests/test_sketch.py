@@ -76,3 +76,35 @@ def test_unseen_token_estimate_is_collision_mass_only(spark):
     )
     (row,) = cms_estimate(sketch, probes).collect()
     assert row.est >= 0  # 0 unless all three cells collide
+
+
+from hypothesis import given, settings, strategies as st
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta-x", "gamma.z", "delta", "epsi_lon"]),
+    min_size=0, max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=10))
+def test_cms_never_undercounts_random_corpora(spark, texts):
+    import collections
+    import re
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sketch = cms_sketch(docs)
+    exact = collections.Counter()
+    for t in texts:
+        for tok in re.findall(r"[a-z][a-z0-9_.\-]{3,}", " ".join(t).lower()):
+            exact[tok] += 1
+    if not exact:
+        assert sketch.count() == 0
+        return
+    probes = spark.createDataFrame([(t,) for t in exact], "tok string")
+    est = {r.tok: r.est for r in cms_estimate(sketch, probes).collect()}
+    assert all(est[t] >= c for t, c in exact.items())

@@ -227,3 +227,10 @@ def test_extract_links_total_on_arbitrary_markup(spark, bodies):
         h = by_url[r.url].decode("utf-8")
         assert f'href="{r.href}"' in h
         assert f">{r.anchor}</a>" in h
+
+
+def test_comention_lift_empty_mentions(spark):
+    """A corpus with no lib:// links yields an empty result, not an
+    error (the driver-literal N path must tolerate the empty agg)."""
+    df = _pages(spark, [("u1", '<a href="https://x.org/p">t</a>'), ("u2", "<p>n</p>")])
+    assert comention_lift(df).count() == 0
