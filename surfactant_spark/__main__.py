@@ -480,7 +480,19 @@ def cmd_kg_fold(args) -> int:
     if state is None:
         print(json.dumps({"edges": 0, "out": args.out, "note": "no input batches"}))
         return 0
-    print(json.dumps({"edges": edges_surface(state).count(), "out": args.out}))
+    from .streaming.incremental import read_fold_metrics
+
+    m = read_fold_metrics(spark, os.path.join(args.out, "state"))
+    n_batches = m.count()
+    print(
+        json.dumps(
+            {
+                "edges": edges_surface(state).count(),
+                "batches_folded": n_batches,
+                "out": args.out,
+            }
+        )
+    )
     return 0
 
 

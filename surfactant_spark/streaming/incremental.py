@@ -220,16 +220,32 @@ def stream_kg_fold(
     import shutil
 
     def fold_batch(batch_df, batch_id: int) -> None:
+        import time
+
         vdir = os.path.join(state_dir, f"v{batch_id}")
         if os.path.exists(os.path.join(vdir, "_OK")):
             return  # replay of a committed fold
+        t0 = time.time()
+        s = batch_df.sparkSession
         committed = _state_version_dirs(state_dir)
         prior = [v for v in committed if v < batch_id]
         if prior:
-            prev = _read_state(batch_df.sparkSession, state_dir, max(prior))
+            prev = _read_state(s, state_dir, max(prior))
             _write_state(kg_state_fold(prev, batch_df), state_dir, batch_id)
         else:
             _write_state(kg_state_build(batch_df), state_dir, batch_id)
+        # per-batch metrics row (the pipeline-lineage analogue for the
+        # fold store): its own idempotent delta dir, so a replayed batch
+        # overwrites rather than duplicates. Counts are batch-sized
+        # (the input) or parquet-stats-sized (the written aggregate).
+        n_docs = batch_df.count()
+        n_edges = s.read.parquet(os.path.join(vdir, "edges")).count()
+        s.createDataFrame(
+            [(batch_id, n_docs, n_edges, int((time.time() - t0) * 1000))],
+            "batch_id long, n_docs long, n_edges long, wall_ms long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "metrics", f"d{batch_id}")
+        )
         if retain and retain > 0:
             done = _state_version_dirs(state_dir)
             for v in sorted(done)[:-retain]:
@@ -252,3 +268,11 @@ def stream_kg_fold(
     if not committed:
         return None
     return _read_state(spark, state_dir, max(committed))
+
+
+def read_fold_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All per-batch fold metrics rows (batch_id, n_docs, n_edges,
+    wall_ms) — the run record of the streaming KG store."""
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "metrics", "d*"))

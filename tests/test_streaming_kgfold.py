@@ -122,3 +122,26 @@ def test_mention_deltas_append_only(spark, tmp_path):
         assert "mentions" not in os.listdir(os.path.join(state, v))
     want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 120))))
     assert _edge_set(edges_surface(st)) == want
+
+
+def test_fold_metrics_per_batch(spark, tmp_path):
+    """Every fold writes one metrics row; a checkpoint-resumed run adds
+    exactly one more; a no-op replay adds none."""
+    from surfactant_spark.streaming.incremental import read_fold_metrics
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(spark, 0, 50).coalesce(1).write.mode("append").parquet(src)
+    stream_kg_fold(spark, src, state, ckpt)
+    m1 = {r.batch_id: r for r in read_fold_metrics(spark, state).collect()}
+    assert list(m1) == [0] and m1[0].n_docs == 50 and m1[0].n_edges > 0
+
+    _docs(spark, 50, 100).coalesce(1).write.mode("append").parquet(src)
+    stream_kg_fold(spark, src, state, ckpt)
+    m2 = {r.batch_id: r for r in read_fold_metrics(spark, state).collect()}
+    assert sorted(m2) == [0, 1] and m2[1].n_docs == 50
+    assert m2[0].n_docs == 50  # batch 0's row untouched
+
+    stream_kg_fold(spark, src, state, ckpt)  # nothing new
+    assert read_fold_metrics(spark, state).count() == 2
