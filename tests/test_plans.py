@@ -288,8 +288,11 @@ def test_late_round4_queries_plan_shapes(spark):
     joins only, no nested-loop/cartesian, no Python in any final plan
     (the quantiles' per-q selection is a filter, never a range join)."""
     from surfactant_spark.queries import (
+        q_host_components,
         q_host_rank,
+        q_kg_edge_split,
         q_kg_incremental,
+        q_kg_negatives,
         q_lang_quantiles,
         q_length_quantiles,
         q_token_cms,
@@ -298,9 +301,12 @@ def test_late_round4_queries_plan_shapes(spark):
     for q in (
         q_kg_incremental,
         q_host_rank,
+        q_host_components,
         q_token_cms,
         q_length_quantiles,
         q_lang_quantiles,
+        q_kg_negatives,
+        q_kg_edge_split,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
