@@ -45,18 +45,25 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # same token grammar as queries.TOKEN_PAT (kept literal here so the
 # operator layer does not import the query surface)
 TOKEN_PAT = r"[a-z][a-z0-9_.\-]{3,}"
 
+# Per-edge evidence arrays are BOUNDED: a hot edge (every doc mentioning
+# a stop-token-like entity) would otherwise concentrate millions of URLs
+# into one aggregation buffer and one output row — the same buffer-blowup
+# class the dedup families cap. ``n_evidence`` stays EXACT (a count);
+# ``src_arr`` keeps only the lexicographically-first N urls.
+EVIDENCE_CAP = 1000
+
 
 @dataclass
 class KgState:
     """Standing KG state between crawl batches. ``edges`` keeps the
-    evidence-url set as an array; the query surface joins it to the
-    driver-hashable string form.
+    exact evidence count plus a capped sorted evidence-url array; the
+    query surface joins the array to the driver-hashable string form.
 
     ``mentions_delta`` is THIS batch's mention rows alone (build: the
     whole corpus; fold: just the delta) — the append-only unit a
@@ -68,7 +75,7 @@ class KgState:
     canon: DataFrame      # sha, canonical_id
     mentions: DataFrame   # subj_id, url, tok (distinct per doc)
     exporters: DataFrame  # tok, obj_id
-    edges: DataFrame      # subj_id, obj_id, src_arr
+    edges: DataFrame      # subj_id, obj_id, n_evidence, src_arr (capped)
     mentions_delta: Optional[DataFrame] = None
 
 
@@ -111,29 +118,66 @@ def _batch_parts(base: DataFrame, canon_all: DataFrame):
     return ments, exp
 
 
-def _edge_partials(ments: DataFrame, exporters: DataFrame) -> DataFrame:
+def _edge_partials(
+    ments: DataFrame, exporters: DataFrame, evidence_cap: int = EVIDENCE_CAP
+) -> DataFrame:
+    """Per-(subj, obj) evidence partial with a BOUNDED aggregation
+    buffer: dense_rank over the sort-based (spillable) window both
+    yields the exact distinct-url count (max rank — the same url via
+    two tokens shares one rank) and lets collect_set keep only the
+    first ``evidence_cap`` urls, so no per-edge buffer or output row
+    ever holds more than ``evidence_cap`` entries no matter how hot
+    the edge. The groupBy keys match the window partition keys, so the
+    aggregation reuses the window's exchange (one shuffle total)."""
+    w = Window.partitionBy("subj_id", "obj_id").orderBy("url")
     return (
         ments.join(exporters, "tok")
         .where(F.col("subj_id") != F.col("obj_id"))
+        .select("subj_id", "obj_id", "url")
+        .withColumn("dr", F.dense_rank().over(w))
         .groupBy("subj_id", "obj_id")
-        .agg(F.collect_set("url").alias("src_arr"))
-    )
-
-
-def _merge_edges(*parts: DataFrame) -> DataFrame:
-    """Semigroup merge of per-(subj, obj) evidence-set partials: union
-    the url sets, deterministic order via array_sort."""
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
-    return unioned.groupBy("subj_id", "obj_id").agg(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("src_arr")))).alias(
-            "src_arr"
+        .agg(
+            F.max("dr").cast("long").alias("n_evidence"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("dr") <= evidence_cap, F.col("url")))
+            ).alias("src_arr"),
         )
     )
 
 
-def kg_state_build(docs: DataFrame, token_pat: str = TOKEN_PAT) -> KgState:
+def _merge_edges(*parts: DataFrame, evidence_cap: int = EVIDENCE_CAP) -> DataFrame:
+    """Semigroup merge of per-(subj, obj) evidence partials.
+
+    Exactness under the cap rests on the partials being pairwise
+    DISJOINT in their (subj, obj, url) contributions, which the
+    append-only invariant guarantees:
+
+    - standing edges vs old_hits: every exp_added token belongs only
+      to new-sha delta docs (an old-sha delta doc's top token is
+      already an exporter), so old_hits obj_ids are NEW canonical ids
+      while standing edges carry only old ones — no shared (subj, obj)
+      key at all;
+    - standing/old_hits vs new_hits: urls embed doc_ids, and delta
+      doc_ids are strictly greater than all standing ones — url sets
+      are disjoint.
+
+    So counts ADD, and the capped arrays merge losslessly: the N
+    lexicographically-first urls of a disjoint union are contained in
+    the concatenation of each part's N-first urls."""
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("subj_id", "obj_id").agg(
+        F.sum("n_evidence").cast("long").alias("n_evidence"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("src_arr"))), 1, evidence_cap
+        ).alias("src_arr"),
+    )
+
+
+def kg_state_build(
+    docs: DataFrame, token_pat: str = TOKEN_PAT, evidence_cap: int = EVIDENCE_CAP
+) -> KgState:
     """Batch 0: full build (the q_kg_edges computation, state-shaped).
     The base projection feeds four consumers; eager localCheckpoint
     materializes the regex extraction once (at deployment scale the
@@ -141,9 +185,7 @@ def kg_state_build(docs: DataFrame, token_pat: str = TOKEN_PAT) -> KgState:
     base = prepare_base(docs, token_pat).localCheckpoint(eager=True)
     canon = base.groupBy("sha").agg(F.min("doc_id").alias("canonical_id"))
     ments, exp = _batch_parts(base, canon)
-    edges = _edge_partials(ments, exp).withColumn(
-        "src_arr", F.array_sort("src_arr")
-    )
+    edges = _edge_partials(ments, exp, evidence_cap)
     return KgState(
         canon=canon, mentions=ments, exporters=exp, edges=edges,
         mentions_delta=ments,
@@ -151,7 +193,10 @@ def kg_state_build(docs: DataFrame, token_pat: str = TOKEN_PAT) -> KgState:
 
 
 def kg_state_fold(
-    state: KgState, delta_docs: DataFrame, token_pat: str = TOKEN_PAT
+    state: KgState,
+    delta_docs: DataFrame,
+    token_pat: str = TOKEN_PAT,
+    evidence_cap: int = EVIDENCE_CAP,
 ) -> KgState:
     """Fold one append-only crawl batch into the standing state."""
     base_d = prepare_base(delta_docs, token_pat).localCheckpoint(eager=True)
@@ -168,9 +213,9 @@ def kg_state_fold(
 
     # old mentions never shuffle: the newly-appeared token dictionary is
     # dimension-sized, so the probe broadcasts over the standing scan
-    old_hits = _edge_partials(state.mentions, F.broadcast(exp_added))
-    new_hits = _edge_partials(ments_d, exp_all)
-    edges = _merge_edges(state.edges, old_hits, new_hits)
+    old_hits = _edge_partials(state.mentions, F.broadcast(exp_added), evidence_cap)
+    new_hits = _edge_partials(ments_d, exp_all, evidence_cap)
+    edges = _merge_edges(state.edges, old_hits, new_hits, evidence_cap=evidence_cap)
 
     return KgState(
         canon=canon_all,
@@ -188,6 +233,6 @@ def edges_surface(state: KgState) -> DataFrame:
         "subj_id",
         F.lit("Uses").alias("pred"),
         "obj_id",
-        F.size("src_arr").cast("long").alias("n_evidence"),
+        F.col("n_evidence").cast("long").alias("n_evidence"),
         F.array_join("src_arr", "|").alias("sources"),
     )

@@ -107,6 +107,66 @@ def test_query_entry_matches_kg_edges(spark):
     assert inc == full
 
 
+def _hot_edge_corpus():
+    """Doc 0 exports 'tgt-lib'; docs 1..6 are byte-identical probes, so
+    they collapse to ONE canonical subject whose edge to doc 0 carries
+    six distinct evidence urls — a miniature hot edge."""
+    return [(0, "s", "tgt-lib tgt-lib")] + [
+        (i, "s", "probe-app uses tgt-lib") for i in range(1, 7)
+    ]
+
+
+def test_evidence_cap_binds_exact_count(spark):
+    """With a cap below the edge's url count, n_evidence stays EXACT
+    while sources keeps only the lexicographically-first cap urls."""
+    state = kg_state_build(_docs(spark, _hot_edge_corpus()), evidence_cap=3)
+    row = [r for r in edges_surface(state).collect() if r.subj_id == 1][0]
+    assert row.obj_id == 0
+    assert row.n_evidence == 6
+    assert row.sources == "s/1|s/2|s/3"
+
+
+def test_evidence_cap_fold_equals_rebuild(spark):
+    """The capped evidence state merges losslessly across folds: the
+    partials' (subj, obj, url) contributions are disjoint under the
+    append-only invariant, so counts add and the capped arrays
+    reconstruct the global first-N."""
+    rows = _hot_edge_corpus()
+    state = kg_state_build(_docs(spark, rows[:4]), evidence_cap=3)
+    folded = kg_state_fold(state, _docs(spark, rows[4:]), evidence_cap=3)
+    full = kg_state_build(_docs(spark, rows), evidence_cap=3)
+    assert _edge_set(edges_surface(folded)) == _edge_set(edges_surface(full))
+
+
+def test_evidence_cap_query_oracle_parity(spark):
+    """q_kg_edges with a binding cap must equal the capped DuckDB oracle
+    on a corpus where one edge exceeds the cap."""
+    import duckdb
+    import pandas as pd
+
+    from surfactant_spark import queries as Q
+
+    rows = _hot_edge_corpus()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.subj_id, r.pred, r.obj_id, r.n_evidence, r.sources)
+            for r in Q.q_kg_edges(spark, d, evidence_cap=3).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        sql = Q.SQL_KG_EDGES.replace(f", {Q.EVIDENCE_CAP})", ", 3)")
+        want = {tuple(t) for t in con.execute(sql).fetchall()}
+    assert got == want
+    assert any(n == 6 and len(s.split("|")) == 3 for (_, _, _, n, s) in got)
+
+
 from hypothesis import given, settings, strategies as st
 
 _TOKS = ["alpha-lib", "beta-app", "core-utils", "gamma-pkg",
