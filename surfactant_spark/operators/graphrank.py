@@ -216,6 +216,17 @@ def edge_negatives(
         .localCheckpoint(eager=True)
     )
     n_slots = rep.count()
+    if n_slots == 0:
+        # no nodes -> no representatives: Spark's pmod(hash, 0) would
+        # silently yield null rows while the SQL twin's '% 0' raises —
+        # return the declared empty shape explicitly in both engines
+        return (
+            edges.select(src, dst)
+            .withColumn("i", F.lit(0).cast("int"))
+            .withColumn("neg", F.lit(None).cast(nodes.schema[id_col].dataType))
+            .where(F.lit(False))
+            .select(src, dst, "i", "neg")
+        )
     probes = edges.select(
         src, dst,
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),

@@ -258,10 +258,13 @@ def exact_quantiles(
     (value, frequency) HISTOGRAM first (one hash agg — dimension-sized
     for any bounded-range statistic like token counts), and the
     sort/cumsum window runs over the histogram only, never the corpus.
-    quantile q = the value at 0-based rank floor(q * (N - 1)) of the
-    sorted multiset (quantile_disc semantics) — an integer selection,
-    bit-identical in any engine, unlike interpolating percentile()/
-    quantile_cont whose float arithmetic is engine-shaped.
+    quantile q = the value at 0-based rank (num * (N - 1)) div den of
+    the sorted multiset (quantile_disc semantics), where num/den is q
+    as an exact decimal fraction — PURE INTEGER arithmetic, so the rank
+    can never land one below the rational rank the way IEEE
+    floor(q * (N - 1)) can (0.7 * 10 evaluates to 6.999... -> 6), and
+    it is bit-identical in any engine, unlike interpolating
+    percentile()/quantile_cont whose float arithmetic is engine-shaped.
 
     With ``group_cols`` the histogram, windows, and per-group N are all
     keyed by the group (per-language report shape); N is a window
@@ -286,10 +289,25 @@ def exact_quantiles(
     ).withColumn("lo", F.col("hi") - F.col("f"))
     nw = Window.partitionBy(*g)
     cum = cum.withColumn("n", F.max("hi").over(nw))
-    q_col = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    idx = F.floor(F.col("q") * (F.col("n") - 1)).cast("long")
+    from fractions import Fraction
+
+    # q's decimal intent as an exact num/den pair (str() round-trips the
+    # intended literal, e.g. 0.99 -> 99/100, not its binary neighbour)
+    q_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    F.lit(fr.numerator).cast("long").alias("num"),
+                    F.lit(fr.denominator).cast("long").alias("den"),
+                )
+                for q, fr in ((q, Fraction(str(q))) for q in qs)
+            ]
+        )
+    ).alias("qq")
+    idx = F.expr("(qq.num * (n - 1)) div qq.den")
     return (
         cum.select(*g, "val", "lo", "hi", "n", q_col)
         .where((F.col("lo") <= idx) & (idx < F.col("hi")))
-        .select(*g, "q", F.col("val").alias("value"))
+        .select(*g, F.col("qq.q").alias("q"), F.col("val").alias("value"))
     )

@@ -39,8 +39,11 @@ _A_ELEM = r'<a href="[^"]*"[^>]*>[^<]*</a>'
 _A_HREF = r'<a href="([^"]*)"'
 _A_TEXT = r'>([^<]*)</a>'
 
-# scheme://host of an absolute url (host = authority up to first '/')
-_URL_HOST = r'^[a-z]+://([^/]+)'
+# scheme://host of an absolute url: the authority ends at the first
+# '/', '?' or '#', so path-less urls with a query or fragment
+# (https://host?x=1) still key on the bare host. A ':port' stays part
+# of the key — a distinct port is a distinct authority (RFC 3986 §3.2).
+_URL_HOST = r'^[a-z]+://([^/?#]+)'
 
 
 def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:

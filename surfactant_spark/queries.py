@@ -2305,8 +2305,10 @@ rep AS (
         FROM n GROUP BY bucket)),
 ns AS (SELECT COUNT(*) AS n FROM rep),
 probes AS (
+  -- ns.n > 0 guard mirrors the operator's explicit empty-nodes branch
+  -- (otherwise '% 0' raises here while Spark's pmod yields null)
   SELECT e.src, e.dst, i.i, {hp} % ns.n AS slot
-  FROM e, (VALUES {ivals}) i(i), ns)
+  FROM e, (VALUES {ivals}) i(i), ns WHERE ns.n > 0)
 SELECT p.src AS subj_id, p.dst AS obj_id, p.i, r.neg AS neg_obj_id
 FROM probes p JOIN rep r USING (slot)
 WHERE r.neg <> p.src AND r.neg <> p.dst
@@ -2371,10 +2373,22 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_values_sql() -> str:
+    """(q, num, den) triples: q's decimal intent as an exact fraction,
+    so the rank selection below is pure integer arithmetic (mirrors
+    exact_quantiles — IEEE floor(q*(N-1)) can land one rank low)."""
+    from fractions import Fraction
+
+    return ",".join(
+        f"(CAST({q} AS DOUBLE), {fr.numerator}, {fr.denominator})"
+        for q, fr in ((q, Fraction(str(q))) for q in QUANTILE_QS)
+    )
+
+
 def _sql_length_quantiles() -> str:
     from .operators.textops import TOKEN_REGEX
 
-    qvals = ",".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILE_QS)
+    qvals = _quantile_values_sql()
     return f"""
 WITH v AS (
   SELECT CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS val
@@ -2387,9 +2401,9 @@ cum AS (
 c2 AS (SELECT val, hi - f AS lo, hi FROM cum),
 n AS (SELECT MAX(hi) AS n FROM cum)
 SELECT t.q, c2.val AS value
-FROM (VALUES {qvals}) t(q), c2, n
-WHERE c2.lo <= CAST(FLOOR(t.q * (n.n - 1)) AS BIGINT)
-  AND CAST(FLOOR(t.q * (n.n - 1)) AS BIGINT) < c2.hi
+FROM (VALUES {qvals}) t(q, num, den), c2, n
+WHERE c2.lo <= CAST((t.num * (n.n - 1)) // t.den AS BIGINT)
+  AND CAST((t.num * (n.n - 1)) // t.den AS BIGINT) < c2.hi
 """
 
 
@@ -2406,7 +2420,7 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_lang_quantiles() -> str:
     from .operators.textops import TOKEN_REGEX
 
-    qvals = ",".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILE_QS)
+    qvals = _quantile_values_sql()
     return f"""
 WITH v AS (
   SELECT lang, CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS val
@@ -2422,9 +2436,9 @@ c2 AS (
          MAX(hi) OVER (PARTITION BY lang) AS n
   FROM cum)
 SELECT lang, t.q, val AS value
-FROM c2, (VALUES {qvals}) t(q)
-WHERE lo <= CAST(FLOOR(t.q * (n - 1)) AS BIGINT)
-  AND CAST(FLOOR(t.q * (n - 1)) AS BIGINT) < hi
+FROM c2, (VALUES {qvals}) t(q, num, den)
+WHERE lo <= CAST((t.num * (n - 1)) // t.den AS BIGINT)
+  AND CAST((t.num * (n - 1)) // t.den AS BIGINT) < hi
 """
 
 
@@ -2512,8 +2526,8 @@ def _sql_host_graph(path: str) -> str:
 WITH {_SQL_LINKS.format(path=path)},
 t AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt FROM links),
 ht AS (
-  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS src_host,
-         regexp_extract(tgt, '^[a-z]+://([^/]+)', 1) AS dst_host, url
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS src_host,
+         regexp_extract(tgt, '^[a-z]+://([^/?#]+)', 1) AS dst_host, url
   FROM t WHERE regexp_matches(tgt, '^https?://'))
 SELECT src_host, dst_host, COUNT(*) AS n_links,
        COUNT(DISTINCT url) AS n_src_pages

@@ -290,6 +290,19 @@ def test_edge_negatives_deterministic_and_filtered(spark):
     assert all(c <= 3 for c in per_edge.values())
 
 
+def test_edge_negatives_empty_nodes(spark):
+    """Zero nodes means zero slots: must return the declared empty
+    shape, not silently-null rows (Spark pmod(hash, 0) yields null)
+    nor a division-by-zero like a naive '% 0'."""
+    from surfactant_spark.operators.graphrank import edge_negatives
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([], "id long")
+    out = edge_negatives(edges, nodes, k=3)
+    assert out.columns == ["src", "dst", "i", "neg"]
+    assert out.count() == 0
+
+
 def test_edge_negatives_plan_is_broadcast_equi(spark):
     from surfactant_spark.operators.graphrank import edge_negatives
 

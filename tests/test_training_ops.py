@@ -298,6 +298,25 @@ def test_exact_quantiles_hand_computed(spark):
     assert {r.value for r in exact_quantiles(one, (0.5,)).collect()} == {4}
 
 
+def test_exact_quantiles_integer_rank_arithmetic(spark):
+    """The rank must come from exact integer arithmetic: with N=11 and
+    q=0.7 the rational rank is exactly 7, but IEEE 0.7*(11-1) evaluates
+    to 6.999... and floor() would select rank 6 (value 6, not 7)."""
+    from fractions import Fraction
+
+    from surfactant_spark.operators.textops import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in range(11)], "v int")
+    qs = (0.7, 0.1, 0.3)  # IEEE 0.3*10 = 2.999... also lands one low
+    got = {r.q: r.value for r in exact_quantiles(df, qs).collect()}
+    want = {
+        float(q): (Fraction(str(q)).numerator * 10)
+        // Fraction(str(q)).denominator
+        for q in qs
+    }
+    assert got == want == {0.7: 7, 0.1: 1, 0.3: 3}
+
+
 def test_exact_quantiles_grouped(spark):
     from surfactant_spark.operators.textops import exact_quantiles
 

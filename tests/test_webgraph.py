@@ -59,6 +59,29 @@ def test_host_graph_unwraps_bundle_and_counts(spark):
     assert rows == {("src.org", "dst.org", 3, 2)}
 
 
+def test_host_graph_pathless_query_and_fragment_urls(spark):
+    """A path-less target with a query or fragment must still key on
+    the bare host, not 'host?x=1' / 'host#frag' (real crawl data has
+    such links even though the synthetic fixture does not)."""
+    df = _pages(
+        spark,
+        [
+            (
+                "https://src.org?utm=1",
+                '<a href="https://dst.org?x=1">q</a>'
+                '<a href="https://dst.org#frag">f</a>'
+                '<a href="https://dst.org:8080/p">port</a>',
+            ),
+        ],
+    )
+    rows = {tuple(r) for r in host_graph(df).collect()}
+    assert rows == {
+        ("src.org", "dst.org", 2, 1),
+        # a distinct port is a distinct authority (RFC 3986 §3.2)
+        ("src.org", "dst.org:8080", 1, 1),
+    }
+
+
 def test_host_metrics_degrees_and_reciprocity(spark):
     # a -> b (2 links), b -> a (1 link), a -> c: reciprocal pair (a,b)
     df = _pages(
