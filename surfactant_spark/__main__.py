@@ -476,6 +476,7 @@ def cmd_kg_fold(args) -> int:
     state = stream_kg_fold(
         spark, args.docs, os.path.join(args.out, "state"),
         os.path.join(args.out, "ckpt"),
+        retain=args.retain, compact_keep=args.compact_keep,
     )
     if state is None:
         print(json.dumps({"edges": 0, "out": args.out, "note": "no input batches"}))
@@ -583,6 +584,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     kf.add_argument("--docs", required=True, help="documents parquet directory")
     kf.add_argument("--out", required=True, help="state + checkpoint root")
+    kf.add_argument(
+        "--retain", type=int, default=2,
+        help="compact state versions kept after each fold",
+    )
+    kf.add_argument(
+        "--compact-keep", type=int, default=8,
+        help="mention deltas kept before compaction folds the rest "
+        "into one marker-committed dir (0 disables)",
+    )
     kf.set_defaults(fn=cmd_kg_fold)
 
     z = sub.add_parser("sessionize", help="stateful event sessionization")

@@ -131,33 +131,72 @@ def _state_version_dirs(state_dir: str):
     return out
 
 
+def _compact_frontier(state_dir: str, version: int) -> int:
+    """Highest batch id covered by a committed mention compaction no
+    newer than ``version`` (-1 when none): ``mentions/c{u}`` holds the
+    union of deltas d0..d{u}, marker-committed like state versions."""
+    import os
+    import re
+
+    mdir = os.path.join(state_dir, "mentions")
+    if not os.path.isdir(mdir):
+        return -1
+    upto = -1
+    for name in os.listdir(mdir):
+        m = re.fullmatch(r"c(\d+)", name)
+        if (
+            m
+            and int(m.group(1)) <= version
+            and os.path.exists(os.path.join(mdir, name, "_OK"))
+        ):
+            upto = max(upto, int(m.group(1)))
+    return upto
+
+
+def _mention_paths(state_dir: str, version: int) -> list:
+    """Parquet dirs whose union is the standing mentions of batches
+    0..version: the newest committed compaction plus the deltas past
+    it. Deltas AT OR BELOW the compaction frontier are ignored even if
+    still on disk (an interrupted post-compaction cleanup leaves them
+    behind; reading both would double-count)."""
+    import os
+
+    lo = _compact_frontier(state_dir, version)
+    paths = [os.path.join(state_dir, "mentions", f"c{lo}")] if lo >= 0 else []
+    paths += [
+        os.path.join(state_dir, "mentions", f"d{b}")
+        for b in range(lo + 1, version + 1)
+        if os.path.isdir(os.path.join(state_dir, "mentions", f"d{b}"))
+    ]
+    return paths
+
+
 def _read_state(spark: SparkSession, state_dir: str, version: int):
     """Load version ``version``: compact tables from its v-dir, standing
-    mentions as the UNION of the mention deltas of batches 0..version
-    (deltas are append-only and exempt from retention, so they are all
-    present even when older compact versions were cleaned up)."""
+    mentions as the UNION of the newest committed mention compaction and
+    the per-batch deltas past it (deltas are append-only and exempt from
+    retention, so they are all present even when older compact versions
+    were cleaned up)."""
     import os
 
     from ..operators.incremental import KgState
 
     vdir = os.path.join(state_dir, f"v{version}")
-    deltas = [
-        os.path.join(state_dir, "mentions", f"d{b}")
-        for b in range(version + 1)
-        if os.path.isdir(os.path.join(state_dir, "mentions", f"d{b}"))
-    ]
     return KgState(
-        mentions=spark.read.parquet(*deltas),
+        mentions=spark.read.parquet(*_mention_paths(state_dir, version)),
         **{t: spark.read.parquet(os.path.join(vdir, t)) for t in _COMPACT_TABLES},
     )
 
 
-def _write_state(state, state_dir: str, batch_id: int) -> None:
-    """Overwrite-then-marker: a replayed batch (driver died between the
-    fold and the sink checkpoint advancing) rewrites its own versioned
-    directory and mention delta deterministically; readers only trust
-    marked versions, and a partially-written delta is always overwritten
-    by its own replay before the marker can appear."""
+def _write_state(state, state_dir: str, batch_id: int) -> str:
+    """Write version ``batch_id``'s data WITHOUT its marker (the caller
+    marks after the metrics delta lands, so a marker always implies a
+    complete version INCLUDING its metrics row): a replayed batch
+    (driver died between the fold and the sink checkpoint advancing)
+    rewrites its own versioned directory and mention delta
+    deterministically; readers only trust marked versions, and a
+    partially-written delta is always overwritten by its own replay
+    before the marker can appear."""
     import os
 
     vdir = os.path.join(state_dir, f"v{batch_id}")
@@ -166,8 +205,48 @@ def _write_state(state, state_dir: str, batch_id: int) -> None:
     state.mentions_delta.write.mode("overwrite").parquet(
         os.path.join(state_dir, "mentions", f"d{batch_id}")
     )
-    with open(os.path.join(vdir, "_OK"), "w", encoding="utf-8") as f:
+    return vdir
+
+
+def _mark_ok(dirpath: str) -> None:
+    import os
+
+    with open(os.path.join(dirpath, "_OK"), "w", encoding="utf-8") as f:
         f.write("ok")
+
+
+def _compact_mentions(spark: SparkSession, state_dir: str, batch_id: int, keep: int) -> None:
+    """Bound the mention-store read fan-in: fold each micro-batch's
+    delta dir forever and ``_read_state`` unions one directory per batch
+    — unbounded for a long-running stream. When more than ``keep``
+    deltas have accumulated past the compaction frontier, rewrite all
+    but the newest ``keep`` (plus the prior compaction) into ONE
+    parquet dir ``mentions/c{upto}``, marker-committed like state
+    versions, then drop what it covers. Crash-safe at every step: an
+    unmarked c-dir is ignored (and overwritten by the next attempt);
+    after the marker, leftover covered dirs are ignored by the
+    frontier-aware read path, so an interrupted cleanup never
+    double-counts. Mention rows are never lost — compaction moves
+    bytes, the append-only content is invariant (asserted in tests as
+    fold == full rebuild across compactions)."""
+    import os
+    import shutil
+
+    lo = _compact_frontier(state_dir, batch_id)
+    live = [b for b in range(lo + 1, batch_id + 1)
+            if os.path.isdir(os.path.join(state_dir, "mentions", f"d{b}"))]
+    if len(live) <= keep:
+        return
+    upto = batch_id - keep
+    src = _mention_paths(state_dir, upto)
+    cdir = os.path.join(state_dir, "mentions", f"c{upto}")
+    spark.read.parquet(*src).write.mode("overwrite").parquet(cdir)
+    _mark_ok(cdir)
+    for p in src:  # now covered by c{upto}: marker first, then data
+        ok = os.path.join(p, "_OK")
+        if os.path.exists(ok):
+            os.remove(ok)
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def stream_kg_fold(
@@ -177,6 +256,7 @@ def stream_kg_fold(
     checkpoint: str,
     max_files_per_trigger: int = 4,
     retain: int = 2,
+    compact_keep: int = 8,
 ):
     """Checkpoint-resumable streaming KG maintenance: every micro-batch
     of documents-shaped rows folds into the standing KG state via
@@ -213,7 +293,15 @@ def stream_kg_fold(
     not a copy. Folds only ever read the LATEST committed version, so
     retention never breaks resume; markers are removed before data so
     an interrupted cleanup leaves an ignored (unmarked) directory,
-    never a half-trusted one."""
+    never a half-trusted one.
+
+    ``compact_keep`` bounds the mention-DELTA directories the same way:
+    once more than that many deltas accumulate past the last
+    compaction, everything older than the newest ``compact_keep`` is
+    rewritten into one marker-committed ``mentions/c{upto}`` dir and
+    the covered dirs dropped, so a long-running stream's read fan-in
+    stays at ``compact_keep + 1`` directories instead of one per
+    micro-batch ever folded (0 disables)."""
     from ..operators.incremental import kg_state_build, kg_state_fold
 
     import os
@@ -238,6 +326,10 @@ def stream_kg_fold(
         # fold store): its own idempotent delta dir, so a replayed batch
         # overwrites rather than duplicates. Counts are batch-sized
         # (the input) or parquet-stats-sized (the written aggregate).
+        # Written BEFORE the version marker: a crash in between replays
+        # the whole batch (marker absent), so a marked version always
+        # has its metrics row — the reverse order would early-return on
+        # the marker and lose the row forever.
         n_docs = batch_df.count()
         n_edges = s.read.parquet(os.path.join(vdir, "edges")).count()
         s.createDataFrame(
@@ -246,11 +338,14 @@ def stream_kg_fold(
         ).write.mode("overwrite").parquet(
             os.path.join(state_dir, "metrics", f"d{batch_id}")
         )
+        _mark_ok(vdir)
         if retain and retain > 0:
             done = _state_version_dirs(state_dir)
             for v in sorted(done)[:-retain]:
                 os.remove(os.path.join(done[v], "_OK"))
                 shutil.rmtree(done[v], ignore_errors=True)
+        if compact_keep and compact_keep > 0:
+            _compact_mentions(s, state_dir, batch_id, compact_keep)
 
     stream = (
         spark.readStream.schema(_DOCS_SCHEMA)

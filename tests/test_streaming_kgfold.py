@@ -145,3 +145,104 @@ def test_fold_metrics_per_batch(spark, tmp_path):
 
     stream_kg_fold(spark, src, state, ckpt)  # nothing new
     assert read_fold_metrics(spark, state).count() == 2
+
+
+def test_delta_compaction_bounds_fanin_and_resumes(spark, tmp_path):
+    """compact_keep=1 over five micro-batches: the mention store ends
+    as ONE marker-committed compaction plus the newest delta (read
+    fan-in bounded), a checkpoint resume folds across the compaction,
+    and the final state still equals the full batch build."""
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in ((0, 20), (20, 40), (40, 60), (60, 80)):
+        _docs(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+    stream_kg_fold(
+        spark, src, state, ckpt, max_files_per_trigger=1,
+        retain=1, compact_keep=1,
+    )
+    mdir = os.path.join(state, "mentions")
+    assert sorted(os.listdir(mdir)) == ["c2", "d3"]
+    assert os.path.exists(os.path.join(mdir, "c2", "_OK"))
+
+    # resume: one more batch arrives; the fold reads c2 + d3, folds d4,
+    # then compacts c2+d3 -> c3
+    _docs(spark, 80, 100).coalesce(1).write.mode("append").parquet(src)
+    st = stream_kg_fold(
+        spark, src, state, ckpt, max_files_per_trigger=1,
+        retain=1, compact_keep=1,
+    )
+    assert sorted(os.listdir(mdir)) == ["c3", "d4"]
+    want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 100))))
+    assert _edge_set(edges_surface(st)) == want
+
+
+def test_compaction_read_ignores_covered_leftovers(spark, tmp_path):
+    """An interrupted post-compaction cleanup leaves covered delta dirs
+    on disk; the frontier-aware read path must ignore them (reading
+    both the compaction and a covered delta would double-count
+    mentions and inflate n_evidence)."""
+    from surfactant_spark.streaming.incremental import _read_state
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    for lo, hi in ((0, 30), (30, 60)):
+        _docs(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+    st = stream_kg_fold(
+        spark, src, state, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, retain=2, compact_keep=1,
+    )
+    clean = _edge_set(edges_surface(st))
+    # simulate the interrupted cleanup: resurrect d0 (covered by c0)
+    mdir = os.path.join(state, "mentions")
+    assert sorted(os.listdir(mdir)) == ["c0", "d1"]
+    _docs(spark, 0, 30).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state, "_tmp_docs")
+    )
+    from surfactant_spark.operators.incremental import kg_state_build as _b
+
+    _b(spark.read.parquet(os.path.join(state, "_tmp_docs"))).mentions_delta \
+        .write.mode("overwrite").parquet(os.path.join(mdir, "d0"))
+    st2 = _read_state(spark, state, 1)
+    assert _edge_set(edges_surface(st2)) == clean  # d0 ignored, no double-count
+
+
+def test_marker_implies_metrics(spark, tmp_path, monkeypatch):
+    """Crash injection between the metrics write and the version
+    marker: the batch replays wholesale (marker absent -> no
+    early-return), the metrics delta is overwritten rather than
+    duplicated, and a marked version therefore ALWAYS has its metrics
+    row — the old order (marker first) lost the row forever."""
+    import pyspark.errors
+
+    import surfactant_spark.streaming.incremental as si
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(spark, 0, 40).coalesce(1).write.mode("append").parquet(src)
+
+    real_mark = si._mark_ok
+
+    def dying_mark(dirpath):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(si, "_mark_ok", dying_mark)
+    try:
+        si.stream_kg_fold(spark, src, state, ckpt)
+        raise AssertionError("injected crash did not propagate")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    # state data + metrics landed, but the version is NOT committed
+    assert not os.path.exists(os.path.join(state, "v0", "_OK"))
+    assert os.path.isdir(os.path.join(state, "metrics", "d0"))
+    assert si._state_version_dirs(state) == {}  # readers trust nothing yet
+
+    # recovery: the checkpoint replays batch 0 in full
+    monkeypatch.setattr(si, "_mark_ok", real_mark)
+    st = si.stream_kg_fold(spark, src, state, ckpt)
+    assert os.path.exists(os.path.join(state, "v0", "_OK"))
+    m = si.read_fold_metrics(spark, state).collect()
+    assert len(m) == 1 and m[0].batch_id == 0 and m[0].n_docs == 40
+    want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 40))))
+    assert _edge_set(edges_surface(st)) == want
