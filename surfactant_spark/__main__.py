@@ -317,6 +317,45 @@ def cmd_plugin(args) -> int:
 
     cm = ConfigManager()
     disabled = disabled_plugins(cm)
+    if args.plugin_cmd == "update-db":
+        # `plugin update-db [NAME] [--all]` (`cmd/plugin.py:117-169`):
+        # refresh the named versioned database (or every database that
+        # implements the hook) and pin the new content hash in config so
+        # mention lineage stamps identify the refreshed snapshot.
+        from .operators.patterndb import UPDATABLE_DBS, update_db
+
+        if args.all:
+            targets = sorted(UPDATABLE_DBS)
+        elif args.names:
+            targets = args.names
+        else:
+            print(
+                "Please specify a plugin name or use --all to update all plugins.",
+                file=sys.stderr,
+            )
+            return 1
+        known_hooks = {
+            n for fam in default_registry().hook_names().values() for n in fam
+        }
+        rc = 0
+        for name in targets:
+            if name not in UPDATABLE_DBS:
+                if name in known_hooks:
+                    print(
+                        f"Plugin '{name}' does not implement the 'update_db' hook.",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(f"Plugin '{name}' not found.", file=sys.stderr)
+                rc = 1
+                continue
+            print(f"Updating {name} ...")
+            res = update_db(name, cm)
+            if res["changed"]:
+                print(f"Update result for {name}: {json.dumps(res)}")
+            else:
+                print(f"No update operation performed for {name}.")
+        return rc
     if args.plugin_cmd == "list":
         names = active_registry(cm).hook_names()
         for family in ("classify", "extract", "link"):
@@ -344,6 +383,18 @@ def cmd_plugin(args) -> int:
                 disabled.append(n)
     cm.set("core", "disable_plugins", disabled)
     print(f"Updated blocked plugins: {disabled}")
+    return 0
+
+
+def cmd_version(args) -> int:
+    """`surfactant version` analogue (`__main__.py:60-63`): print the
+    engine version, plus the PySpark runtime it executes on (the
+    engine-relevant half of the reference's version report)."""
+    import pyspark
+
+    from . import __version__
+
+    print(f"{__version__} (pyspark {pyspark.__version__})")
     return 0
 
 
@@ -623,10 +674,19 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--out", required=True)
     x.set_defaults(fn=cmd_extract)
 
-    pl = sub.add_parser("plugin", help="inspect / enable / disable registry hooks")
-    pl.add_argument("plugin_cmd", choices=["list", "enable", "disable"])
-    pl.add_argument("names", nargs="*", help="hook names (for enable/disable)")
+    pl = sub.add_parser(
+        "plugin", help="inspect / enable / disable registry hooks, refresh databases"
+    )
+    pl.add_argument("plugin_cmd", choices=["list", "enable", "disable", "update-db"])
+    pl.add_argument("names", nargs="*", help="hook names (for enable/disable/update-db)")
+    pl.add_argument(
+        "--all", action="store_true",
+        help="update-db: refresh every database implementing the hook",
+    )
     pl.set_defaults(fn=cmd_plugin)
+
+    ver = sub.add_parser("version", help="print version information")
+    ver.set_defaults(fn=cmd_version)
 
     cc = sub.add_parser(
         "create-config", help="emit a specimen config JSON for a url prefix"

@@ -87,6 +87,57 @@ def load_pattern_db(spark: SparkSession, path: str):
     return pattern_dim(spark, rows), db_version
 
 
+# Databases that implement the update_db hook (the reference's RetireJS
+# js_file.py:89-126 and EMBA native_lib_file.py:100-158 both refresh a
+# downloaded pattern snapshot through `plugin update-db`). Here the
+# provider returns the current entry list; update_db() re-stages it as
+# a hash-pinned JSON snapshot — a deployment overriding the provider
+# (or passing ``entries``) models a refreshed upstream download.
+UPDATABLE_DBS = {"pattern_db": lambda: PATTERN_DB}
+
+
+def staged_db_path(name: str, config_manager=None) -> str:
+    """Where database ``name``'s staged snapshot lives — the analogue
+    of the reference's cached database dir
+    (`database_manager/database_utils.py:25-288`)."""
+    import os
+
+    if config_manager is None:
+        from ..config import ConfigManager
+
+        config_manager = ConfigManager()
+    d = os.path.join(config_manager.data_dir_path(), "databases")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}.json")
+
+
+def update_db(name: str = "pattern_db", config_manager=None, entries=None) -> dict:
+    """Refresh database ``name``: re-stage its JSON snapshot, recompute
+    the content-hash version pin, and persist the pin under
+    ``database.{name}_version`` in the engine config so subsequent
+    mention runs stamp their lineage with the refreshed version
+    (`load_pattern_db` of the staged path yields the same pin). Returns
+    the old/new pins — ``changed`` is False when the upstream content
+    is identical (the reference's 'No update operation performed')."""
+    if config_manager is None:
+        from ..config import ConfigManager
+
+        config_manager = ConfigManager()
+    if name not in UPDATABLE_DBS:
+        raise KeyError(name)
+    path = staged_db_path(name, config_manager)
+    old = config_manager.get("database", f"{name}_version", None)
+    new = save_pattern_db(path, entries if entries is not None else UPDATABLE_DBS[name]())
+    config_manager.set("database", f"{name}_version", new)
+    return {
+        "name": name,
+        "path": path,
+        "old_version": old,
+        "new_version": new,
+        "changed": old != new,
+    }
+
+
 _REGEX_META = set("\\.[]{}()*+?^$|")
 
 

@@ -468,3 +468,58 @@ def test_kg_fold_command_resumes(spark, tmp_path, capsys):
     want = q_kg_edges(spark, SF_DIR).count()
     assert second["edges"] == want
     assert first["edges"] != second["edges"]
+
+
+def test_version_command(capsys):
+    """`version` (`__main__.py:60-63`): the engine version plus the
+    PySpark runtime, one line."""
+    import pyspark
+
+    from surfactant_spark import __version__
+
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == f"{__version__} (pyspark {pyspark.__version__})"
+
+
+def test_plugin_update_db(isolated_config, spark, capsys):
+    """`plugin update-db` (`cmd/plugin.py:117-169`): stages the
+    versioned pattern snapshot, pins its content hash in config, and a
+    second refresh of identical content reports no update; the staged
+    snapshot round-trips into the mention detector with the pinned
+    version as the lineage stamp."""
+    from surfactant_spark.config import ConfigManager
+    from surfactant_spark.operators.patterndb import load_pattern_db, pattern_mentions
+
+    assert main(["plugin", "update-db", "--all"]) == 0
+    out = capsys.readouterr().out
+    assert "Updating pattern_db ..." in out and "Update result" in out
+    cm = ConfigManager()
+    pin = cm.get("database", "pattern_db_version")
+    assert pin and len(pin) == 16
+
+    # identical content -> same pin, 'no update performed'
+    assert main(["plugin", "update-db", "pattern_db"]) == 0
+    out = capsys.readouterr().out
+    assert "No update operation performed for pattern_db." in out
+    assert cm.get("database", "pattern_db_version") == pin
+
+    # the staged snapshot loads back with the SAME pin and detects
+    import os
+
+    staged = os.path.join(cm.data_dir_path(), "databases", "pattern_db.json")
+    dim, ver = load_pattern_db(spark, staged)
+    assert ver == pin
+    docs = spark.createDataFrame(
+        [(1, "uses spark window functions"), (2, "nothing here")], "doc_id long, text string"
+    )
+    rows = pattern_mentions(docs, dim, db_version=ver).collect()
+    assert {(r.doc_id, r.library, r.db_version) for r in rows} == {(1, "spark-engine", pin)}
+
+    # reference error texts: unknown plugin, hook without a database
+    assert main(["plugin", "update-db", "nosuch"]) == 1
+    assert "Plugin 'nosuch' not found." in capsys.readouterr().err
+    assert main(["plugin", "update-db", "elf"]) == 1
+    assert "does not implement the 'update_db' hook" in capsys.readouterr().err
+    assert main(["plugin", "update-db"]) == 1
+    assert "specify a plugin name or use --all" in capsys.readouterr().err
