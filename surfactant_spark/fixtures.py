@@ -334,6 +334,24 @@ def synth_web_pages(n: int = 250) -> Dict[str, list]:
     }
 
 
+def stage_web_pages(n: int) -> str:
+    """Stage the web-pages corpus at an explicit size (idempotent,
+    per-size file) and return its path. The default 250-page staging
+    keeps the driver-gate fixture stable; this per-size variant lets
+    the correctness rows and the scaling bench exercise the SAME corpus
+    family at sf-proportional sizes (`SPARK_GRAFT_WEB_N` in queries.py)
+    instead of correctness living on a fixed small fixture while scale
+    evidence runs a different synthetic corpus."""
+    final = os.path.join(fixture_dir(), f"web_pages_n{n}.parquet")
+    if os.path.exists(final):
+        return final
+    os.makedirs(fixture_dir(), exist_ok=True)
+    tmp = f"{final}.tmp-{os.getpid()}"
+    _write_parquet(tmp, synth_web_pages(n))
+    os.rename(tmp, final)  # losers overwrite with identical bytes
+    return final
+
+
 def synth_raw_urls(n: int = 72) -> Dict[str, list]:
     """Messy URL variants for the canonicalization oracle: every base
     url appears in several surface forms (uppercased scheme/host,

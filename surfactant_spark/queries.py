@@ -1140,6 +1140,25 @@ def _fixture_paths():
     return stage_link_fixtures()
 
 
+# sf-proportional web corpus: the web-graph correctness queries (and
+# their oracles) run over this many synthetic pages. The default 250
+# is the driver-gate fixture; setting SPARK_GRAFT_WEB_N before import
+# scales BOTH engines to the same bigger corpus (synth.make_corpus is
+# deterministic at every n), so correctness rows can exercise the same
+# corpus family the scaling bench runs — tested at two sizes in
+# tests/test_webgraph.py.
+WEB_PAGES_N = int(os.environ.get("SPARK_GRAFT_WEB_N", "250"))
+
+
+def _read_web_pages(spark: SparkSession) -> DataFrame:
+    p = _fixture_paths()
+    if WEB_PAGES_N == 250:
+        return spark.read.parquet(p["web_pages"])
+    from .fixtures import stage_web_pages
+
+    return spark.read.parquet(stage_web_pages(WEB_PAGES_N))
+
+
 def q_link_elf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — ELF dependency resolution (`elf_relationship.py:41-198`):
     mapInPandas probe expansion + explode + equi join + fileName
@@ -2507,8 +2526,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass + one (src, dst)-keyed aggregation with map-side combine."""
     from .operators.webgraph import host_graph
 
-    p = _fixture_paths()
-    return host_graph(spark.read.parquet(p["web_pages"]))
+    return host_graph(_read_web_pages(spark))
 
 
 # shared link-extraction CTE over the staged pages parquet; both
@@ -2540,8 +2558,7 @@ def q_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     all joins at host cardinality (a dimension table vs the corpus)."""
     from .operators.webgraph import host_metrics
 
-    p = _fixture_paths()
-    return host_metrics(spark.read.parquet(p["web_pages"]))
+    return host_metrics(_read_web_pages(spark))
 
 
 def _sql_host_metrics(path: str) -> str:
@@ -2576,8 +2593,7 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked hash aggs, min_by top text — no window sort."""
     from .operators.webgraph import anchor_stats
 
-    p = _fixture_paths()
-    return anchor_stats(spark.read.parquet(p["web_pages"]))
+    return anchor_stats(_read_web_pages(spark))
 
 
 def _sql_anchor_texts(path: str) -> str:
@@ -2603,8 +2619,7 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graphrank import pagerank_auto
     from .operators.webgraph import host_graph
 
-    p = _fixture_paths()
-    edges = host_graph(spark.read.parquet(p["web_pages"])).select(
+    edges = host_graph(_read_web_pages(spark)).select(
         F.col("src_host").alias("src"),
         F.col("dst_host").alias("dst"),
         "n_links",
@@ -2630,8 +2645,7 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.canon import connected_components_auto
     from .operators.webgraph import host_graph
 
-    p = _fixture_paths()
-    hg = host_graph(spark.read.parquet(p["web_pages"])).localCheckpoint(eager=True)
+    hg = host_graph(_read_web_pages(spark)).localCheckpoint(eager=True)
     edges = hg.where(F.col("src_host") != F.col("dst_host")).select(
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
     )
@@ -2721,8 +2735,7 @@ def q_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts + one IEEE double division (bit-exact replay)."""
     from .operators.webgraph import comention_lift
 
-    p = _fixture_paths()
-    return comention_lift(spark.read.parquet(p["web_pages"]))
+    return comention_lift(_read_web_pages(spark))
 
 
 def _sql_entity_pmi(path: str) -> str:
@@ -2839,6 +2852,15 @@ def _fixture_file(name: str) -> str:
 
     return os.path.join(fixture_dir(), f"{name}.parquet")
 
+
+def _web_pages_file() -> str:
+    """The web-pages fixture path the oracle SQL reads — MUST stay the
+    file `_read_web_pages` stages, or the two engines silently compare
+    different corpora (asserted in tests/test_webgraph.py)."""
+    if WEB_PAGES_N == 250:
+        return _fixture_file("web_pages")
+    return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
+
 ORACLE_SQL = {
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
@@ -2915,13 +2937,13 @@ ORACLE_SQL = {
     "dup_spans": _sql_dup_spans(),
     "doc_repetition": SQL_DOC_REPETITION,
     "contamination": _sql_contamination(),
-    "host_graph": _sql_host_graph(_fixture_file("web_pages")),
-    "host_metrics": _sql_host_metrics(_fixture_file("web_pages")),
-    "host_rank": _sql_host_rank(_fixture_file("web_pages")),
-    "host_components": _sql_host_components(_fixture_file("web_pages")),
-    "anchor_texts": _sql_anchor_texts(_fixture_file("web_pages")),
+    "host_graph": _sql_host_graph(_web_pages_file()),
+    "host_metrics": _sql_host_metrics(_web_pages_file()),
+    "host_rank": _sql_host_rank(_web_pages_file()),
+    "host_components": _sql_host_components(_web_pages_file()),
+    "anchor_texts": _sql_anchor_texts(_web_pages_file()),
     "url_canon": _sql_url_canon(_fixture_file("raw_urls")),
-    "entity_pmi": _sql_entity_pmi(_fixture_file("web_pages")),
+    "entity_pmi": _sql_entity_pmi(_web_pages_file()),
     # the incremental fold must equal the full rebuild EXACTLY — its
     # oracle is the unsplit kg_edges SQL
     "kg_incremental": SQL_KG_EDGES,

@@ -257,3 +257,60 @@ def test_comention_lift_empty_mentions(spark):
     error (the driver-literal N path must tolerate the empty agg)."""
     df = _pages(spark, [("u1", '<a href="https://x.org/p">t</a>'), ("u2", "<p>n</p>")])
     assert comention_lift(df).count() == 0
+
+
+def test_web_oracles_green_at_two_fixture_sizes(spark, ddb):
+    """The web-graph oracles must hold on the sf-proportional corpus
+    family, not just the 250-page driver fixture: run host_graph /
+    host_metrics / anchor_texts at two staged sizes against the same
+    DuckDB SQL builders the registry uses (make_corpus is
+    deterministic at every n, so both engines read identical bytes)."""
+    from surfactant_spark.fixtures import stage_web_pages
+    from surfactant_spark.operators.webgraph import (
+        anchor_stats,
+        host_graph,
+        host_metrics,
+    )
+    from surfactant_spark.queries import (
+        _sql_anchor_texts,
+        _sql_host_graph,
+        _sql_host_metrics,
+    )
+    from tests.test_entry import _normalize, _values_equal
+
+    for n in (250, 1000):
+        path = stage_web_pages(n)
+        pages = spark.read.parquet(path)
+        cases = [
+            (host_graph(pages), _sql_host_graph(path)),
+            (host_metrics(pages), _sql_host_metrics(path)),
+            (anchor_stats(pages), _sql_anchor_texts(path)),
+        ]
+        for df, sql in cases:
+            got, want = _normalize(df.toPandas()), _normalize(ddb.execute(sql).fetchdf())
+            assert len(got) > 0 and len(got) == len(want), (n, sql[:60])
+            for c in got.columns:
+                for x, y in zip(got[c], want[c]):
+                    assert _values_equal(x, y), (n, c, x, y)
+
+
+def test_web_pages_env_knob_keeps_engines_aligned(monkeypatch):
+    """SPARK_GRAFT_WEB_N scales BOTH the Spark fixture and the oracle
+    path to the same file — a knob that moved only one side would
+    silently compare different corpora."""
+    import importlib
+
+    import surfactant_spark.queries as q
+
+    monkeypatch.setattr(q, "WEB_PAGES_N", 1000)
+    assert q._web_pages_file().endswith("web_pages_n1000.parquet")
+    monkeypatch.setattr(q, "WEB_PAGES_N", 250)
+    assert q._web_pages_file().endswith("web_pages.parquet")
+    # the staged per-size file is what _read_web_pages loads
+    from surfactant_spark.fixtures import fixture_dir, stage_web_pages
+
+    import os
+
+    assert stage_web_pages(1000) == os.path.join(
+        fixture_dir(), "web_pages_n1000.parquet"
+    )
