@@ -11,6 +11,10 @@ Default mode (what the driver runs): execute the headline queries at
 local[32] on identical input and report throughput at both plus
 scaling efficiency = tput_32 / (4 * tput_8) — the sandbox stand-in
 for the north rule's N vs 4N executor criterion (see BENCH/BASELINE.md).
+
+``--only=NAME[,NAME...]`` mode: isolated per-query reps (walls +
+per-rep non-guest CPU fraction) for stall-vs-regression adjudication;
+``--reps=N`` sets the rep count (default 4).
 """
 
 from __future__ import annotations
@@ -351,6 +355,67 @@ def _warm(spark):
     ).count()
 
 
+def only_mode(names, reps: int = 4, clean_thresh: float = 0.05):
+    """Isolated per-query adjudication mode (``--only=NAME[,NAME...]``):
+    run JUST the named registry queries, ``reps`` times each, reporting
+    every wall plus the per-rep non-guest CPU fraction — one JSON line.
+
+    This exists because this sandbox's invisible host-memory stalls can
+    inflate a single query's window inside an otherwise-clean sweep
+    (round 4's topk_ivf read 10.3 s in the artifact vs 3.1 s isolated
+    on identical bytes): with isolated reps in the artifact itself, the
+    stall-vs-regression question is answerable without hand-writing a
+    harness. min over reps is the estimator (stalls only ever add
+    time); ``cold`` is the first run's wall (codegen included)."""
+    from surfactant_spark.queries import QUERIES
+    from surfactant_spark.session import get_spark
+
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}; known: {sorted(QUERIES)}")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
+    )
+    created_dir = _claim_local_dirs(base)
+    spark = get_spark("bench-only")
+    _warm(spark)
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    per_query = {}
+    for name in names:
+        walls, fracs = [], []
+        for _ in range(reps):
+            cpu0 = _cpu_snap()
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).count()
+            walls.append(round(time.time() - t0, 3))
+            fracs.append(_nonguest_frac(cpu0))
+        steady = walls[1:] or walls
+        per_query[name] = {
+            "cold": walls[0],
+            "min_warm": min(steady),
+            "walls": walls,
+            "nonguest_cpu_fracs": fracs,
+            "clean_reps": sum(1 for f in fracs if f < clean_thresh),
+        }
+    out = {
+        "metric": "isolated per-query reps (stall adjudication)",
+        "value": round(sum(q["min_warm"] for q in per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_from_dir(SF_DIR),
+        "reps": reps,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    spark.stop()
+    if created_dir:
+        import shutil
+
+        shutil.rmtree(created_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def scaling_mode(n_pages: int = 600000, levels=(8, 32), reps: int = 3, job: str = "pipeline"):
     """Same job, two parallelism levels, same staged input. The corpus
     is synthesized distributed (per-row deterministic) and written to
@@ -475,5 +540,13 @@ if __name__ == "__main__":
                 reps = int(a.split("=")[1])
         job = "webgraph" if "--scaling-webgraph" in sys.argv else "pipeline"
         scaling_mode(n, levels, reps, job)
+    elif any(a.startswith("--only=") for a in sys.argv):
+        names, reps = [], 4
+        for a in sys.argv:
+            if a.startswith("--only="):
+                names = [n for n in a.split("=", 1)[1].split(",") if n]
+            if a.startswith("--reps="):
+                reps = int(a.split("=")[1])
+        only_mode(names, reps)
     else:
         default_mode()
