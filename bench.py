@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "kg_incremental",
     "token_cms",
+    "token_hll",
     "length_quantiles",
     "lang_quantiles",
 ]

@@ -100,3 +100,133 @@ def cms_estimate(
         .groupBy("tok")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+# cardinality member of the sketch family (CMS above is the frequency
+# member). approx_count_distinct exists in Spark, but its HLL++
+# internals are engine-private and neither mergeable across engines nor
+# replayable in an oracle; this register-table form is bit-exact in any
+# SQL engine and shard-mergeable by cell-wise max.
+# ---------------------------------------------------------------------------
+HLL_P = 9                  # 2^9 = 512 registers: ~4.6 % standard error
+_HLL_HASH_BITS = 32        # md5-prefix hash width
+HLL_Q = _HLL_HASH_BITS - HLL_P
+
+
+def hll_alpha(m: int) -> float:
+    """The standard bias-correction constant (m >= 128 branch)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_hash32(value: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, salted so HLL
+    buckets decorrelate from every other md5 use in the engine."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), value)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+    p: int = HLL_P,
+) -> DataFrame:
+    """(group..., bucket, rho) register table of the HLL sketch of
+    ``value_col``'s distinct values per group. ONE hash aggregation;
+    output is at most ``2^p`` rows per group regardless of input size
+    (occupied registers only — empty registers are implicit, counted by
+    :func:`hll_estimate` as ``v_zero``). Duplicates need no pre-distinct:
+    equal values hash identically and max() absorbs them — the whole
+    reason HLL beats COUNT(DISTINCT) at 10^12 rows (no distinct-key
+    shuffle, constant-size state per group).
+
+    rho = leading zeros of the (32-p)-bit remainder + 1, computed as
+    q + 1 - bitlength via the base-2 string: integer-exact and
+    identical in any engine (no log2 floats)."""
+    g = list(group_cols)
+    q = _HLL_HASH_BITS - p
+    h = _hll_hash32(F.col(value_col))
+    bucket = F.shiftright(h, q)
+    w = F.pmod(h, F.lit(1 << q))
+    bitlen = F.length(
+        F.regexp_replace(F.conv(w.cast("string"), 10, 2), "^0+", "")
+    )
+    rho = (F.lit(q + 1) - bitlen).cast("int")
+    return (
+        df.select(*g, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame, group_cols=()) -> DataFrame:
+    """Cell-wise max — register tables over disjoint (or overlapping!)
+    shards compose exactly: merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B) row-for-row, the idempotent-semigroup property CMS's
+    sum does not have."""
+    g = list(group_cols)
+    unioned = registers[0]
+    for s in registers[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*g, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols=(), p: int = HLL_P) -> DataFrame:
+    """(group..., n_regs, v_zero, denom_scaled, raw_est) per group.
+
+    Cross-engine exactness: the harmonic-mean denominator
+    sum_j 2^(-rho_j) is scaled by 2^(q+1) into PURE INTEGER arithmetic
+    (every term 2^(q+1-rho) is an exact integer; the sum fits a long:
+    m * 2^(q+1) = 2^33 worst case), so ``denom_scaled`` is bit-exact
+    and ``raw_est`` = alpha_m * (m^2 * 2^(q+1)) / denom_scaled is two
+    correctly-rounded IEEE ops on exact inputs — identical in any
+    engine. ``raw_est`` is the uncorrected estimator; apply
+    :func:`hll_corrected` for the small-range (linear counting)
+    correction, which uses ln() and is therefore kept OFF the bit-exact
+    oracle surface."""
+    g = list(group_cols)
+    m = 1 << p
+    q = _HLL_HASH_BITS - p
+    scale = q + 1
+    alpha = hll_alpha(m)
+    agg = registers.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {scale} - rho)"))
+        .cast("long")
+        .alias("occ_scaled"),
+    )
+    v_zero = (F.lit(m) - F.col("n_regs")).cast("long")
+    denom = (F.col("occ_scaled") + v_zero * F.lit(1 << scale)).cast("long")
+    num = float(m) * float(m) * float(1 << scale)  # 2^42: exact double
+    return agg.select(
+        *g,
+        "n_regs",
+        v_zero.alias("v_zero"),
+        denom.alias("denom_scaled"),
+        (F.lit(alpha) * F.lit(num) / F.col("denom_scaled")).alias("raw_est"),
+    )
+
+
+def hll_corrected(estimates, p: int = HLL_P):
+    """Small-range correction on a COLLECTED estimate table (pandas
+    DataFrame or list of Rows -> list of dicts): linear counting
+    m*ln(m/V) when raw_est <= 2.5m and V > 0 (Flajolet §4). Driver-side
+    on the dimension-sized estimate table by design — ln() is libm-
+    shaped and would break the bit-exact oracle contract if it lived in
+    the query surface."""
+    import math
+
+    m = 1 << p
+    out = []
+    rows = estimates.to_dict("records") if hasattr(estimates, "to_dict") else [
+        r.asDict() for r in estimates
+    ]
+    for r in rows:
+        est = r["raw_est"]
+        if est <= 2.5 * m and r["v_zero"] > 0:
+            est = m * math.log(m / r["v_zero"])
+        out.append({**r, "est": est})
+    return out

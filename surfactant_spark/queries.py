@@ -2489,6 +2489,60 @@ FROM cells GROUP BY row_id, bucket
 """
 
 
+def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via the HyperLogLog
+    register sketch — the cardinality member of the sketch family
+    (token_cms is the frequency member). One hash agg to <= 2^p
+    register rows per language, no distinct-key shuffle, shard-
+    mergeable by cell-wise max; the harmonic-mean denominator is
+    integer-scaled so every emitted column (and the raw estimator's
+    two IEEE ops on exact integers) replays bit-exactly in DuckDB —
+    unlike approx_count_distinct's engine-private HLL++."""
+    from .operators.sketch import hll_estimate, hll_registers
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PAT), 0)
+        ).alias("tok"),
+    )
+    regs = hll_registers(toks, "tok", group_cols=("lang",))
+    return hll_estimate(regs, group_cols=("lang",))
+
+
+def _sql_token_hll() -> str:
+    from .operators.sketch import HLL_P, _HLL_HASH_BITS, hll_alpha
+
+    m = 1 << HLL_P
+    q = _HLL_HASH_BITS - HLL_P
+    scale = q + 1
+    alpha = hll_alpha(m)
+    num = float(m) * float(m) * float(1 << scale)
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PAT}')) AS tok
+  FROM documents),
+h AS (
+  SELECT lang, ('0x' || substr(md5('hll:' || tok), 1, 8))::BIGINT AS h
+  FROM toks),
+parts AS (SELECT lang, h // {1 << q} AS bucket, h % {1 << q} AS w FROM h),
+regs AS (
+  SELECT lang, bucket,
+         MAX({q + 1} - length(regexp_replace(bin(w), '^0+', ''))) AS rho
+  FROM parts GROUP BY lang, bucket),
+agg AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_regs,
+         SUM((1::BIGINT << ({scale} - rho)))::BIGINT AS occ_scaled
+  FROM regs GROUP BY lang)
+SELECT lang, n_regs, ({m} - n_regs)::BIGINT AS v_zero,
+       (occ_scaled + ({m} - n_regs) * {1 << scale})::BIGINT AS denom_scaled,
+       CAST({alpha!r} AS DOUBLE) * CAST({num!r} AS DOUBLE)
+         / (occ_scaled + ({m} - n_regs) * {1 << scale}) AS raw_est
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # incremental KG maintenance (operators/incremental.py)
 # ---------------------------------------------------------------------------
@@ -2792,7 +2846,9 @@ QUERIES = {
     "lang_quantiles": q_lang_quantiles,
     "kg_negatives": q_kg_negatives,
     "kg_edge_split": q_kg_edge_split,
-    # -- driver-proven in r01-r04; first 28 stay inside the 50-row window --
+    # -- new in round 5 (never driver-checked) --
+    "token_hll": q_token_hll,
+    # -- driver-proven in r01-r04; first 27 stay inside the 50-row window --
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
     "dedup_exact": q_dedup_exact,
@@ -2948,6 +3004,7 @@ ORACLE_SQL = {
     # oracle is the unsplit kg_edges SQL
     "kg_incremental": SQL_KG_EDGES,
     "token_cms": _sql_token_cms(),
+    "token_hll": _sql_token_hll(),
     "length_quantiles": _sql_length_quantiles(),
     "lang_quantiles": _sql_lang_quantiles(),
     "kg_negatives": _sql_kg_negatives(),

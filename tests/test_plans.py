@@ -312,3 +312,20 @@ def test_late_round4_queries_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_token_hll_plan_shape(spark):
+    """token_hll is two hash aggregations over one scan: no join at
+    all, no Python, and exactly two exchanges (tok->registers,
+    registers->per-lang estimate) — the no-distinct-key-shuffle claim
+    that justifies HLL over COUNT(DISTINCT) at corpus scale."""
+    from surfactant_spark.queries import q_token_hll
+
+    import re
+
+    plan = _plan(q_token_hll(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # formatted mode lists each node once in the tree and once in the
+    # numbered detail section; count the detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2

@@ -108,3 +108,84 @@ def test_cms_never_undercounts_random_corpora(spark, texts):
     probes = spark.createDataFrame([(t,) for t in exact], "tok string")
     est = {r.tok: r.est for r in cms_estimate(sketch, probes).collect()}
     assert all(est[t] >= c for t, c in exact.items())
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch
+# ---------------------------------------------------------------------------
+def test_hll_register_shape_and_bounds(spark):
+    from surfactant_spark.operators.sketch import HLL_P, HLL_Q, hll_registers
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("v"))
+    regs = hll_registers(df, "v").collect()
+    assert len(regs) <= (1 << HLL_P)
+    assert all(0 <= r.bucket < (1 << HLL_P) for r in regs)
+    assert all(1 <= r.rho <= HLL_Q + 1 for r in regs)
+
+
+def test_hll_duplicates_are_absorbed(spark):
+    """HLL needs no pre-distinct: the sketch of a multiset equals the
+    sketch of its support (equal values hash identically; max absorbs),
+    which is exactly why it beats COUNT(DISTINCT) at scale."""
+    from surfactant_spark.operators.sketch import hll_registers
+
+    base = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    tripled = base.unionByName(base).unionByName(base)
+    assert {tuple(r) for r in hll_registers(base, "v").collect()} == {
+        tuple(r) for r in hll_registers(tripled, "v").collect()
+    }
+
+
+def test_hll_merge_is_idempotent_semigroup(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) row-for-row, even
+    with OVERLAPPING shards (max is idempotent — CMS's sum is not)."""
+    from surfactant_spark.operators.sketch import hll_merge, hll_registers
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("v"))
+    whole = hll_registers(a.unionByName(b), "v")
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    assert {tuple(r) for r in whole.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+
+
+def test_hll_estimate_accuracy_and_corrections(spark):
+    """Relative error within 3x the standard error (1.04/sqrt(m)) at
+    cardinalities spanning the linear-counting and raw regimes; the
+    small-range correction path actually fires for small n."""
+    from surfactant_spark.operators.sketch import (
+        HLL_P,
+        hll_corrected,
+        hll_estimate,
+        hll_registers,
+    )
+
+    m = 1 << HLL_P
+    tol = 3 * 1.04 / (m ** 0.5)
+    for n in (100, 2000, 30000):
+        df = spark.range(n * 2).select((F.col("id") % n).cast("string").alias("v"))
+        rows = hll_estimate(hll_registers(df, "v")).collect()
+        out = hll_corrected(rows)[0]
+        assert abs(out["est"] - n) / n < tol, (n, out)
+        if n == 100:
+            assert out["est"] != out["raw_est"]  # linear counting fired
+
+
+def test_hll_grouped_and_driver_safe_columns(spark):
+    """Grouped registers key per group; estimate emits only scalar
+    integer columns plus ONE double built from two correctly-rounded
+    IEEE ops on exact integers (the oracle-exactness contract)."""
+    from surfactant_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    regs = hll_registers(df, "v", group_cols=("g",))
+    est = hll_estimate(regs, group_cols=("g",))
+    rows = {r.g: r for r in est.collect()}
+    assert set(rows) == {"0", "1"}
+    for r in rows.values():
+        assert r.n_regs + r.v_zero == 512
+        assert r.denom_scaled > 0
