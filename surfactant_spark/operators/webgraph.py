@@ -243,3 +243,33 @@ def comention_lift(pages: DataFrame, links: DataFrame | None = None) -> DataFram
             ).alias("lift"),
         )
     )
+
+
+def host_graph_fold(state_edges: DataFrame, delta_pages: DataFrame,
+                    links: DataFrame | None = None) -> DataFrame:
+    """Fold an append-only crawl batch into standing host-graph edges
+    without rescanning old pages — the web-graph twin of
+    ``operators/incremental.kg_state_fold`` (and of Common Crawl
+    publishing its host graph per-crawl, then merging).
+
+    Correctness precondition (the crawl-batch invariant the KG fold
+    asserts too): batches are APPEND-ONLY — a url appears in exactly
+    one batch. Under disjoint url sets both measures are semigroup-
+    mergeable per (src_host, dst_host) key: n_links adds trivially, and
+    n_src_pages (a per-batch COUNT DISTINCT url) adds because the
+    distinct sets are disjoint. A url recrawled into a later batch
+    would double-count — that is a re-extraction, not an append, and
+    belongs in a rebuild.
+
+    Scale shape: the only inputs are the delta's link extraction and
+    the standing host-pair AGGREGATE (dimension-sized — hosts, not
+    pages), so a fold costs O(delta + |host pairs|), never O(corpus)."""
+    delta = host_graph(delta_pages, links)
+    return (
+        state_edges.unionByName(delta)
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.sum("n_links").cast("long").alias("n_links"),
+            F.sum("n_src_pages").cast("long").alias("n_src_pages"),
+        )
+    )

@@ -2783,6 +2783,23 @@ FROM canon GROUP BY canon_url
 """
 
 
+def q_host_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-equals-full-rebuild for the host graph: build standing
+    edges from the pages whose url-md5 starts below '8' (~half the
+    crawl, deterministic), fold the rest in as an append-only batch
+    (urls are unique per page, so batches are disjoint — the fold's
+    precondition), and surface the folded edges. The oracle is the
+    UNSPLIT host_graph SQL: identity with the full rebuild IS the
+    incremental-view-maintenance claim, exactly as kg_incremental
+    states it for the KG."""
+    from .operators.webgraph import host_graph, host_graph_fold
+
+    pages = _read_web_pages(spark)
+    is_old = F.substring(F.md5("url"), 1, 1) < "8"
+    state = host_graph(pages.where(is_old))
+    return host_graph_fold(state, pages.where(~is_old))
+
+
 def q_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-mention lift between lib:// link targets sharing a page —
     relation-candidate scoring before predicate extraction. Exact
@@ -2848,6 +2865,7 @@ QUERIES = {
     "kg_edge_split": q_kg_edge_split,
     # -- new in round 5 (never driver-checked) --
     "token_hll": q_token_hll,
+    "host_graph_incremental": q_host_graph_incremental,
     # -- driver-proven in r01-r04; first 27 stay inside the 50-row window --
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
@@ -2994,6 +3012,8 @@ ORACLE_SQL = {
     "doc_repetition": SQL_DOC_REPETITION,
     "contamination": _sql_contamination(),
     "host_graph": _sql_host_graph(_web_pages_file()),
+    # fold == full rebuild: the oracle is the UNSPLIT host graph
+    "host_graph_incremental": _sql_host_graph(_web_pages_file()),
     "host_metrics": _sql_host_metrics(_web_pages_file()),
     "host_rank": _sql_host_rank(_web_pages_file()),
     "host_components": _sql_host_components(_web_pages_file()),

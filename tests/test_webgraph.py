@@ -314,3 +314,46 @@ def test_web_pages_env_knob_keeps_engines_aligned(monkeypatch):
     assert stage_web_pages(1000) == os.path.join(
         fixture_dir(), "web_pages_n1000.parquet"
     )
+
+
+def test_host_graph_fold_equals_full_rebuild(spark):
+    """Append-only batches with disjoint url sets: fold(old, delta) ==
+    host_graph(all), row-for-row including the distinct-page counts —
+    and a three-way chain folds associatively."""
+    from surfactant_spark.operators.webgraph import host_graph, host_graph_fold
+
+    df = _pages(
+        spark,
+        [
+            (f"https://h{i % 3}.org/p{i}",
+             f'<a href="https://h{(i + 1) % 3}.org/x">t</a>'
+             f'<a href="https://h{(i + 2) % 3}.org/y">u</a>')
+            for i in range(30)
+        ],
+    )
+    full = {tuple(r) for r in host_graph(df).collect()}
+    from pyspark.sql import functions as F
+
+    # deterministic three-way disjoint split by url hash
+    part = F.pmod(F.crc32(F.col("url")), F.lit(3))
+    batches = [df.where(part == i) for i in range(3)]
+    assert sum(b.count() for b in batches) == 30
+    state = host_graph(batches[0])
+    state = host_graph_fold(state, batches[1])
+    state = host_graph_fold(state, batches[2])
+    assert {tuple(r) for r in state.collect()} == full
+
+
+def test_host_graph_fold_plan_never_rescans_state(spark):
+    """The fold's plan touches the delta scan and the standing
+    AGGREGATE only — no join, no Python; the state side enters as a
+    plain union into one re-aggregation."""
+    from surfactant_spark.operators.webgraph import host_graph, host_graph_fold
+
+    df = _pages(spark, [("https://a.org/1", '<a href="https://b.org/x">t</a>')])
+    state = host_graph(df).localCheckpoint(eager=True)
+    plan = host_graph_fold(state, df)._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
