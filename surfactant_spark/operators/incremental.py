@@ -236,3 +236,45 @@ def edges_surface(state: KgState) -> DataFrame:
         F.col("n_evidence").cast("long").alias("n_evidence"),
         F.array_join("src_arr", "|").alias("sources"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols, cmp_cols) -> DataFrame:
+    """Generic snapshot diff — the monitoring half of incremental
+    maintenance (what changed crawl-over-crawl; does a fold agree with
+    a rebuild): ``(op, *keys, old_*, new_*)`` where op is
+    added / removed / changed, unchanged keys dropped.
+
+    ONE full-outer equi join on the keys: the shuffle-minimal shape —
+    both sides partition by the same keys, AQE handles skew, nothing
+    driver-side. Presence markers are literal columns, so a legitimate
+    NULL in a compare column never masquerades as absence (compare
+    columns themselves are assumed non-null when the row exists, which
+    aggregates like counts guarantee)."""
+    k = list(key_cols)
+    cmp = list(cmp_cols)
+    o = old.select(
+        *k, F.lit(1).alias("_o"), *[F.col(c).alias(f"old_{c}") for c in cmp]
+    )
+    n = new.select(
+        *k, F.lit(1).alias("_n"), *[F.col(c).alias(f"new_{c}") for c in cmp]
+    )
+    j = o.join(n, k, "full_outer")
+    changed = F.lit(False)
+    for c in cmp:
+        changed = changed | (F.col(f"old_{c}") != F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op") != "same")
+        .select(
+            "op",
+            *k,
+            *[f"old_{c}" for c in cmp],
+            *[f"new_{c}" for c in cmp],
+        )
+    )

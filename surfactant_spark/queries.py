@@ -2569,6 +2569,55 @@ def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_surface(state)
 
 
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl KG drift: diff the edge tables of two disjoint
+    corpus snapshots (even vs odd doc_ids — balanced and engine-
+    replayable at every sf, no stats needed) into added / removed /
+    changed rows. The monitoring surface of incremental maintenance:
+    run it between a fold and a rebuild, or between two crawls, and
+    alert on the drift profile. One full-outer equi join on the edge
+    key — nothing driver-side, AQE-skew-safe."""
+    from .operators.incremental import (
+        edges_surface,
+        kg_state_build,
+        snapshot_diff,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old = edges_surface(kg_state_build(docs.where(F.col("doc_id") % 2 == 0), TOKEN_PAT))
+    new = edges_surface(kg_state_build(docs.where(F.col("doc_id") % 2 == 1), TOKEN_PAT))
+    return snapshot_diff(
+        old, new, ("subj_id", "pred", "obj_id"), ("n_evidence", "sources")
+    )
+
+
+def _sql_kg_edges_over(where: str) -> str:
+    """The kg_edges SQL with the corpus scan filtered by ``where`` —
+    the oracle building block for split/diff queries. The base CTE is
+    the single place the SQL touches the documents table."""
+    assert SQL_KG_EDGES.count("FROM documents") == 1
+    return SQL_KG_EDGES.replace("FROM documents", f"FROM documents WHERE {where}")
+
+
+def _sql_kg_diff() -> str:
+    return f"""
+WITH old_e AS ({_sql_kg_edges_over("doc_id % 2 = 0")}),
+new_e AS ({_sql_kg_edges_over("doc_id % 2 = 1")})
+SELECT CASE WHEN o.n_evidence IS NULL THEN 'added'
+            WHEN n.n_evidence IS NULL THEN 'removed'
+            ELSE 'changed' END AS op,
+       COALESCE(o.subj_id, n.subj_id) AS subj_id,
+       COALESCE(o.pred, n.pred) AS pred,
+       COALESCE(o.obj_id, n.obj_id) AS obj_id,
+       o.n_evidence AS old_n_evidence, o.sources AS old_sources,
+       n.n_evidence AS new_n_evidence, n.sources AS new_sources
+FROM old_e o FULL JOIN new_e n
+  ON o.subj_id = n.subj_id AND o.pred = n.pred AND o.obj_id = n.obj_id
+WHERE o.n_evidence IS NULL OR n.n_evidence IS NULL
+   OR o.n_evidence <> n.n_evidence OR o.sources <> n.sources
+"""
+
+
 # ---------------------------------------------------------------------------
 # web-graph family: hyperlink structure of the crawl itself
 # (operators/webgraph.py — host graph, anchor-text alias mining, URL
@@ -2866,6 +2915,7 @@ QUERIES = {
     # -- new in round 5 (never driver-checked) --
     "token_hll": q_token_hll,
     "host_graph_incremental": q_host_graph_incremental,
+    "kg_diff": q_kg_diff,
     # -- driver-proven in r01-r04; first 27 stay inside the 50-row window --
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
@@ -3014,6 +3064,7 @@ ORACLE_SQL = {
     "host_graph": _sql_host_graph(_web_pages_file()),
     # fold == full rebuild: the oracle is the UNSPLIT host graph
     "host_graph_incremental": _sql_host_graph(_web_pages_file()),
+    "kg_diff": _sql_kg_diff(),
     "host_metrics": _sql_host_metrics(_web_pages_file()),
     "host_rank": _sql_host_rank(_web_pages_file()),
     "host_components": _sql_host_components(_web_pages_file()),

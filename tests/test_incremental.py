@@ -191,3 +191,37 @@ def test_fold_equals_rebuild_any_split(spark, texts, k):
     state = kg_state_build(_docs(spark, rows[:k]))
     folded = kg_state_fold(state, _docs(spark, rows[k:]))
     assert _edge_set(edges_surface(folded)) == _edge_set(_full(spark, rows))
+
+
+def test_snapshot_diff_classifies_all_three_ops(spark):
+    """added = key only in new; removed = only in old; changed = both
+    present with any compare column differing; identical keys drop."""
+    from surfactant_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")], "k string, n long, s string"
+    )
+    new = spark.createDataFrame(
+        [("b", 2, "y"), ("c", 9, "z"), ("d", 4, "w")], "k string, n long, s string"
+    )
+    rows = {
+        r.k: r for r in snapshot_diff(old, new, ("k",), ("n", "s")).collect()
+    }
+    assert set(rows) == {"a", "c", "d"}  # b unchanged -> dropped
+    assert rows["a"].op == "removed" and rows["a"].old_n == 1 and rows["a"].new_n is None
+    assert rows["d"].op == "added" and rows["d"].old_n is None and rows["d"].new_n == 4
+    assert rows["c"].op == "changed" and (rows["c"].old_n, rows["c"].new_n) == (3, 9)
+
+
+def test_snapshot_diff_plan_is_one_equi_join(spark):
+    from surfactant_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame([("a", 1)], "k string, n long")
+    new = spark.createDataFrame([("a", 2)], "k string, n long")
+    df = snapshot_diff(old, new, ("k",), ("n",))
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
