@@ -230,3 +230,61 @@ def hll_corrected(estimates, p: int = HLL_P):
             est = m * math.log(m / r["v_zero"])
         out.append({**r, "est": est})
     return out
+
+
+# ---------------------------------------------------------------------------
+# CMS-pruned exact heavy hitters — the two-pass algorithm the sketch
+# exists for (Cormode & Muthukrishnan 2005 §4.2): pass 1 builds the
+# bounded sketch, pass 2 exactly counts ONLY the occurrences whose CMS
+# estimate clears the phi*N threshold. CMS never undercounts, so no
+# true heavy hitter is pruned: the output is IDENTICAL to the plain
+# exact GROUP BY ... HAVING count >= phi*N — which is exactly what the
+# DuckDB oracle runs. At 10^12 documents the win is that the exact
+# shuffle carries only candidate occurrences, not the full vocabulary.
+# ---------------------------------------------------------------------------
+HH_NUM = 1
+HH_DEN = 24  # phi = 1/24: a token is heavy iff count*DEN >= N*NUM (pure ints)
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    num: int = HH_NUM,
+    den: int = HH_DEN,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    token_pat: str = TOKEN_PAT,
+) -> DataFrame:
+    """(tok, cnt, n_occurrences) for every token with
+    cnt * den >= n_occurrences * num — exact counts, sketch-pruned.
+
+    The corpus occurrence total needs no extra scan: every occurrence
+    lands exactly once in each sketch row, so row 0's cell sum IS the
+    total (driver literal off the bounded depth x width table, same
+    pattern as the web-graph doc-count literal). The probe side is
+    ``depth`` broadcast joins of width-row cell tables — nothing
+    corpus-sized ever sits on the build side."""
+    sketch = cms_sketch(docs, text_col, depth, width, token_pat).localCheckpoint()
+    total = sketch.where(F.col("row_id") == 0).agg(F.sum("cnt")).first()[0] or 0
+    probe = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(token_pat), 0)
+        ).alias("tok")
+    )
+    for r in range(depth):
+        cells_r = sketch.where(F.col("row_id") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        probe = probe.withColumn(
+            f"b{r}", _bucket(F.lit(r), F.col("tok"), width)
+        ).join(F.broadcast(cells_r), f"b{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"c{r}"), F.lit(0).cast("long")) for r in range(depth)]
+    )
+    candidates = probe.where(est * F.lit(den) >= F.lit(int(total) * num))
+    return (
+        candidates.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * F.lit(den) >= F.lit(int(total) * num))
+        .select("tok", "cnt", F.lit(int(total)).cast("long").alias("n_occurrences"))
+    )

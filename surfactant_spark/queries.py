@@ -2489,6 +2489,31 @@ FROM cells GROUP BY row_id, bucket
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-pruned exact heavy hitters (Cormode-Muthukrishnan two-pass):
+    pass 1 the bounded sketch, pass 2 exact counts over only the
+    occurrences whose estimate clears phi*N. CMS never undercounts, so
+    the prune is lossless and the oracle is the PLAIN exact
+    GROUP BY ... HAVING — the sketch never has to appear on the oracle
+    surface at all."""
+    from .operators.sketch import heavy_hitters
+
+    return heavy_hitters(_read(spark, sf_dir, "documents"))
+
+
+def _sql_heavy_hitters(num: int = 1, den: int = 24) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PAT}')) AS tok
+  FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT c.tok, c.cnt, t.n AS n_occurrences
+FROM c, tot t
+WHERE c.cnt * {den} >= t.n * {num}
+"""
+
+
 def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via the HyperLogLog
     register sketch — the cardinality member of the sketch family
@@ -2916,7 +2941,8 @@ QUERIES = {
     "token_hll": q_token_hll,
     "host_graph_incremental": q_host_graph_incremental,
     "kg_diff": q_kg_diff,
-    # -- driver-proven in r01-r04; first 27 stay inside the 50-row window --
+    "heavy_hitters": q_heavy_hitters,
+    # -- driver-proven in r01-r04; entries up to the 50-row cap stay inside --
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
     "dedup_exact": q_dedup_exact,
@@ -3076,6 +3102,7 @@ ORACLE_SQL = {
     "kg_incremental": SQL_KG_EDGES,
     "token_cms": _sql_token_cms(),
     "token_hll": _sql_token_hll(),
+    "heavy_hitters": _sql_heavy_hitters(),
     "length_quantiles": _sql_length_quantiles(),
     "lang_quantiles": _sql_lang_quantiles(),
     "kg_negatives": _sql_kg_negatives(),

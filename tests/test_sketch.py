@@ -189,3 +189,71 @@ def test_hll_grouped_and_driver_safe_columns(spark):
     for r in rows.values():
         assert r.n_regs + r.v_zero == 512
         assert r.denom_scaled > 0
+
+
+# ---------------------------------------------------------------------------
+# CMS-pruned exact heavy hitters
+# ---------------------------------------------------------------------------
+def _wide_vocab_docs(spark):
+    """900 distinct rare tokens (1 occurrence each) + 2 heavy tokens —
+    wide enough that CMS cells collide and the prune has real work."""
+    rare = [(i, f"rare{i:04d}x token-filler") for i in range(900)]
+    heavy = [(1000 + i, "heavyone heavytwo heavyone") for i in range(300)]
+    return spark.createDataFrame(rare + heavy, "doc_id long, text string")
+
+
+def test_heavy_hitters_equal_plain_exact(spark):
+    """The prune is lossless (CMS never undercounts), so the sketch-
+    pruned output must EQUAL the plain exact GROUP BY ... HAVING —
+    the property that lets the oracle skip the sketch entirely."""
+    from surfactant_spark.operators.sketch import heavy_hitters
+
+    docs = _wide_vocab_docs(spark)
+    got = {(r.tok, r.cnt, r.n_occurrences) for r in heavy_hitters(docs).collect()}
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z][a-z0-9_.\-]{3,}"), 0)
+        ).alias("tok")
+    )
+    n = toks.count()
+    want = {
+        (r.tok, r.cnt, n)
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 24 >= n)
+        .collect()
+    }
+    assert got == want and len(got) >= 2  # both heavy tokens + filler found
+
+
+def test_heavy_hitters_prune_cuts_candidate_occurrences(spark):
+    """The scale claim: the exact pass must shuffle far fewer
+    occurrences than the corpus holds. Re-run the candidate filter the
+    operator applies and check it drops the rare-token mass."""
+    from surfactant_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = _wide_vocab_docs(spark)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z][a-z0-9_.\-]{3,}"), 0)
+        ).alias("tok")
+    )
+    n = toks.count()
+    sketch = cms_sketch(docs)
+    est = cms_estimate(sketch, toks.distinct())
+    survivors = est.where(F.col("est") * 24 >= n)
+    # 902 distinct tokens; only the heavy two plus collision victims may
+    # survive the prune (collisions bounded by eps*N per cell)
+    assert survivors.count() < 100
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from surfactant_spark.operators.sketch import heavy_hitters
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(empty).count() == 0
