@@ -248,3 +248,145 @@ def edge_negatives(
         .where((F.col("neg") != F.col(src)) & (F.col("neg") != F.col(dst)))
         .select(src, dst, "i", "neg")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS neighborhoods — bounded graph expansion for KG context
+# windows (entity neighborhood retrieval, crawl frontier scoping).
+# Reference analogue: Surfactant's transitive Contains/Uses walks over
+# the relationship table (`surfactant/cmd/merge.py` root resolution
+# walks parent edges); here generalized to min-hop labeling.
+# ---------------------------------------------------------------------------
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """(id, hops) for every node within ``k`` hops of ``seeds`` —
+    hops = BFS distance (0 for the seeds themselves).
+
+    Spark-first shape: per level ONE equi join (frontier x edges) +
+    distinct + left_anti against the seen set — the synchronous-BFS
+    plan Pregel lowers to. The seen set and each frontier are
+    ``localCheckpoint``-ed (iterative self-referential lineage, same
+    discipline as pagerank_fixed / connected_components). No driver
+    actions: an exhausted frontier makes the remaining levels empty
+    joins, which AQE collapses — k is small and fixed, so the
+    empty-frontier early-exit count() is not worth an action per level.
+
+    At cluster scale the edge table would be bucketed by ``src`` so
+    per-level joins never re-shuffle the big side; frontier sizes are
+    bounded by the k-hop ball, the classic BFS-on-web-graph behavior.
+    Null node ids in ``seeds`` are dropped (they can never match an
+    edge endpoint in either engine)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    e = e.where(F.col("a") != F.col("b")).dropDuplicates().localCheckpoint(eager=True)
+    seed_col = seeds.columns[0]
+    seen = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .where(F.col("id").isNotNull())
+        .dropDuplicates()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seen.select("id")
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["a"])
+            .select(F.col("b").alias("id"))
+            .dropDuplicates()
+            .join(seen.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(i).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return seen
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration HITS (hubs & authorities) — PageRank's bipartite
+# companion for link graphs: directories/portals score as hubs, the
+# pages they point at as authorities (Kleinberg 1999).
+# ---------------------------------------------------------------------------
+def hits_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = None,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Run ``iters`` synchronous HITS rounds; returns (id, hub, auth).
+
+    h_0(v) = 1;  a_i(v) = sum_{u->v} w * h_{i-1}(u);
+    h_i(v) = sum_{v->w} w * a_i(w) — the unnormalized power iteration,
+    all integer and therefore exact and aggregation-order-independent
+    (the bit-exact-replay discipline of pagerank_fixed; HITS's usual
+    L2 normalization needs sqrt, so instead each score vector is
+    rescaled by the INTEGER factor max(raw) div scale — the relative
+    ranking is unchanged and every value stays near ``scale``,
+    bounding the next round's sums at W * 2*scale << 2^63 even at
+    10^12-edge weight totals, where the un-rescaled recurrence would
+    overflow by round two).
+
+    Per iteration: two equi joins + two aggregations, shuffling on the
+    edge endpoints (bucket the edge table by src/dst at cluster scale);
+    the rescale factor is a 1-row broadcast, not a driver action.
+    Multi-edges contribute multiply — pass distinct edges or weights.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w_expr = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_expr.alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def rescaled(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("_mx"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.expr(
+                    f"raw div greatest(cast(1 as bigint), _mx div {scale})"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("id", F.lit(1).cast("long").alias("score"))
+    a = None
+    for _ in range(iters):
+        a = rescaled(
+            e.join(h, e["src"] == h["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("score")).alias("raw"))
+            .select(F.col("dst").alias("id"), "raw")
+        )
+        h = rescaled(
+            e.join(a, e["dst"] == a["id"])
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("score")).alias("raw"))
+            .select(F.col("src").alias("id"), "raw")
+        )
+    return (
+        nodes.join(h.withColumnRenamed("score", "hub"), "id", "left")
+        .join(a.withColumnRenamed("score", "auth"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0).cast("long")).alias("hub"),
+            F.coalesce("auth", F.lit(0).cast("long")).alias("auth"),
+        )
+    )

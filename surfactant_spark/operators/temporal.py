@@ -1,0 +1,92 @@
+"""Distributed as-of (temporal) join — the operator Spark's built-in
+join family lacks.
+
+KG-construction use: entity linking against a VERSIONED alias
+dictionary — each mention must resolve against the dictionary version
+in effect at its crawl timestamp (`warc_ts`), the temporal refinement
+of the reference's import→export symbol resolution
+(`surfactant/relationships/java_relationship.py:11-51`, which joins
+against the single current dictionary). The same primitive backs
+sessionized attribution (purchase → latest preceding view) and
+snapshot-consistent dimension lookups.
+
+Spark-first shape (the Flint/tempo union trick, not a range join):
+tag build rows 0 and probe rows 1, union them, and take
+``last(match, ignorenulls=True)`` over a window partitioned by the key
+and ordered by (ts, side) with an unbounded-preceding frame. That is
+ONE shuffle on the key plus a per-key sort — a θ-join
+(`probe.ts >= build.ts`) would lower to BNLJ and a per-probe-row scan
+of the build side, quadratic per key. The matched build row rides as a
+single STRUCT so the match is row-atomic (per-column ``last`` would
+mix build rows when a build column is null).
+
+Semantics (= DuckDB `ASOF LEFT JOIN ... ON p.key = b.key AND
+p.ts >= b.ts`, which the oracle runs as an independent
+implementation): per probe row, the build row with the greatest
+build_ts <= probe_ts for the same key, else nulls. Inclusive: a build
+row AT the probe timestamp matches (build sorts before probe at equal
+ts). Build rows with a null key or null ts never match (pre-filtered —
+Spark windows would otherwise group null keys together while SQL join
+equality never matches null). Build (key, ts) pairs must be unique —
+aggregate first; among exact duplicates the survivor is
+partition-order-dependent in any engine.
+
+Scale: the shuffle is on the join key; a pathologically hot key
+serializes its window in one task. The standard refinement — range-
+bucket each hot key's timeline and replicate the last build row of
+each bucket into the next — is documented, not implemented; AQE
+handles the ordinary skew of the union's exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    value_cols=None,
+    prefix: str = "last_",
+) -> DataFrame:
+    """Backward inclusive as-of join: every ``probe`` row, plus the
+    latest ``build`` row (same ``key``, ``build_ts <= probe_ts``) as
+    ``{prefix}{build_ts}`` and ``{prefix}{col}`` columns (null when no
+    build row precedes). ``value_cols`` defaults to every build column
+    except the key and timestamp."""
+    if value_cols is None:
+        value_cols = [c for c in build.columns if c not in (key, build_ts)]
+    out_cols = list(probe.columns)
+    b = build.where(F.col(key).isNotNull() & F.col(build_ts).isNotNull()).select(
+        F.col(key).alias("_asof_key"),
+        F.col(build_ts).alias("_asof_ts"),
+        F.struct(
+            F.col(build_ts).alias("_ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_asof_match"),
+        F.lit(0).alias("_asof_side"),
+    )
+    p = probe.select(
+        "*",
+        F.col(key).alias("_asof_key"),
+        F.col(probe_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+    )
+    w = (
+        Window.partitionBy("_asof_key")
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        p.unionByName(b, allowMissingColumns=True)
+        .withColumn("_asof_m", F.last("_asof_match", ignorenulls=True).over(w))
+        .where(F.col("_asof_side") == 1)
+        .select(
+            *out_cols,
+            F.col("_asof_m._ts").alias(f"{prefix}{build_ts}"),
+            *[F.col(f"_asof_m.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        )
+    )

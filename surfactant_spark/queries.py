@@ -2904,6 +2904,205 @@ JOIN na na2 ON p.ent_b = na2.ent, nn
 
 
 # ---------------------------------------------------------------------------
+# as-of (temporal) join — operators/temporal.py
+# ---------------------------------------------------------------------------
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward inclusive as-of join over the events stream: each
+    purchase is attributed to the user's latest view at-or-before it
+    (the versioned-dictionary lookup shape of temporal entity linking).
+    The Spark side is the union+window trick (one shuffle on the key,
+    no range join); the DuckDB oracle is the INDEPENDENT native
+    `ASOF LEFT JOIN` implementation — cross-algorithm agreement, not a
+    replay. The view side is pre-aggregated to unique (user_id, ts) so
+    the match is deterministic in both engines."""
+    from .operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, views, key="user_id", probe_ts="ts", build_ts="ts",
+        value_cols=["view_value"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("value").alias("purchase_value"),
+        F.unix_timestamp("last_ts").alias("view_epoch"),
+        F.col("last_view_value").alias("view_value"),
+    )
+
+
+SQL_EVENT_ASOF = """
+WITH v AS (SELECT user_id, ts, MAX(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       p.value AS purchase_value,
+       CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS neighborhoods — operators/graphrank.py
+# ---------------------------------------------------------------------------
+KHOP_K = 3
+
+
+def _sql_khop_unrolled(edges_sql: str, id_name: str, k: int = KHOP_K) -> str:
+    """Unrolled BFS replay: level CTEs l1..lk, each the distinct
+    neighbors of the previous level minus everything already seen —
+    the same frontier recurrence khop_neighbors runs, so min-hop
+    labels agree exactly. ``edges_sql`` must yield (src, dst); the
+    seed is the minimum endpoint id (null-guarded, so an empty edge
+    table is empty in both engines rather than a null seed row)."""
+    ctes = [
+        f"e0 AS ({edges_sql})",
+        "sym AS (SELECT src AS a, dst AS b FROM e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM e0 WHERE src <> dst)",
+        "s0 AS (SELECT id FROM (SELECT MIN(LEAST(src, dst)) AS id FROM e0)"
+        " WHERE id IS NOT NULL)",
+    ]
+    seen = ["s0"]
+    for i in range(1, k + 1):
+        prev = seen[-1]
+        seen_union = " UNION ALL ".join(f"SELECT id FROM {s}" for s in seen)
+        ctes.append(
+            f"l{i} AS (SELECT DISTINCT b AS id FROM sym"
+            f" JOIN {prev} ON sym.a = {prev}.id"
+            f" WHERE b NOT IN ({seen_union}))"
+        )
+        seen.append(f"l{i}")
+    levels = "\nUNION ALL ".join(
+        f"SELECT id, CAST({i} AS INTEGER) AS hops FROM {s}"
+        for i, s in enumerate(seen)
+    )
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT id AS {id_name}, hops FROM ({levels})"
+
+
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS ball around the lowest-id canonical entity over the
+    undirected KG edge graph — entity-neighborhood retrieval (the
+    context window a KG-RAG system materializes per seed). Synchronous
+    frontier BFS: one join + distinct + anti-join per level, seen set
+    checkpointed (the north rule's iterative-self-join discipline)."""
+    from .operators.graphrank import khop_neighbors
+
+    edges = (
+        q_kg_edges(spark, sf_dir)
+        .select("subj_id", "obj_id")
+        .localCheckpoint(eager=True)
+    )
+    seeds = edges.agg(
+        F.least(F.min("subj_id"), F.min("obj_id")).alias("id")
+    ).where(F.col("id").isNotNull())
+    return khop_neighbors(
+        edges, seeds, src="subj_id", dst="obj_id", k=KHOP_K
+    ).select(F.col("id").alias("entity"), "hops")
+
+
+def _sql_kg_khop(k: int = KHOP_K) -> str:
+    return _sql_khop_unrolled(
+        f"SELECT subj_id AS src, obj_id AS dst FROM ({SQL_KG_EDGES})",
+        "entity",
+        k,
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration HITS — operators/graphrank.py over the host graph
+# ---------------------------------------------------------------------------
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+
+
+def _sql_hits_unrolled(
+    edges_sql: str, id_name: str, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> str:
+    """Unrolled integer-HITS replay: the a_i/h_i recurrence of
+    hits_fixed as chained CTEs, including the integer max-div-scale
+    rescale (all values non-negative, so DuckDB's // and Spark's div
+    agree exactly; SUMs cast back from DuckDB's HUGEINT).
+    ``edges_sql`` must yield (src, dst, w)."""
+
+    def resc(name: str, raw: str) -> str:
+        return (
+            f"{name} AS (SELECT id, raw // GREATEST(CAST(1 AS BIGINT),"
+            f" (SELECT MAX(raw) FROM {raw}) // {scale}) AS score FROM {raw})"
+        )
+
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "a1r AS (SELECT dst AS id, CAST(SUM(w) AS BIGINT) AS raw"
+        " FROM e GROUP BY dst)",
+        resc("a1", "a1r"),
+    ]
+    for i in range(1, iters + 1):
+        if i > 1:
+            ctes.append(
+                f"a{i}r AS (SELECT e.dst AS id,"
+                f" CAST(SUM(e.w * h{i - 1}.score) AS BIGINT) AS raw"
+                f" FROM e JOIN h{i - 1} ON e.src = h{i - 1}.id GROUP BY e.dst)"
+            )
+            ctes.append(resc(f"a{i}", f"a{i}r"))
+        ctes.append(
+            f"h{i}r AS (SELECT e.src AS id,"
+            f" CAST(SUM(e.w * a{i}.score) AS BIGINT) AS raw"
+            f" FROM e JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src)"
+        )
+        ctes.append(resc(f"h{i}", f"h{i}r"))
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT n.id AS {id_name},"
+        f" CAST(COALESCE(h{iters}.score, 0) AS BIGINT) AS hub,"
+        f" CAST(COALESCE(a{iters}.score, 0) AS BIGINT) AS auth\n"
+        f"FROM nodes n LEFT JOIN h{iters} ON n.id = h{iters}.id"
+        f" LEFT JOIN a{iters} ON n.id = a{iters}.id"
+    )
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs & authorities over the host link graph, weighted by link
+    counts — PageRank's bipartite companion (directories score as
+    hubs, their targets as authorities). Integer power iteration with
+    max-div-scale rescaling: exact, order-independent, overflow-safe
+    at web-scale weight totals."""
+    from .operators.graphrank import hits_fixed
+    from .operators.webgraph import host_graph
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        "n_links",
+    )
+    return hits_fixed(
+        edges, weight_col="n_links", iters=HITS_ITERS, scale=HITS_SCALE
+    ).select(F.col("id").alias("host"), "hub", "auth")
+
+
+def _sql_host_hits(path: str) -> str:
+    return _sql_hits_unrolled(
+        "SELECT src_host AS src, dst_host AS dst, n_links AS w"
+        f" FROM ({_sql_host_graph(path)})",
+        "host",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 # Registry order is load-bearing: the external correctness gate records only the
@@ -2914,6 +3113,10 @@ JOIN na na2 ON p.ent_b = na2.ent, nn
 # were all driver-green in CORRECTNESS_r01..r04 and are unchanged; COVERAGE.md
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
+    # -- newest first: never driver-checked (round-5 late additions) --
+    "event_asof": q_event_asof,
+    "kg_khop": q_kg_khop,
+    "host_hits": q_host_hits,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3012,6 +3215,9 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "event_asof": SQL_EVENT_ASOF,
+    "kg_khop": _sql_kg_khop(),
+    "host_hits": _sql_host_hits(_web_pages_file()),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

@@ -312,3 +312,79 @@ def test_edge_negatives_plan_is_broadcast_equi(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS neighborhoods
+# ---------------------------------------------------------------------------
+def _khop(spark, edges, seeds, **kw):
+    from surfactant_spark.operators.graphrank import khop_neighbors
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "id string")
+    return {r.id: r.hops for r in khop_neighbors(e, s, **kw).collect()}
+
+
+def test_khop_chain_undirected(spark):
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = _khop(spark, chain, ["a"], k=3)
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops: excluded
+
+
+def test_khop_directed_follows_edge_direction(spark):
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = _khop(spark, chain, ["c"], k=3, directed=True)
+    assert got == {"c": 0, "d": 1, "e": 2}  # nothing upstream of c
+
+
+def test_khop_min_hops_on_cycle_and_seed_hygiene(spark):
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "a")]  # self-loop dropped
+    got = _khop(spark, tri, ["a", "a", None], k=2)
+    assert got == {"a": 0, "b": 1, "c": 1}  # c is 1 hop, never relabeled 2
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration integer HITS
+# ---------------------------------------------------------------------------
+_HITS_EDGES = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")]
+
+
+def test_hits_hand_computed_two_iterations(spark):
+    """h0=1; a1={A:1,B:1,C:2}; h1={A:3,B:2,C:1}; a2={A:1,B:3,C:5};
+    h2={A:8,B:5,C:1} — all rescale divisors 1 at the default scale."""
+    from surfactant_spark.operators.graphrank import hits_fixed
+
+    e = spark.createDataFrame(_HITS_EDGES, "src string, dst string")
+    got = {r.id: (r.hub, r.auth) for r in hits_fixed(e, iters=2).collect()}
+    assert got == {"A": (8, 1), "B": (5, 3), "C": (1, 5)}
+
+
+def test_hits_rescale_divides_by_integer_factor(spark):
+    """At scale=3 the final hub raws {A:8,B:5,C:1} rescale by
+    8 div 3 = 2 -> {A:4,B:2,C:0}; earlier rounds' divisors stay 1."""
+    from surfactant_spark.operators.graphrank import hits_fixed
+
+    e = spark.createDataFrame(_HITS_EDGES, "src string, dst string")
+    got = {r.id: (r.hub, r.auth) for r in hits_fixed(e, iters=2, scale=3).collect()}
+    assert got == {"A": (4, 1), "B": (2, 3), "C": (0, 5)}
+
+
+def test_hits_weighted_and_validation(spark):
+    """Weighted single edge u-(w=7)->v: a1(v)=7, h1(u)=49, a2(v)=343,
+    h2(u)=2401 (divisors all 1 at the default scale)."""
+    import pytest as _pytest
+
+    from surfactant_spark.operators.graphrank import hits_fixed
+
+    e = spark.createDataFrame([("u", "v", 7)], "src string, dst string, w long")
+    got = {r.id: (r.hub, r.auth) for r in hits_fixed(e, weight_col="w", iters=2).collect()}
+    assert got == {"u": (2401, 0), "v": (0, 343)}
+    with _pytest.raises(ValueError):
+        hits_fixed(e, iters=0)
+
+
+def test_hits_empty_edges(spark):
+    from surfactant_spark.operators.graphrank import hits_fixed
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert hits_fixed(e, iters=2).count() == 0

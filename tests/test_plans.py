@@ -329,3 +329,24 @@ def test_token_hll_plan_shape(spark):
     # formatted mode lists each node once in the tree and once in the
     # numbered detail section; count the detail entries
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_round5_late_queries_plan_shapes(spark):
+    """event_asof (union+window asof), kg_khop (frontier BFS): equi
+    joins / window only — no nested-loop, no cartesian, no Python.
+    host_hits is guarded separately: its per-round rescale is a 1-ROW
+    broadcast cross join (the agg frame), which Spark plans as
+    BroadcastNestedLoopJoin — deliberate and O(n) (the alternative, a
+    global unpartitioned window, would funnel every row through one
+    task); everything else in its plan must stay clean."""
+    from surfactant_spark.queries import q_event_asof, q_host_hits, q_kg_khop
+
+    for q in (q_event_asof, q_kg_khop):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+
+    plan = _plan(q_host_hits(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

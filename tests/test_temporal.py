@@ -1,0 +1,90 @@
+"""asof_join semantics (operators/temporal.py) — backward inclusive
+match, tie handling, no-match nulls, null-key hygiene, row-atomicity.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from surfactant_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2026-01-01T10:00:00")),  # after b@09:00 -> x
+            (2, "u1", _ts("2026-01-01T12:00:00")),  # after b@11:00 -> y
+            (3, "u1", _ts("2026-01-01T11:00:00")),  # tie: inclusive -> y
+            (4, "u2", _ts("2026-01-01T08:00:00")),  # before any u2 build -> null
+            (5, "u3", _ts("2026-01-01T10:00:00")),  # key with no builds -> null
+        ],
+        "pid long, k string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01T09:00:00"), "x", 1.0),
+            ("u1", _ts("2026-01-01T11:00:00"), "y", 2.0),
+            ("u2", _ts("2026-01-01T09:00:00"), "z", 3.0),
+            (None, _ts("2026-01-01T00:00:00"), "nullkey", 9.0),
+        ],
+        "k string, ts timestamp, tag string, v double",
+    )
+    return probe, build
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    probe, build = _frames(spark)
+    out = {
+        r.pid: (r.last_tag, r.last_v, r.last_ts)
+        for r in asof_join(probe, build, key="k").collect()
+    }
+    assert out[1] == ("x", 1.0, _ts("2026-01-01T09:00:00"))
+    assert out[2] == ("y", 2.0, _ts("2026-01-01T11:00:00"))
+    # equal timestamps match (build sorts before probe at a tie)
+    assert out[3] == ("y", 2.0, _ts("2026-01-01T11:00:00"))
+    # probe before any build, and key absent from build: all-null match
+    assert out[4] == (None, None, None)
+    assert out[5] == (None, None, None)
+    assert len(out) == 5  # every probe row survives (left semantics)
+
+
+def test_asof_match_is_row_atomic(spark):
+    """A null VALUE inside the matched build row must not fall back to
+    an earlier build row's value for that column (the struct carries
+    the whole row, per-column last(ignorenulls) would mix rows)."""
+    probe = spark.createDataFrame(
+        [(1, "u", _ts("2026-01-01T12:00:00"))], "pid long, k string, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [
+            ("u", _ts("2026-01-01T09:00:00"), "old", 1.0),
+            ("u", _ts("2026-01-01T11:00:00"), None, None),
+        ],
+        "k string, ts timestamp, tag string, v double",
+    )
+    r = asof_join(probe, build, key="k").collect()[0]
+    assert r.last_ts == _ts("2026-01-01T11:00:00")
+    assert r.last_tag is None and r.last_v is None
+
+
+def test_asof_value_cols_subset_and_prefix(spark):
+    probe, build = _frames(spark)
+    out = asof_join(
+        probe, build, key="k", value_cols=["tag"], prefix="prev_"
+    )
+    assert set(out.columns) == {"pid", "k", "ts", "prev_ts", "prev_tag"}
+
+
+def test_asof_plan_single_key_shuffle_no_bnlj(spark):
+    """The scale claim: the plan is a window over ONE key-hash
+    exchange — no BroadcastNestedLoopJoin / CartesianProduct (what a
+    theta-join formulation would lower to)."""
+    probe, build = _frames(spark)
+    plan = asof_join(probe, build, key="k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
