@@ -45,6 +45,7 @@ def pagerank_fixed(
     scale: int = 1_000_000,
     damping_pct: int = 85,
     weight_col: str = None,
+    seeds: DataFrame = None,
 ) -> DataFrame:
     """Run ``iters`` synchronous PageRank rounds over (src, dst) edges.
 
@@ -56,6 +57,14 @@ def pagerank_fixed(
     (rank_{i-1}(u) * w(u->v)) div wsum(u) with ``weight_col`` (integer
     edge weights > 0, e.g. evidence counts — a heavily-evidenced edge
     carries proportionally more of its source's mass).
+
+    With ``seeds`` (a 1-column node-id frame) this is PERSONALIZED
+    PageRank — the GraphRAG retrieval primitive: rank_0 and the
+    teleport term apply only to seed nodes (rank_0 = scale*[v in S],
+    base = scale*(100-d)/100*[v in S]), so mass diffuses outward from
+    the seed set and rank is relevance TO the seeds, not global
+    salience. Null/duplicate seed ids are dropped; the seed flag is a
+    broadcast-sized join against the node table, resolved once.
 
     Multi-edges contribute multiply — pass a distinct edge set for the
     unweighted form. Returns (id, rank) with rank in micro-units.
@@ -79,13 +88,27 @@ def pagerank_fixed(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    if seeds is not None:
+        seed_ids = (
+            seeds.select(F.col(seeds.columns[0]).alias("id"))
+            .where(F.col("id").isNotNull())
+            .dropDuplicates()
+            .withColumn("_s", F.lit(1).cast("long"))
+        )
+        nodes = (
+            nodes.join(seed_ids, "id", "left")
+            .select("id", F.coalesce("_s", F.lit(0).cast("long")).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        nodes = nodes.withColumn("s", F.lit(1).cast("long"))
     wsum = F.sum("w") if weight_col else F.count(F.lit(1))
     outdeg = e.groupBy("src").agg(wsum.alias("outdeg"))
     src_side = e.join(outdeg, "src").localCheckpoint(eager=True)
     contrib_expr = "(rank * w) div outdeg" if weight_col else "rank div outdeg"
 
     base = scale * (100 - damping_pct) // 100
-    ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
+    ranks = nodes.select("id", (F.lit(scale) * F.col("s")).cast("long").alias("rank"))
     for _ in range(iters):
         contribs = (
             src_side.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -101,7 +124,7 @@ def pagerank_fixed(
             .select(
                 "id",
                 (
-                    F.lit(base).cast("long")
+                    (F.lit(base) * F.col("s")).cast("long")
                     + F.expr(f"({damping_pct} * coalesce(c, 0L)) div 100")
                 ).alias("rank"),
             )
@@ -119,6 +142,7 @@ def pagerank_auto(
     damping_pct: int = 85,
     weight_col: str = None,
     small_threshold: int = 200_000,
+    seeds: DataFrame = None,
 ) -> DataFrame:
     """Dispatch: distributed checkpointed iteration for big edge sets,
     driver recurrence below ``small_threshold`` edges — the same
@@ -135,22 +159,30 @@ def pagerank_auto(
     rows = edges.select(*cols).take(small_threshold + 1)
     if len(rows) > small_threshold:
         return pagerank_fixed(
-            edges, src, dst, iters, scale, damping_pct, weight_col
+            edges, src, dst, iters, scale, damping_pct, weight_col, seeds
         )
     triples = [
         (r[0], r[1], int(r[2]) if weight_col else 1) for r in rows
     ]
     nodes = sorted({a for a, _, _ in triples} | {b for _, b, _ in triples})
+    seed_set = (
+        None
+        if seeds is None
+        else {r[0] for r in seeds.collect() if r[0] is not None}
+    )
+    in_s = (lambda v: 1) if seed_set is None else (lambda v: int(v in seed_set))
     wsum: dict = {}
     for a, _, w in triples:
         wsum[a] = wsum.get(a, 0) + w
-    rank = {v: scale for v in nodes}
+    rank = {v: scale * in_s(v) for v in nodes}
     base = scale * (100 - damping_pct) // 100
     for _ in range(iters):
         inc = {v: 0 for v in nodes}
         for a, b, w in triples:
             inc[b] += (rank[a] * w) // wsum[a]
-        rank = {v: base + (damping_pct * inc[v]) // 100 for v in nodes}
+        rank = {
+            v: base * in_s(v) + (damping_pct * inc[v]) // 100 for v in nodes
+        }
     spark = edges.sparkSession
     id_type = edges.schema[src].dataType.simpleString()
     if not nodes:
@@ -389,4 +421,85 @@ def hits_fixed(
             F.coalesce("hub", F.lit(0).cast("long")).alias("hub"),
             F.coalesce("auth", F.lit(0).cast("long")).alias("auth"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact triangle counting + local clustering coefficient — the
+# degree-ordered node-iterator (Suri & Vassilvitskii, WWW'11): orient
+# each undirected edge from the lower-(degree, id) endpoint to the
+# higher, enumerate wedges at each source, close them against the
+# oriented edge set. Orientation bounds every out-degree by O(sqrt(m)),
+# so wedge generation is O(m^1.5) worst case and a celebrity host with
+# 10^7 in-links generates NO wedges at all — the skew control that
+# makes the count feasible on a web graph where the naive wedge count
+# at hub nodes is quadratic.
+# ---------------------------------------------------------------------------
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(id, degree, n_triangles, clustering) per node over the
+    UNDIRECTED simple graph of ``edges`` (directions merged, self-loops
+    and multi-edges dropped). Each triangle is enumerated exactly once
+    (its unique vertex with two out-edges in the orientation) and
+    credited to all three corners; clustering = round(2T/(deg*(deg-1)),
+    6), 0.0 below degree 2 — the exact-integer-inputs-one-IEEE-division
+    discipline, identical in the SQL replay.
+
+    Shuffles: one dedup on the canonical edge, one degree agg, the
+    wedge self-join on the wedge center, the closing equi join on the
+    (v, w) pair. The degree table is host-cardinality — broadcast-sized
+    for a host graph; at entity scale AQE picks the strategy."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # wedges at u: ordered (v, w) pairs; the closing edge appears in o
+    # in exactly ONE of the two orders, so each triangle counts once
+    w2 = o.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = o.join(w2, F.col("u") == F.col("u2")).where(F.col("v") != F.col("w"))
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (F.coalesce("n_triangles", F.lit(0).cast("long")) * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
     )

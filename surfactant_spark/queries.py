@@ -2096,23 +2096,38 @@ def q_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("id").alias("entity"), "rank")
 
 
-def _sql_pagerank_unrolled(edges_sql: str, id_name: str, iters: int = PAGERANK_ITERS) -> str:
+def _sql_pagerank_unrolled(
+    edges_sql: str, id_name: str, iters: int = PAGERANK_ITERS, seed_sql: str = None
+) -> str:
     """Unrolled integer-PageRank replay: r0..r{iters} as chained CTEs,
     same integer floor-division recurrence as pagerank_fixed incl. the
     weighting (all values non-negative, so DuckDB's // and Spark's div
-    agree exactly). ``edges_sql`` must yield (src, dst, w)."""
+    agree exactly). ``edges_sql`` must yield (src, dst, w). With
+    ``seed_sql`` (yields id; may reference the edges CTE) the replay is
+    PERSONALIZED: rank_0 and the teleport base apply to seed nodes
+    only, matching pagerank_fixed(seeds=...)."""
     scale, base = 1_000_000, 150_000
     ctes = [
         f"edges AS ({edges_sql})",
         "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "outdeg AS (SELECT src, SUM(w) AS outdeg FROM edges GROUP BY src)",
-        f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM nodes)",
     ]
+    if seed_sql is None:
+        r0 = f"CAST({scale} AS BIGINT)"
+        base_term = f"{base}"
+    else:
+        ctes.append(
+            f"seeds AS (SELECT id FROM ({seed_sql}) WHERE id IS NOT NULL)"
+        )
+        seed_case = "WHEN {col} IN (SELECT id FROM seeds) THEN {val} ELSE 0 END"
+        r0 = "CAST(CASE " + seed_case.format(col="id", val=scale) + " AS BIGINT)"
+        base_term = "CASE " + seed_case.format(col="n.id", val=base)
+    ctes.append(f"r0 AS (SELECT id, {r0} AS rank FROM nodes)")
     for i in range(1, iters + 1):
         ctes.append(
             f"""r{i} AS (
   SELECT n.id,
-         CAST({base} + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS rank
+         CAST({base_term} + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS id, (r.rank * e.w) // o.outdeg AS contrib
     FROM edges e
@@ -3103,6 +3118,95 @@ def _sql_host_hits(path: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# personalized PageRank — operators/graphrank.py (seeded teleport)
+# ---------------------------------------------------------------------------
+def q_entity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the lowest-id canonical entity over
+    the evidence-weighted KG edge graph — relevance-to-seed scores,
+    the GraphRAG retrieval primitive (khop's ball gives the candidate
+    set; PPR ranks it). Same exact-integer recurrence and auto
+    driver/distributed dispatch as entity_rank, with rank_0 and the
+    teleport base gated on seed membership."""
+    from .operators.graphrank import pagerank_auto
+
+    edges = (
+        q_kg_edges(spark, sf_dir)
+        .select(
+            F.col("subj_id").alias("src"),
+            F.col("obj_id").alias("dst"),
+            "n_evidence",
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = edges.agg(F.least(F.min("src"), F.min("dst")).alias("id")).where(
+        F.col("id").isNotNull()
+    )
+    ranks = pagerank_auto(
+        edges, iters=PAGERANK_ITERS, weight_col="n_evidence", seeds=seeds
+    )
+    return ranks.select(F.col("id").alias("entity"), "rank")
+
+
+def _sql_entity_ppr(iters: int = PAGERANK_ITERS) -> str:
+    return _sql_pagerank_unrolled(
+        "SELECT subj_id AS src, obj_id AS dst, n_evidence AS w"
+        f" FROM ({SQL_KG_EDGES})",
+        "entity",
+        iters,
+        seed_sql="SELECT MIN(LEAST(src, dst)) AS id FROM edges",
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact triangle counting — operators/graphrank.py over the host graph
+# ---------------------------------------------------------------------------
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle count + local clustering coefficient over the
+    undirected host graph — the community-density statistic published
+    with real web-graph datasets. Degree-ordered wedge enumeration
+    (Suri & Vassilvitskii): out-degrees bounded by O(sqrt m), so hub
+    hosts generate no wedges — the skew control that keeps the count
+    feasible where naive wedge generation is quadratic at celebrities."""
+    from .operators.graphrank import triangle_counts
+    from .operators.webgraph import host_graph
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return triangle_counts(edges).select(
+        F.col("id").alias("host"), "degree", "n_triangles", "clustering"
+    )
+
+
+def _sql_host_triangles(path: str) -> str:
+    """Oracle enumerates each triangle once via id-ordered edges
+    (a<b<c) — a different orientation than the operator's degree
+    ordering, so agreement is cross-algorithm, not a replay; the
+    clustering double is the same exact-int inputs, one IEEE division,
+    one round(6) in both engines."""
+    return f"""
+WITH hg AS ({_sql_host_graph(path)}),
+raw AS (SELECT src_host AS x, dst_host AS y FROM hg WHERE src_host <> dst_host),
+und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw),
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM und ab JOIN und bc ON ab.b = bc.a
+        JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
+per AS (SELECT id, COUNT(*) AS n_triangles FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY id)
+SELECT deg.id AS host, deg.degree,
+       CAST(COALESCE(per.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree >= 2 THEN
+         round(CAST(2 * COALESCE(per.n_triangles, 0) AS DOUBLE)
+               / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+       ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN per ON deg.id = per.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 # Registry order is load-bearing: the external correctness gate records only the
@@ -3117,6 +3221,8 @@ QUERIES = {
     "event_asof": q_event_asof,
     "kg_khop": q_kg_khop,
     "host_hits": q_host_hits,
+    "entity_ppr": q_entity_ppr,
+    "host_triangles": q_host_triangles,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3218,6 +3324,8 @@ ORACLE_SQL = {
     "event_asof": SQL_EVENT_ASOF,
     "kg_khop": _sql_kg_khop(),
     "host_hits": _sql_host_hits(_web_pages_file()),
+    "entity_ppr": _sql_entity_ppr(),
+    "host_triangles": _sql_host_triangles(_web_pages_file()),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

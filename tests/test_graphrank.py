@@ -388,3 +388,83 @@ def test_hits_empty_edges(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert hits_fixed(e, iters=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seeded teleport)
+# ---------------------------------------------------------------------------
+def test_ppr_hand_computed_chain(spark):
+    """a->b->c, seed {a}, 2 iters: r1 = (150000, 850000, 0);
+    r2 = (150000, 127500, 722500) — teleport mass only at the seed."""
+    from surfactant_spark.operators.graphrank import pagerank_fixed
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    s = spark.createDataFrame([("a",)], "id string")
+    got = {r.id: r.rank for r in pagerank_fixed(e, iters=2, seeds=s).collect()}
+    assert got == {"a": 150_000, "b": 127_500, "c": 722_500}
+
+
+def test_ppr_auto_paths_agree_and_seed_hygiene(spark):
+    """Driver and distributed dispatch produce identical seeded ranks;
+    null/duplicate seed ids are dropped."""
+    from surfactant_spark.operators.graphrank import pagerank_auto, pagerank_fixed
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    s = spark.createDataFrame([("a",), ("a",), (None,)], "id string")
+    driver = {r.id: r.rank for r in pagerank_auto(e, iters=3, seeds=s).collect()}
+    dist = {r.id: r.rank for r in pagerank_fixed(e, iters=3, seeds=s).collect()}
+    assert driver == dist
+    assert driver["a"] > driver["b"] > 0  # mass concentrates near the seed
+
+
+# ---------------------------------------------------------------------------
+# exact triangle counting
+# ---------------------------------------------------------------------------
+def test_triangles_hand_computed(spark):
+    """K4 minus edge (a,d): triangles abc, bcd. Counts a:1 b:2 c:2 d:1;
+    clustering a=1.0, b=c=round(4/6,6), d=1.0."""
+    from surfactant_spark.operators.graphrank import triangle_counts
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r.id: (r.degree, r.n_triangles, r.clustering)
+        for r in triangle_counts(e).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (3, 2, 0.666667),
+        "c": (3, 2, 0.666667),
+        "d": (2, 1, 1.0),
+    }
+
+
+def test_triangles_merge_directions_and_drop_loops(spark):
+    """Reversed duplicates and self-loops must not change the simple-
+    graph counts."""
+    from surfactant_spark.operators.graphrank import triangle_counts
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a")],
+        "src string, dst string",
+    )
+    got = {r.id: (r.degree, r.n_triangles) for r in triangle_counts(e).collect()}
+    assert got == {"a": (2, 1), "b": (2, 1), "c": (2, 1)}
+
+
+def test_triangles_star_is_triangle_free(spark):
+    """A hub with only leaf edges has zero triangles and — because the
+    hub sorts LAST in the degree order — zero oriented out-edges, the
+    skew-control property."""
+    from surfactant_spark.operators.graphrank import triangle_counts
+
+    e = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], "src string, dst string"
+    )
+    rows = triangle_counts(e).collect()
+    assert all(r.n_triangles == 0 and r.clustering == 0.0 for r in rows)
+    assert {r.id: r.degree for r in rows}["hub"] == 6

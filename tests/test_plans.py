@@ -339,9 +339,14 @@ def test_round5_late_queries_plan_shapes(spark):
     BroadcastNestedLoopJoin — deliberate and O(n) (the alternative, a
     global unpartitioned window, would funnel every row through one
     task); everything else in its plan must stay clean."""
-    from surfactant_spark.queries import q_event_asof, q_host_hits, q_kg_khop
+    from surfactant_spark.queries import (
+        q_event_asof,
+        q_host_hits,
+        q_host_triangles,
+        q_kg_khop,
+    )
 
-    for q in (q_event_asof, q_kg_khop):
+    for q in (q_event_asof, q_kg_khop, q_host_triangles):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
