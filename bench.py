@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "token_hll",
     "length_quantiles",
     "lang_quantiles",
+    "event_asof",
+    "kg_khop",
+    "entity_ppr",
 ]
 
 

@@ -90,3 +90,55 @@ def asof_join(
             *[F.col(f"_asof_m.{c}").alias(f"{prefix}{c}") for c in value_cols],
         )
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the furthest prefix of
+    ``steps`` completed IN ORDER, with the earliest completion
+    timestamp of each stage (t1..tn, null once the funnel breaks).
+
+    Stage semantics: t1 = min ts of a step-1 event; t_i = min ts of a
+    step-i event AT OR AFTER t_{i-1} — the standard earliest-
+    completion funnel recurrence (greedy-earliest is optimal: any
+    later choice of an earlier stage only shrinks the candidate set
+    for the next one). Rows exist for every user who completed stage
+    1; ``stage`` counts completed stages.
+
+    Spark-first shape: one filtered per-user min-agg plus one equi
+    join per step — every shuffle keys on the user column, no window
+    over the full event stream and no per-user sort (the event table
+    is touched once per step with a pushed-down type filter, so a
+    3-step funnel over 10^12 events is 3 filtered scans, not a
+    quadratic self-join). Inclusive >= keeps same-timestamp
+    cross-type chains (types differ, so no event matches twice)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(out.select(user_col, f"t{i - 1}"), user_col)
+            .where(F.col(ts_col) >= F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    stage = sum(
+        F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return out.select(
+        user_col,
+        stage.cast("int").alias("stage"),
+        *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
+    )

@@ -2969,6 +2969,46 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: furthest
+    in-order stage completed plus the earliest completion time of each
+    stage. One filtered per-user min-agg + one equi join per step —
+    every shuffle keys on user_id, no full-stream window sort."""
+    from .operators.temporal import funnel_stages
+
+    f = funnel_stages(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+    return f.select(
+        "user_id",
+        "stage",
+        F.unix_timestamp("t1").alias("view_epoch"),
+        F.unix_timestamp("t2").alias("click_epoch"),
+        F.unix_timestamp("t3").alias("purchase_epoch"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+SELECT s1.user_id,
+       CAST(1 + CAST(s2.t2 IS NOT NULL AS INTEGER)
+              + CAST(s3.t3 IS NOT NULL AS INTEGER) AS INTEGER) AS stage,
+       CAST(FLOOR(epoch(s1.t1)) AS BIGINT) AS view_epoch,
+       CAST(FLOOR(epoch(s2.t2)) AS BIGINT) AS click_epoch,
+       CAST(FLOOR(epoch(s3.t3)) AS BIGINT) AS purchase_epoch
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # k-hop BFS neighborhoods — operators/graphrank.py
 # ---------------------------------------------------------------------------
@@ -3223,6 +3263,7 @@ QUERIES = {
     "host_hits": q_host_hits,
     "entity_ppr": q_entity_ppr,
     "host_triangles": q_host_triangles,
+    "event_funnel": q_event_funnel,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3326,6 +3367,7 @@ ORACLE_SQL = {
     "host_hits": _sql_host_hits(_web_pages_file()),
     "entity_ppr": _sql_entity_ppr(),
     "host_triangles": _sql_host_triangles(_web_pages_file()),
+    "event_funnel": SQL_EVENT_FUNNEL,
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

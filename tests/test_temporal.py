@@ -88,3 +88,55 @@ def test_asof_plan_single_key_shuffle_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages
+# ---------------------------------------------------------------------------
+def test_funnel_order_matters_and_earliest_completion(spark):
+    import pytest as _pytest
+
+    from surfactant_spark.operators.temporal import funnel_stages
+
+    rows = [
+        # A: full funnel, with an early click BEFORE the view that must
+        # be ignored, and two valid clicks where the earliest wins
+        ("A", "click", "2026-01-01T08:00:00"),
+        ("A", "view", "2026-01-01T09:00:00"),
+        ("A", "click", "2026-01-01T10:00:00"),
+        ("A", "click", "2026-01-01T11:00:00"),
+        ("A", "purchase", "2026-01-01T12:00:00"),
+        # B: purchase happens before the click -> funnel stops at 2
+        ("B", "view", "2026-01-01T09:00:00"),
+        ("B", "purchase", "2026-01-01T09:30:00"),
+        ("B", "click", "2026-01-01T10:00:00"),
+        # C: view only
+        ("C", "view", "2026-01-01T09:00:00"),
+        # D: never views -> no row at all
+        ("D", "click", "2026-01-01T09:00:00"),
+        ("D", "purchase", "2026-01-01T10:00:00"),
+        # E: same-timestamp chain is inclusive
+        ("E", "view", "2026-01-01T09:00:00"),
+        ("E", "click", "2026-01-01T09:00:00"),
+        ("E", "purchase", "2026-01-01T09:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, _ts(s)) for u, t, s in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+    got = {
+        r.user_id: (r.stage, r.t1, r.t2, r.t3)
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(got) == {"A", "B", "C", "E"}
+    assert got["A"] == (
+        3,
+        _ts("2026-01-01T09:00:00"),
+        _ts("2026-01-01T10:00:00"),
+        _ts("2026-01-01T12:00:00"),
+    )
+    assert got["B"][0] == 2 and got["B"][3] is None
+    assert got["C"][0] == 1 and got["C"][2] is None and got["C"][3] is None
+    assert got["E"][0] == 3 and got["E"][1] == got["E"][3]
+    with _pytest.raises(ValueError):
+        funnel_stages(ev, [])
