@@ -311,3 +311,67 @@ def exact_quantiles(
         .where((F.col("lo") <= idx) & (idx < F.col("hi")))
         .select(*g, F.col("qq.q").alias("q"), F.col("val").alias("value"))
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining with a PMI-style lift score:
+    (tok_a, tok_b, n_ab, n_a, n_b, n_tokens, lift) for every ordered
+    adjacent whitespace-token pair occurring >= ``min_count`` times,
+    lift = round(n_ab * N / (n_a * n_b), 6) — the corpus-statistics
+    companion of webgraph.comention_lift (same exact-integer inputs,
+    one IEEE multiply-divide, one round(6); log-PMI would drag libm
+    onto the oracle surface, and lift orders pairs identically).
+
+    Spark-first shape: bigrams are built ROW-LOCALLY with a
+    ``transform`` over the token array — no positional self-join and
+    no per-document window sort; the first shuffle is the bigram
+    count itself (map-side combinable), the unigram side is a second
+    combinable agg over the same scan, and the corpus total joins in
+    as a 1-row broadcast. Everything is linear in token occurrences.
+    """
+    from .dedup import tokenized
+
+    tok = tokenized(docs, text_col).localCheckpoint(eager=True)
+    big = tok.select(
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+                " (t, i) -> struct(t AS a, element_at(_toks, i + 2) AS b))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("tok_a"), F.col("bg.b").alias("tok_b"))
+    bc = (
+        big.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        tok.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("n").cast("long").alias("n_tokens"))
+    return (
+        bc.join(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b")), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_tokens",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_tokens").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -273,3 +273,27 @@ def host_graph_fold(state_edges: DataFrame, delta_pages: DataFrame,
             F.sum("n_src_pages").cast("long").alias("n_src_pages"),
         )
     )
+
+
+def crawl_frontier(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
+    """Uncrawled link targets ranked by evidence: hosts that appear as
+    a link DESTINATION but never as a crawled SOURCE, with their
+    aggregate in-link volume and referrer breadth — the crawl-
+    scheduling product (what to fetch next) a Common-Crawl-style
+    pipeline feeds back into its seed list.
+
+    One left_anti equi join of the host-pair aggregate against the
+    crawled-host dimension (both host-cardinality, broadcast-sized
+    relative to the corpus), then one keyed agg. Never touches pages
+    beyond the shared link-extraction pass."""
+    hg = host_graph(pages, links).localCheckpoint(eager=True)
+    crawled = hg.select(F.col("src_host").alias("dst_host")).dropDuplicates()
+    return (
+        hg.join(crawled, "dst_host", "left_anti")
+        .groupBy("dst_host")
+        .agg(
+            F.sum("n_links").cast("long").alias("in_links"),
+            F.count(F.lit(1)).alias("n_referrers"),
+        )
+        .select(F.col("dst_host").alias("host"), "in_links", "n_referrers")
+    )

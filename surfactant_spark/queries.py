@@ -3247,6 +3247,77 @@ FROM deg LEFT JOIN per ON deg.id = per.id
 
 
 # ---------------------------------------------------------------------------
+# collocation mining — operators/textops.py
+# ---------------------------------------------------------------------------
+COLLOC_MIN = 5
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations with PMI-style lift over the
+    corpus: bigrams built row-locally (transform over the token array
+    — no positional self-join, no per-doc window sort), counted with
+    map-side-combinable aggs, corpus total as a 1-row broadcast."""
+    from .operators.textops import collocations
+
+    return collocations(_read(spark, sf_dir, "documents"), min_count=COLLOC_MIN)
+
+
+def _sql_collocations(min_count: int = COLLOC_MIN) -> str:
+    return f"""
+WITH toks AS ({SQL_TOKS_SUBSELECT}),
+uni AS (SELECT u.tok AS tok, COUNT(*) AS n
+        FROM toks, UNNEST(toks) AS u(tok) GROUP BY u.tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM uni),
+big AS (SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+        FROM toks, UNNEST(range(1, len(toks))) AS g(i)),
+bc AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM big
+       GROUP BY tok_a, tok_b HAVING COUNT(*) >= {min_count})
+SELECT bc.tok_a, bc.tok_b, bc.n_ab, ua.n AS n_a, ub.n AS n_b,
+       t.nt AS n_tokens,
+       round(CAST(bc.n_ab AS DOUBLE) * CAST(t.nt AS DOUBLE)
+             / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)), 6) AS lift
+FROM bc JOIN uni ua ON bc.tok_a = ua.tok
+JOIN uni ub ON bc.tok_b = ub.tok, tot t
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl frontier — operators/webgraph.py
+# ---------------------------------------------------------------------------
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncrawled link targets ranked by in-link evidence: the crawl-
+    scheduling feedback product (host-cardinality anti join + keyed
+    agg over the shared link-extraction pass). The fixture corpus is a
+    COMPLETE crawl (every linked host was fetched), so the query
+    simulates the mid-crawl state by withholding the hot domain's
+    pages — hot.example.com must then surface on the frontier with its
+    aggregated in-link evidence from the crawled site hosts."""
+    from .operators.webgraph import crawl_frontier
+
+    pages = _read_web_pages(spark).where(
+        ~F.col("url").startswith("https://hot.")
+    )
+    return crawl_frontier(pages)
+
+
+def _sql_crawl_frontier(path: str) -> str:
+    hg_sql = _sql_host_graph(path)
+    needle = f"FROM read_parquet('{path}')"
+    assert hg_sql.count(needle) == 1
+    hg_sql = hg_sql.replace(
+        needle, f"{needle} WHERE url NOT LIKE 'https://hot.%'"
+    )
+    return f"""
+WITH hg AS ({hg_sql}),
+crawled AS (SELECT DISTINCT src_host FROM hg)
+SELECT dst_host AS host, CAST(SUM(n_links) AS BIGINT) AS in_links,
+       COUNT(*) AS n_referrers
+FROM hg WHERE dst_host NOT IN (SELECT src_host FROM crawled)
+GROUP BY dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 # Registry order is load-bearing: the external correctness gate records only the
@@ -3264,6 +3335,8 @@ QUERIES = {
     "entity_ppr": q_entity_ppr,
     "host_triangles": q_host_triangles,
     "event_funnel": q_event_funnel,
+    "collocations": q_collocations,
+    "crawl_frontier": q_crawl_frontier,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3368,6 +3441,8 @@ ORACLE_SQL = {
     "entity_ppr": _sql_entity_ppr(),
     "host_triangles": _sql_host_triangles(_web_pages_file()),
     "event_funnel": SQL_EVENT_FUNNEL,
+    "collocations": _sql_collocations(),
+    "crawl_frontier": _sql_crawl_frontier(_web_pages_file()),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

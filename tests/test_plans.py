@@ -346,12 +346,22 @@ def test_round5_late_queries_plan_shapes(spark):
         q_kg_khop,
     )
 
-    for q in (q_event_asof, q_kg_khop, q_host_triangles):
+    from surfactant_spark.queries import (
+        q_collocations,
+        q_crawl_frontier,
+        q_event_funnel,
+    )
+
+    for q in (q_event_asof, q_kg_khop, q_host_triangles, q_event_funnel,
+              q_crawl_frontier):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
 
-    plan = _plan(q_host_hits(spark, SF_DIR))
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
+    # host_hits / collocations: the 1-row corpus-total (or rescale
+    # factor) broadcast cross join is the deliberate exception
+    for q in (q_host_hits, q_collocations):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__

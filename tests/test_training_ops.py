@@ -332,3 +332,30 @@ def test_exact_quantiles_grouped(spark):
         ("a", 0.5): 2, ("a", 1.0): 4,
         ("b", 0.5): 10, ("b", 1.0): 20,
     }
+
+
+def test_collocations_hand_computed(spark):
+    """'a b a b c': bigrams ab,ba,ab,bc -> with min_count=2 only
+    (a,b) survives: n_ab=2, n_a=2, n_b=2, N=5, lift=2*5/(2*2)=2.5."""
+    from surfactant_spark.operators.textops import collocations
+
+    docs = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    rows = collocations(docs, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.tok_a, r.tok_b, r.n_ab, r.n_a, r.n_b, r.n_tokens, r.lift) == (
+        "a", "b", 2, 2, 2, 5, 2.5
+    )
+
+
+def test_collocations_ordered_pairs_and_single_token_docs(spark):
+    """Bigrams are ORDERED (ba != ab) and a 1-token document
+    contributes unigrams but no bigrams (the slice guard)."""
+    from surfactant_spark.operators.textops import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "y x"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {(r.tok_a, r.tok_b): r.n_ab for r in collocations(docs, min_count=1).collect()}
+    assert got == {("x", "y"): 2, ("y", "x"): 1}

@@ -357,3 +357,21 @@ def test_host_graph_fold_plan_never_rescans_state(spark):
     )
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_crawl_frontier_uncrawled_targets_only(spark):
+    from surfactant_spark.operators.webgraph import crawl_frontier
+
+    df = _pages(
+        spark,
+        [
+            # a.org and b.org are crawled; c.org is only ever a target
+            ("https://a.org/1", '<a href="https://c.org/x">c</a>'
+                                '<a href="https://b.org/p">b</a>'),
+            ("https://b.org/1", '<a href="https://c.org/y">c</a>'
+                                '<a href="https://c.org/z">c</a>'),
+        ],
+    )
+    got = {tuple(r) for r in crawl_frontier(df).collect()}
+    # c.org: 3 links from 2 referrer hosts; b.org is crawled -> absent
+    assert got == {("c.org", 3, 2)}
