@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "event_asof",
     "kg_khop",
     "entity_ppr",
+    "event_funnel",
+    "collocations",
 ]
 
 
