@@ -375,3 +375,56 @@ def collocations(
             ).alias("lift"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the step that turns a
+    deduplicated corpus into fixed-token-budget training shards: docs
+    are laid out in deterministic (group, id) order, each one's START
+    offset in its group's token stream decides its shard,
+    bin = start_offset div budget (a doc may straddle its shard
+    boundary; the loader consumes the overflow from the next shard —
+    the standard packing semantic, no token is dropped or padded).
+
+    Returns (id, group, n_tokens, start_offset, bin) — all exact
+    integers, replayable bit-for-bit in SQL.
+
+    Spark-first shape: ONE window cumsum partitioned by ``group_col``
+    (a global ordering would funnel the corpus through a single task;
+    per-source streams are the natural pack unit and shuffle-partition
+    by the group key). Token counts are whitespace-token array sizes
+    computed row-locally; the window is the only shuffle. Skewed
+    sources serialize their own window — at 10^12 docs, pre-split hot
+    sources on a hash suffix and re-offset, the same refinement as
+    asof_join's hot-key note."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tok.cast("long").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("start_offset"),
+        )
+        .withColumn("bin", F.expr(f"start_offset div {budget}"))
+    )

@@ -3282,6 +3282,43 @@ JOIN uni ub ON bc.tok_b = ub.tok, tot t
 
 
 # ---------------------------------------------------------------------------
+# sequence packing — operators/textops.py
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 4096
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 4096-token shards, per
+    source stream: each doc's start offset in its source's token
+    stream decides its bin. One per-source window cumsum — the only
+    shuffle keys on the source, never a global sort."""
+    from .operators.textops import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), budget=PACK_BUDGET
+    )
+
+
+def _sql_corpus_pack(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM n)
+SELECT doc_id, source, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {budget} AS BIGINT) AS bin
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # crawl frontier — operators/webgraph.py
 # ---------------------------------------------------------------------------
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3337,6 +3374,7 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "collocations": q_collocations,
     "crawl_frontier": q_crawl_frontier,
+    "corpus_pack": q_corpus_pack,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3443,6 +3481,7 @@ ORACLE_SQL = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "collocations": _sql_collocations(),
     "crawl_frontier": _sql_crawl_frontier(_web_pages_file()),
+    "corpus_pack": _sql_corpus_pack(),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

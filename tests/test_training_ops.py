@@ -359,3 +359,36 @@ def test_collocations_ordered_pairs_and_single_token_docs(spark):
     )
     got = {(r.tok_a, r.tok_b): r.n_ab for r in collocations(docs, min_count=1).collect()}
     assert got == {("x", "y"): 2, ("y", "x"): 1}
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Per-source stream in doc_id order, budget 10: source s docs of
+    4/5/4/3 tokens start at 0/4/9/13 -> bins 0/0/0/1 (doc at offset 9
+    straddles the boundary but belongs to bin 0 by its start)."""
+    import pytest as _pytest
+
+    from surfactant_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c d"),
+            (2, "s", "e f g h i"),
+            (3, "s", "j k l m"),
+            (4, "s", "n o p"),
+            (10, "t", "q r"),  # independent stream restarts at 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.start_offset, r.bin)
+        for r in pack_sequences(docs, budget=10).collect()
+    }
+    assert got == {
+        1: ("s", 4, 0, 0),
+        2: ("s", 5, 4, 0),
+        3: ("s", 4, 9, 0),
+        4: ("s", 3, 13, 1),
+        10: ("t", 2, 0, 0),
+    }
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
