@@ -3282,6 +3282,69 @@ JOIN uni ub ON bc.tok_b = ub.tok, tot t
 
 
 # ---------------------------------------------------------------------------
+# composite quality filter (Gopher-style rules over the signal ops)
+# ---------------------------------------------------------------------------
+QF_MIN_TOKENS = 20
+QF_MIN_QUALITY = 0.52
+QF_MAX_TOP_BIGRAM = 0.10
+QF_MAX_DUP_BIGRAM = 0.15
+QF_MIN_DISTINCT = 0.30
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision of a training-data pipeline: Gopher-rule
+    thresholds (Rae et al. 2021 §A1.1 shape) over the one-pass text
+    signals + intra-doc repetition metrics, with the FIRST failing rule
+    recorded as drop_reason (fixed precedence, so the audit column is
+    deterministic). Composition of two corpus passes joined on the doc
+    key — the filter itself adds no scan. Thresholds are calibrated to
+    the synthetic corpus so every rule actually fires at sf >= 0.01."""
+    from .operators.textops import analyze_documents, repetition_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    ta = analyze_documents(docs).select("doc_id", "n_tokens", "quality")
+    j = ta.join(repetition_metrics(docs), "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short")
+        .when(F.col("quality") < QF_MIN_QUALITY, "low_quality")
+        .when(F.col("top_bigram_frac") > QF_MAX_TOP_BIGRAM, "top_bigram")
+        .when(F.col("dup_bigram_frac") > QF_MAX_DUP_BIGRAM, "dup_bigram")
+        .when(F.col("distinct_token_ratio") < QF_MIN_DISTINCT, "low_diversity")
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        "distinct_token_ratio",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+WITH ta AS ({_sql_text_analysis()}),
+rep AS ({SQL_DOC_REPETITION}),
+j AS (SELECT ta.doc_id, ta.n_tokens, ta.quality, rep.top_bigram_frac,
+             rep.dup_bigram_frac, rep.distinct_token_ratio
+      FROM ta JOIN rep ON ta.doc_id = rep.doc_id),
+r AS (SELECT *,
+        CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+             WHEN quality < {QF_MIN_QUALITY} THEN 'low_quality'
+             WHEN top_bigram_frac > {QF_MAX_TOP_BIGRAM} THEN 'top_bigram'
+             WHEN dup_bigram_frac > {QF_MAX_DUP_BIGRAM} THEN 'dup_bigram'
+             WHEN distinct_token_ratio < {QF_MIN_DISTINCT} THEN 'low_diversity'
+        END AS drop_reason
+      FROM j)
+SELECT doc_id, n_tokens, quality, top_bigram_frac, dup_bigram_frac,
+       distinct_token_ratio, drop_reason IS NULL AS keep, drop_reason
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # sequence packing — operators/textops.py
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 4096
@@ -3375,6 +3438,7 @@ QUERIES = {
     "collocations": q_collocations,
     "crawl_frontier": q_crawl_frontier,
     "corpus_pack": q_corpus_pack,
+    "quality_filter": q_quality_filter,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3482,6 +3546,7 @@ ORACLE_SQL = {
     "collocations": _sql_collocations(),
     "crawl_frontier": _sql_crawl_frontier(_web_pages_file()),
     "corpus_pack": _sql_corpus_pack(),
+    "quality_filter": _sql_quality_filter(),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

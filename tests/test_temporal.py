@@ -140,3 +140,57 @@ def test_funnel_order_matters_and_earliest_completion(spark):
     assert got["E"][0] == 3 and got["E"][1] == got["E"][3]
     with _pytest.raises(ValueError):
         funnel_stages(ev, [])
+
+
+# ---------------------------------------------------------------------------
+# property: asof_join == pandas merge_asof (an INDEPENDENT third
+# implementation, alongside the DuckDB native ASOF oracle in
+# test_entry) on arbitrary integer timelines
+# ---------------------------------------------------------------------------
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+_key = st.integers(min_value=0, max_value=3)
+_t = st.integers(min_value=0, max_value=40)
+_probe_rows = st.lists(st.tuples(_key, _t), min_size=1, max_size=25)
+_build_rows = st.lists(
+    st.tuples(_key, _t, st.integers(min_value=-99, max_value=99)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_probe_rows, _build_rows)
+def test_asof_matches_pandas_merge_asof(spark, probes, builds):
+    # unique (k, ts) on the build side (documented contract)
+    builds = list({(k, t): (k, t, v) for k, t, v in builds}.values())
+    probe = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probes)],
+        "pid long, k long, ts long",
+    )
+    build = spark.createDataFrame(builds or [(99, -1, 0)], "k long, ts long, v long")
+    if not builds:
+        build = build.where(F.lit(False))
+    got = {
+        r.pid: (r.last_ts, r.last_v)
+        for r in asof_join(probe, build, key="k").collect()
+    }
+    left = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(probes)],
+        columns=["pid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    right = pd.DataFrame(builds, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    want_df = pd.merge_asof(
+        left, right, on="ts", by="k", allow_exact_matches=True,
+        suffixes=("", "_b"), direction="backward",
+    ) if len(right) else left.assign(v=None)
+    for row in want_df.itertuples():
+        v = None if pd.isna(getattr(row, "v")) else int(getattr(row, "v"))
+        gt, gv = got[row.pid]
+        assert gv == v, (row.pid, gv, v)
+        if v is not None:
+            # matched build ts must be the greatest <= probe ts
+            assert gt <= row.ts

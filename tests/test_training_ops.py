@@ -392,3 +392,22 @@ def test_pack_sequences_hand_computed(spark):
     }
     with _pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+def test_quality_filter_precedence_and_partition(spark):
+    """drop_reason is the FIRST failing rule (too_short outranks all);
+    keep is true iff no rule fired; both rule classes actually fire on
+    the fixture corpus."""
+    from surfactant_spark.queries import QF_MIN_TOKENS, q_quality_filter
+    from tests.conftest import SF_DIR
+
+    rows = q_quality_filter(spark, SF_DIR).collect()
+    assert rows
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped
+    for r in rows:
+        assert r.keep == (r.drop_reason is None)
+        if r.n_tokens < QF_MIN_TOKENS:
+            assert r.drop_reason == "too_short"
+    assert {r.drop_reason for r in dropped} >= {"too_short"}
