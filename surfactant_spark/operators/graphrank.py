@@ -503,3 +503,60 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    edges — do hubs link to hubs (r > 0, social-network-like) or to
+    leaves (r < 0, the classic web/Internet signature)?
+
+    Exactness: over the SYMMETRIZED edge list the x and y degree sums
+    coincide, so Pearson's sqrt(d1*d2) collapses to d1 and
+    r = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is a ratio of EXACT integer
+    sums — one IEEE division + round(6), no libm on the oracle
+    surface. Returns one row (n_edges, assortativity); fewer than 2
+    distinct degree values make the denominator 0 -> null (both
+    engines).
+
+    Shape: dedup to canonical undirected edges, one degree agg, two
+    broadcast-sized joins of the degree dimension back onto edges, one
+    global agg. Overflow: n*Sxy is bounded by 2m * (2m * maxdeg^2);
+    at 10^10+ edges with celebrity degrees switch the sums to DOUBLE
+    (the plan is unchanged) — at any testable scale the integer path
+    is exact."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("assortativity"),
+    )

@@ -3282,6 +3282,47 @@ JOIN uni ub ON bc.tok_b = ub.tok, tot t
 
 
 # ---------------------------------------------------------------------------
+# degree assortativity — operators/graphrank.py over the host graph
+# ---------------------------------------------------------------------------
+def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected host graph (Newman
+    2002) — the hubs-link-to-hubs-or-leaves statistic published with
+    real web graphs. Over the symmetrized edge list Pearson's
+    sqrt(d1*d2) collapses to d1, so r is a ratio of exact integer
+    sums: one IEEE division + round(6), no libm."""
+    from .operators.graphrank import degree_assortativity
+    from .operators.webgraph import host_graph
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+def _sql_host_assortativity(path: str) -> str:
+    return f"""
+WITH hg AS ({_sql_host_graph(path)}),
+raw AS (SELECT src_host AS x, dst_host AS y FROM hg WHERE src_host <> dst_host),
+und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+p AS (SELECT da.d AS dx, db.d AS dy FROM sym
+      JOIN deg da ON sym.a = da.id JOIN deg db ON sym.b = db.id),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx FROM p)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round(CAST(n * sxy - sx * sx AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS assortativity
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # composite quality filter (Gopher-style rules over the signal ops)
 # ---------------------------------------------------------------------------
 QF_MIN_TOKENS = 20
@@ -3439,6 +3480,7 @@ QUERIES = {
     "crawl_frontier": q_crawl_frontier,
     "corpus_pack": q_corpus_pack,
     "quality_filter": q_quality_filter,
+    "host_assortativity": q_host_assortativity,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3547,6 +3589,7 @@ ORACLE_SQL = {
     "crawl_frontier": _sql_crawl_frontier(_web_pages_file()),
     "corpus_pack": _sql_corpus_pack(),
     "quality_filter": _sql_quality_filter(),
+    "host_assortativity": _sql_host_assortativity(_web_pages_file()),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

@@ -468,3 +468,43 @@ def test_triangles_star_is_triangle_free(spark):
     rows = triangle_counts(e).collect()
     assert all(r.n_triangles == 0 and r.clustering == 0.0 for r in rows)
     assert {r.id: r.degree for r in rows}["hub"] == 6
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+def test_assortativity_star_is_maximally_disassortative(spark):
+    """A star graph's assortativity is exactly -1 (every edge joins the
+    max-degree hub to a degree-1 leaf)."""
+    from surfactant_spark.operators.graphrank import degree_assortativity
+
+    e = spark.createDataFrame(
+        [("hub", f"l{i}") for i in range(5)], "src string, dst string"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r.n_edges == 5 and r.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_degenerate_null(spark):
+    """A cycle (every degree 2) has zero degree variance -> the
+    coefficient is undefined: both engines emit null, not a crash."""
+    from surfactant_spark.operators.graphrank import degree_assortativity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r.n_edges == 3 and r.assortativity is None
+
+
+def test_assortativity_hand_computed_path(spark):
+    """Path a-b-c-d: degrees 1,2,2,1; symmetrized endpoint-degree
+    pairs (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) -> n=6, sx=10, sxx=18,
+    sxy=16, r = (6*16 - 100)/(6*18 - 100) = -4/8 = -0.5."""
+    from surfactant_spark.operators.graphrank import degree_assortativity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r.n_edges == 3 and r.assortativity == -0.5
