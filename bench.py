@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "entity_ppr",
     "event_funnel",
     "collocations",
+    "corpus_pack",
+    "quality_filter",
 ]
 
 
