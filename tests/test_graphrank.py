@@ -508,3 +508,67 @@ def test_assortativity_hand_computed_path(spark):
     )
     r = degree_assortativity(e).collect()[0]
     assert r.n_edges == 3 and r.assortativity == -0.5
+
+
+# ---------------------------------------------------------------------------
+# properties: BFS and triangle counts vs independent pure-python
+# references on arbitrary small graphs
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+_node = st.integers(min_value=0, max_value=9)
+_edges_st = st.lists(st.tuples(_node, _node), min_size=1, max_size=30)
+
+
+def _py_bfs(edges, seed, k):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist, frontier = {seed: 0}, {seed}
+    for i in range(1, k + 1):
+        frontier = {
+            n for u in frontier for n in adj.get(u, ()) if n not in dist
+        }
+        for n in frontier:
+            dist[n] = i
+    return dist
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st)
+def test_khop_matches_python_bfs(spark, edges):
+    from surfactant_spark.operators.graphrank import khop_neighbors
+
+    seed = min(min(a, b) for a, b in edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(seed,)], "id long")
+    got = {r.id: r.hops for r in khop_neighbors(e, s, k=3).collect()}
+    assert got == _py_bfs(edges, seed, 3)
+
+
+def _py_triangles(edges):
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            tris.add(tuple(sorted((a, b, c))))
+    return {
+        v: (len(adj[v]), sum(v in t for t in tris)) for v in adj
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st)
+def test_triangles_match_python_enumeration(spark, edges):
+    from surfactant_spark.operators.graphrank import triangle_counts
+
+    want = _py_triangles(edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.degree, r.n_triangles) for r in triangle_counts(e).collect()}
+    assert got == want
