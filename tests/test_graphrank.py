@@ -572,3 +572,33 @@ def test_triangles_match_python_enumeration(spark, edges):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: (r.degree, r.n_triangles) for r in triangle_counts(e).collect()}
     assert got == want
+
+
+def _py_hits(edges, iters=2, scale=1_000_000):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    h = {v: 1 for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[d] += h[s]
+        q = max(1, max(raw.values(), default=0) // scale)
+        a = {v: raw[v] // q for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[s] += a[d]
+        q = max(1, max(raw.values(), default=0) // scale)
+        h = {v: raw[v] // q for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st, st.integers(min_value=1, max_value=3))
+def test_hits_matches_python_recurrence(spark, edges, iters):
+    """Multi-edges and self-loops included — both implementations must
+    weight them identically (docstring contract: multiply)."""
+    from surfactant_spark.operators.graphrank import hits_fixed
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in hits_fixed(e, iters=iters).collect()}
+    assert got == _py_hits(edges, iters=iters)

@@ -194,3 +194,46 @@ def test_asof_matches_pandas_merge_asof(spark, probes, builds):
         if v is not None:
             # matched build ts must be the greatest <= probe ts
             assert gt <= row.ts
+
+
+# ---------------------------------------------------------------------------
+# property: funnel_stages vs a pure-python per-user scan
+# ---------------------------------------------------------------------------
+_STEPS = ["a", "b", "c"]
+_ev = st.tuples(
+    st.integers(min_value=0, max_value=3),           # user
+    st.sampled_from(_STEPS + ["x"]),                 # type (x = noise)
+    st.integers(min_value=0, max_value=30),          # ts
+)
+
+
+def _py_funnel(events, steps):
+    by_user = {}
+    for u, typ, t in events:
+        by_user.setdefault(u, []).append((typ, t))
+    out = {}
+    for u, evs in by_user.items():
+        first = [t for typ, t in evs if typ == steps[0]]
+        if not first:
+            continue
+        stamps = [min(first)]
+        for s in steps[1:]:
+            cand = [t for typ, t in evs if typ == s and t >= stamps[-1]]
+            if not cand:
+                break
+            stamps.append(min(cand))
+        out[u] = stamps
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_ev, min_size=1, max_size=30))
+def test_funnel_matches_python_scan(spark, events):
+    from surfactant_spark.operators.temporal import funnel_stages
+
+    ev = spark.createDataFrame(events, "user_id long, event_type string, ts long")
+    got = {
+        r.user_id: [t for t in (r.t1, r.t2, r.t3) if t is not None]
+        for r in funnel_stages(ev, _STEPS).collect()
+    }
+    assert got == _py_funnel(events, _STEPS)

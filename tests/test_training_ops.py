@@ -411,3 +411,71 @@ def test_quality_filter_precedence_and_partition(spark):
         if r.n_tokens < QF_MIN_TOKENS:
             assert r.drop_reason == "too_short"
     assert {r.drop_reason for r in dropped} >= {"too_short"}
+
+
+# ---------------------------------------------------------------------------
+# properties: collocations and sequence packing vs pure-python references
+# ---------------------------------------------------------------------------
+import re
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_text = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+_docs_st = st.lists(_text, min_size=1, max_size=10)
+
+
+def _py_collocations(texts):
+    uni, big = Counter(), Counter()
+    total = 0
+    for s in texts:
+        toks = re.split(r"\s+", s.strip().lower())
+        uni.update(toks)
+        total += len(toks)
+        big.update(zip(toks, toks[1:]))
+    out = {}
+    for (a, b), n_ab in big.items():
+        lift = round(n_ab * total / (uni[a] * uni[b]), 6)
+        out[(a, b)] = (n_ab, uni[a], uni[b], total, lift)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docs_st)
+def test_collocations_match_python_counter(spark, texts):
+    from surfactant_spark.operators.textops import collocations
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.n_tokens, r.lift)
+        for r in collocations(docs, min_count=1).collect()
+    }
+    assert got == _py_collocations(texts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s", "t"]), _text), min_size=1, max_size=12
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_pack_sequences_match_python_cumsum(spark, rows, budget):
+    from surfactant_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.bin)
+        for r in pack_sequences(docs, budget=budget).collect()
+    }
+    offsets = {"s": 0, "t": 0}
+    want = {}
+    for i, (g, t) in enumerate(rows):  # doc_id == index == group order
+        n = len(re.split(r"\s+", t.strip().lower()))
+        want[i] = (n, offsets[g], offsets[g] // budget)
+        offsets[g] += n
+    assert got == want
