@@ -3282,6 +3282,32 @@ JOIN uni ub ON bc.tok_b = ub.tok, tot t
 
 
 # ---------------------------------------------------------------------------
+# degree distribution — the histogram published with real web/KG graphs
+# ---------------------------------------------------------------------------
+def q_kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected KG entity graph: how many
+    entities have each degree — the power-law profile plot's data
+    (two keyed aggs over the edge list; the histogram is degree-
+    cardinality, vanishing next to the graph)."""
+    edges = q_kg_edges(spark, sf_dir).select("subj_id", "obj_id")
+    deg = (
+        edges.select(F.col("subj_id").alias("id"))
+        .unionByName(edges.select(F.col("obj_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+SQL_KG_DEGREE_DIST = f"""
+WITH e AS ({SQL_KG_EDGES}),
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT subj_id AS id FROM e UNION ALL SELECT obj_id FROM e) GROUP BY id)
+SELECT degree, COUNT(*) AS n_entities FROM deg GROUP BY degree
+"""
+
+
+# ---------------------------------------------------------------------------
 # degree assortativity — operators/graphrank.py over the host graph
 # ---------------------------------------------------------------------------
 def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3481,6 +3507,7 @@ QUERIES = {
     "corpus_pack": q_corpus_pack,
     "quality_filter": q_quality_filter,
     "host_assortativity": q_host_assortativity,
+    "kg_degree_dist": q_kg_degree_dist,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3590,6 +3617,7 @@ ORACLE_SQL = {
     "corpus_pack": _sql_corpus_pack(),
     "quality_filter": _sql_quality_filter(),
     "host_assortativity": _sql_host_assortativity(_web_pages_file()),
+    "kg_degree_dist": SQL_KG_DEGREE_DIST,
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,
