@@ -335,7 +335,16 @@ def collocations(
     """
     from .dedup import tokenized
 
-    tok = tokenized(docs, text_col).localCheckpoint(eager=True)
+    # NOT checkpointed: tok is corpus-sized and its two consumers
+    # (bigram + unigram branches) each re-run only a narrow pruned
+    # scan + split — materializing the tokenized corpus would cost
+    # executor storage proportional to the input, the one thing a
+    # 100 TB pass must never do for a cheap projection. Measured at
+    # sf0.1 (A/B, warm, local[32]): checkpoint saves ~0.2 s because
+    # the corpus fits in memory; the double scan is the right trade
+    # the moment it does not (same reasoning as _kg_base's no-spread
+    # note in queries.py).
+    tok = tokenized(docs, text_col)
     big = tok.select(
         F.explode(
             F.expr(
