@@ -8,6 +8,7 @@ this sandbox), parquet-table-native:
   python -m surfactant_spark find --nodes NODES_PARQUET [filters]
   python -m surfactant_spark sessionize --events E --out DIR
   python -m surfactant_spark kg-fold --docs D --out DIR
+  python -m surfactant_spark query NAME --sf-dir DIR
 
 On a cluster: ``spark-submit --py-files surfactant_spark.zip
 surfactant_spark/__main__.py --master yarn generate ...`` — pass the
@@ -548,6 +549,41 @@ def cmd_kg_fold(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered analytic from the query surface by name —
+    the whole `queries.QUERIES` registry (KG construction, dedup
+    families, web-graph analytics, sketches, quantiles, packing,
+    quality filtering, ...) becomes a CLI command over a table
+    directory. `query list` enumerates names; results print as JSON
+    lines (deterministically ordered, row-capped with a stderr notice,
+    the cmd_find discipline) or write to parquet with --out."""
+    from .queries import QUERIES
+
+    if args.name == "list":
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r} (see: query list)", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out, "rows": df.count()}))
+        return 0
+    rows = df.orderBy(*df.columns).limit(args.limit + 1).collect()
+    truncated = len(rows) > args.limit
+    for r in rows[: args.limit]:
+        print(json.dumps(r.asDict(), default=str))
+    if truncated:
+        print(
+            f"output truncated at --limit {args.limit}; use --out for the full table",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="surfactant_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -698,6 +734,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--pages", default=None, help="pages parquet to validate the prefix against"
     )
     cc.set_defaults(fn=cmd_create_config)
+
+    q = sub.add_parser(
+        "query", help="run a registered analytic by name ('query list' to enumerate)"
+    )
+    q.add_argument("name", help="query name from the registry, or 'list'")
+    q.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="table directory holding the parquet inputs",
+    )
+    q.add_argument("--limit", type=int, default=100, help="max rows to print")
+    q.add_argument("-o", "--out", default=None, help="write full result parquet here")
+    q.set_defaults(fn=cmd_query)
     return p
 
 

@@ -523,3 +523,32 @@ def test_plugin_update_db(isolated_config, spark, capsys):
     assert "does not implement the 'update_db' hook" in capsys.readouterr().err
     assert main(["plugin", "update-db"]) == 1
     assert "specify a plugin name or use --all" in capsys.readouterr().err
+
+
+def test_cli_query_list_run_and_out(tmp_path, capsys):
+    """`query list` enumerates the registry; `query NAME` prints
+    deterministic JSON rows with the truncation notice; --out writes
+    the full parquet; unknown names exit 2 with a hint."""
+    import json as _json
+
+    from surfactant_spark.__main__ import main
+    from surfactant_spark.queries import QUERIES
+
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == list(QUERIES)
+
+    assert main(["query", "kg_degree_dist", "--limit", "5"]) == 0
+    cap = capsys.readouterr()
+    rows = [_json.loads(l) for l in cap.out.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert set(rows[0]) == {"degree", "n_entities"}
+    assert "truncated" in cap.err
+
+    dest = str(tmp_path / "dd.parquet")
+    assert main(["query", "kg_degree_dist", "-o", dest]) == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] > 0
+
+    assert main(["query", "nope"]) == 2
+    assert "query list" in capsys.readouterr().err
