@@ -297,3 +297,49 @@ def crawl_frontier(pages: DataFrame, links: DataFrame | None = None) -> DataFram
         )
         .select(F.col("dst_host").alias("host"), "in_links", "n_referrers")
     )
+
+
+def host_graph_windows(
+    pages: DataFrame,
+    bucket_s: int = 60,
+    links: DataFrame | None = None,
+) -> DataFrame:
+    """Time-bucketed host graph: (bucket_epoch, src_host, dst_host,
+    n_links, n_src_pages) with each link attributed to its source
+    page's crawl-time tumbling bucket — the crawl-over-crawl evolution
+    product (how the link structure changes across fetches; snapshot_
+    diff answers WHAT changed between two crawls, this keeps WHEN as a
+    first-class key so one query spans the whole history).
+
+    Buckets are pure integer arithmetic on the epoch column
+    (``warc_ts div bucket_s * bucket_s``) — no timestamp casts, no
+    timezone surface, engine-agnostic; the extraction pass is shared
+    via ``links`` like the rest of the family, and the page-time
+    dimension joins onto links by the page url (broadcast-sized per
+    batch relative to exploded links). Same two-phase aggregate shape
+    as host_graph with the bucket added to the key."""
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    if links is None:
+        links = extract_links(pages)
+    epoch = F.col("warc_ts").cast("long")  # int epoch or timestamp both land here
+    ts = pages.select(
+        "url", (epoch - F.pmod(epoch, F.lit(bucket_s))).alias("bucket_epoch")
+    )
+    targets = links.select(
+        "url", F.regexp_replace("href", r"^bundle://", "").alias("tgt")
+    ).where(F.col("tgt").rlike(r"^https?://"))
+    return (
+        targets.join(ts, "url")
+        .select(
+            "bucket_epoch",
+            F.regexp_extract("url", _URL_HOST, 1).alias("src_host"),
+            F.regexp_extract("tgt", _URL_HOST, 1).alias("dst_host"),
+            "url",
+        )
+        .groupBy("bucket_epoch", "src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("url").alias("n_src_pages"),
+        )
+    )

@@ -3282,6 +3282,41 @@ JOIN uni ub ON bc.tok_b = ub.tok, tot t
 
 
 # ---------------------------------------------------------------------------
+# time-bucketed host graph — crawl-over-crawl link evolution
+# ---------------------------------------------------------------------------
+HG_BUCKET_S = 60
+
+
+def q_host_graph_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host graph keyed by the source page's crawl-time tumbling
+    bucket: the evolution product (kg_diff answers WHAT changed
+    between two crawls; this keeps WHEN as a first-class key). Pure
+    integer bucketing — no timestamp casts on the oracle surface."""
+    from .operators.webgraph import host_graph_windows
+
+    return host_graph_windows(_read_web_pages(spark), bucket_s=HG_BUCKET_S)
+
+
+def _sql_host_graph_windows(path: str, bucket_s: int = HG_BUCKET_S) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+ts AS (SELECT url, CAST(warc_ts AS BIGINT)
+                   - CAST(warc_ts AS BIGINT) % {bucket_s} AS bucket_epoch
+       FROM read_parquet('{path}')),
+t AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt FROM links),
+ht AS (
+  SELECT ts.bucket_epoch,
+         regexp_extract(t.url, '^[a-z]+://([^/?#]+)', 1) AS src_host,
+         regexp_extract(tgt, '^[a-z]+://([^/?#]+)', 1) AS dst_host, t.url
+  FROM t JOIN ts ON t.url = ts.url
+  WHERE regexp_matches(tgt, '^https?://'))
+SELECT bucket_epoch, src_host, dst_host, COUNT(*) AS n_links,
+       COUNT(DISTINCT url) AS n_src_pages
+FROM ht GROUP BY bucket_epoch, src_host, dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
 # degree distribution — the histogram published with real web/KG graphs
 # ---------------------------------------------------------------------------
 def q_kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3508,6 +3543,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "host_assortativity": q_host_assortativity,
     "kg_degree_dist": q_kg_degree_dist,
+    "host_graph_windows": q_host_graph_windows,
     # -- never driver-checked before round 5 (22) --
     "normpath": q_normpath,
     "macho_decode": q_macho_decode,
@@ -3618,6 +3654,7 @@ ORACLE_SQL = {
     "quality_filter": _sql_quality_filter(),
     "host_assortativity": _sql_host_assortativity(_web_pages_file()),
     "kg_degree_dist": SQL_KG_DEGREE_DIST,
+    "host_graph_windows": _sql_host_graph_windows(_web_pages_file()),
     "doc_filter": SQL_DOC_FILTER,
     "longest_doc_per_lang": SQL_LONGEST_DOC,
     "kg_edges": SQL_KG_EDGES,

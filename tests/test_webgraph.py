@@ -375,3 +375,29 @@ def test_crawl_frontier_uncrawled_targets_only(spark):
     got = {tuple(r) for r in crawl_frontier(df).collect()}
     # c.org: 3 links from 2 referrer hosts; b.org is crawled -> absent
     assert got == {("c.org", 3, 2)}
+
+
+def test_host_graph_windows_buckets_by_source_page_time(spark):
+    import pytest as _pytest
+
+    from surfactant_spark.operators.webgraph import host_graph_windows
+
+    rows = [
+        ("https://a.org/1", 100, '<a href="https://b.org/x">b</a>'),
+        ("https://a.org/2", 110, '<a href="https://b.org/y">b</a>'),  # same bucket@60
+        ("https://a.org/3", 200, '<a href="https://b.org/z">b</a>'),  # next bucket
+    ]
+    df = spark.createDataFrame(
+        [(u, t, h.encode()) for u, t, h in rows],
+        "url string, warc_ts long, html binary",
+    )
+    got = {
+        (r.bucket_epoch, r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+        for r in host_graph_windows(df, bucket_s=60).collect()
+    }
+    assert got == {
+        (60, "a.org", "b.org"): (2, 2),
+        (180, "a.org", "b.org"): (1, 1),
+    }
+    with _pytest.raises(ValueError):
+        host_graph_windows(df, bucket_s=0)
