@@ -314,10 +314,14 @@ def host_graph_windows(
     Buckets are pure integer arithmetic on the epoch column
     (``warc_ts div bucket_s * bucket_s``) — no timestamp casts, no
     timezone surface, engine-agnostic; the extraction pass is shared
-    via ``links`` like the rest of the family, and the page-time
-    dimension joins onto links by the page url (broadcast-sized per
-    batch relative to exploded links). Same two-phase aggregate shape
-    as host_graph with the bucket added to the key."""
+    via ``links`` like the rest of the family. The page-time side is
+    page-cardinality (NOT broadcastable at 10^12 pages), so the url
+    join is an honest shuffle — equi-keyed, AQE-sized, and smaller
+    than the exploded link stream it joins against; at cluster scale
+    carry warc_ts through extract_links instead to skip it entirely
+    (kept separate here so the family's shared links= pass stays a
+    2-column frame). Same two-phase aggregate shape as host_graph
+    with the bucket added to the key."""
     if bucket_s < 1:
         raise ValueError("bucket_s must be >= 1")
     if links is None:
