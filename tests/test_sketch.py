@@ -257,3 +257,35 @@ def test_heavy_hitters_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert heavy_hitters(empty).count() == 0
+
+
+_hh_text = st.lists(
+    st.sampled_from([f"tok{i:02d}" for i in range(6)]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_hh_text, min_size=1, max_size=8))
+def test_heavy_hitters_match_python_counter(spark, texts):
+    """Random corpora vs an independent Counter reference: the sketch-
+    pruned exact output must equal the plain phi-frequency definition
+    on every input, including all-empty documents (N = 0)."""
+    import re
+    from collections import Counter
+
+    from surfactant_spark.operators.sketch import HH_DEN, HH_NUM, heavy_hitters
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.tok, r.cnt, r.n_occurrences) for r in heavy_hitters(docs).collect()
+    }
+    toks = [
+        t for s in texts for t in re.findall(r"[a-z][a-z0-9_.\-]{3,}", s.lower())
+    ]
+    n = len(toks)
+    want = {
+        (t, k, n) for t, k in Counter(toks).items() if k * HH_DEN >= n * HH_NUM
+    }
+    assert got == want
