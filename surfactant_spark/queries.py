@@ -11,7 +11,12 @@ Cross-engine determinism rules used throughout (SURVEY §7.3):
 - hashes use the SQL-portable md5-prefix hash (functions/hashing.py);
 - timestamps are emitted as epoch seconds (bigint);
 - arrays are sorted before emission;
-- rankings order by the *rounded* score with an id tie-break.
+- rankings order by the *rounded* score with an id tie-break;
+- round(x, n) agrees between the engines even on EXACT binary ties
+  (Spark: BigDecimal HALF_UP on the shortest decimal repr; DuckDB:
+  ties away from zero — verified on 90/256 = 0.3515625 -> 0.351563
+  in both; python's builtin round() does banker's rounding and is
+  not a valid reference, see tests/test_training_ops._round6_half_up).
 """
 
 from __future__ import annotations

@@ -426,6 +426,18 @@ _text = st.lists(_word, min_size=1, max_size=8).map(" ".join)
 _docs_st = st.lists(_text, min_size=1, max_size=10)
 
 
+def _round6_half_up(x):
+    """Spark's round(col, 6) = BigDecimal.valueOf(double).setScale(6,
+    HALF_UP), i.e. HALF_UP on the shortest decimal repr — and DuckDB's
+    round() ties away from zero identically (verified on the exact
+    binary tie 90/256 = 0.3515625 -> 0.351563 in both engines).
+    Python's builtin round() does banker's rounding (-> 0.351562) and
+    is NOT a valid reference for either engine on ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def _py_collocations(texts):
     uni, big = Counter(), Counter()
     total = 0
@@ -436,7 +448,7 @@ def _py_collocations(texts):
         big.update(zip(toks, toks[1:]))
     out = {}
     for (a, b), n_ab in big.items():
-        lift = round(n_ab * total / (uni[a] * uni[b]), 6)
+        lift = _round6_half_up(n_ab * total / (uni[a] * uni[b]))
         out[(a, b)] = (n_ab, uni[a], uni[b], total, lift)
     return out
 
