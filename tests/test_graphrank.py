@@ -602,3 +602,66 @@ def test_hits_matches_python_recurrence(spark, edges, iters):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: (r.hub, r.auth) for r in hits_fixed(e, iters=iters).collect()}
     assert got == _py_hits(edges, iters=iters)
+
+
+def _py_ppr(edges, seeds, iters=5, scale=1_000_000, damp=85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    s = {v: (1 if v in seeds else 0) for v in nodes}
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: scale * s[v] for v in nodes}
+    base = scale * (100 - damp) // 100
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for a, b in edges:
+            inc[b] += rank[a] // outdeg[a]
+        rank = {v: base * s[v] + (damp * inc[v]) // 100 for v in nodes}
+    return rank
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st, st.sets(_node, min_size=1, max_size=3), st.integers(1, 4))
+def test_ppr_matches_python_recurrence(spark, edges, seeds, iters):
+    """The seeded teleport path of pagerank_fixed (new this round) on
+    arbitrary graphs and seed sets — including seeds that are not
+    graph nodes at all (they must simply contribute nothing)."""
+    from surfactant_spark.operators.graphrank import pagerank_fixed
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    got = {r.id: r.rank for r in pagerank_fixed(e, iters=iters, seeds=s).collect()}
+    assert got == _py_ppr(edges, seeds, iters=iters)
+
+
+def _py_assortativity(edges):
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in und] + [(deg[b], deg[a]) for a, b in und]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    den = n * sxx - sx * sx
+    from tests.test_training_ops import _round6_half_up
+
+    r = None if den == 0 else _round6_half_up((n * sxy - sx * sx) / den)
+    return (n // 2, r) if und else None
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st)
+def test_assortativity_matches_python_pearson(spark, edges):
+    from surfactant_spark.operators.graphrank import degree_assortativity
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = degree_assortativity(e).collect()
+    want = _py_assortativity(edges)
+    if want is None:  # only self-loops -> empty simple graph
+        assert rows[0].n_edges in (0, None) or rows[0].n_edges == 0
+        assert rows[0].assortativity is None
+        return
+    assert (rows[0].n_edges, rows[0].assortativity) == want
