@@ -142,3 +142,56 @@ def funnel_stages(
         stage.cast("int").alias("stage"),
         *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Cohort retention matrix over an event stream: users are
+    cohorted by the time bucket of their FIRST event, and each
+    (cohort, offset) cell counts how many of that cohort were active
+    ``offset`` buckets later — the product analytics view, and the
+    crawl-domain analogue of 'of the hosts first seen in crawl week W,
+    how many still emit pages k weeks on' (kg_diff answers what
+    changed between two crawls; this tracks survival over all of
+    them).
+
+    Returns (cohort_epoch, offset_buckets, n_active, n_cohort,
+    retention) with retention = round(n_active / n_cohort, 6) —
+    exact-integer inputs, one IEEE divide, one round(6). Bucketing is
+    pure integer arithmetic on the epoch (no timestamp casts on the
+    oracle surface).
+
+    Spark-first shape: first-event per user is ONE combinable min-agg
+    keyed on the user; activity dedups to distinct (user, bucket) the
+    same way; the cell count joins activity back to cohorts on the
+    user key (equi join — both sides already shuffled on user), and
+    cohort sizes ride in as a dimension-sized broadcast. No windows,
+    no corpus-order dependence; every buffer is a count."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    bucket = (epoch - epoch % bucket_s).alias("bucket_epoch")
+    activity = events.select(F.col(user_col).alias("user"), bucket).distinct()
+    cohorts = activity.groupBy("user").agg(F.min("bucket_epoch").alias("cohort_epoch"))
+    sizes = cohorts.groupBy("cohort_epoch").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        activity.join(cohorts, "user")
+        .groupBy(
+            "cohort_epoch",
+            F.expr(f"(bucket_epoch - cohort_epoch) div {bucket_s}").alias(
+                "offset_buckets"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_epoch").select(
+        "cohort_epoch",
+        "offset_buckets",
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
+        ).alias("retention"),
+    )

@@ -437,3 +437,118 @@ def pack_sequences(
         )
         .withColumn("bin", F.expr(f"start_offset div {budget}"))
     )
+
+
+def tfidf_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-N characteristic terms per document by tf-idf — the
+    keyword-extraction step a curation pipeline runs before topic
+    bucketing or per-domain corpus audits. Score = tf * N / df (the
+    lift-style inverse document frequency): same ordering family as
+    classic log-idf for the within-document ranking the operator
+    emits, but the score stays on the exact-integer-inputs /
+    one-IEEE-multiply-divide / round(6) oracle surface the rest of
+    the corpus statistics use (log would drag libm's last-ulp
+    differences between engines into the hash compare — the
+    collocations precedent).
+
+    Returns (doc_id, term, tf, df, n_docs, score, rank), rank 1..N per
+    doc ordered by (score desc, term asc) — fully deterministic.
+
+    Spark-first shape: one explode + two map-side-combinable aggs
+    (tf on (doc, term), df derived FROM the tf table — the corpus is
+    scanned once); the corpus doc count joins as a 1-row broadcast;
+    the final top-N window partitions by doc_id, so its sort is
+    bounded by the document's distinct-term count, never by corpus
+    size. Every shuffle keys on (doc, term), term, or doc — no
+    skew beyond natural document length."""
+    from .dedup import tokenized
+
+    tok = tokenized(docs, text_col, keep=("doc_id",))
+    terms = tok.select("doc_id", F.explode("_toks").alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tf", "df", "n_docs", "score", "rank")
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_postings: int = 8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Token -> posting-list construction — the search-index build
+    step over a crawled corpus. Returns one row per distinct token:
+    (token, df, n_occurrences, postings) where ``df`` counts distinct
+    documents, ``n_occurrences`` total occurrences, and ``postings``
+    is the first ``max_postings`` doc_ids ascending, comma-joined
+    (scalar surface — the driver canonicalizer cannot sort arrays).
+
+    Skew control is the load-bearing design point: a stop-like token
+    appears in EVERY document, so any per-token collect is an
+    unbounded aggregation buffer at web scale (the same blowup class
+    the dedup families were capped for). Here df / n_occurrences stay
+    exact for ALL tokens (plain combinable counts), but posting lists
+    are only materialized for tokens with df <= ``max_df`` — hotter
+    tokens get a NULL postings column (a posting list you'd never
+    scan anyway; real engines stop-list them). That filter runs
+    BEFORE the collect, so every aggregation buffer is bounded by
+    max_df rows and the slice caps the output at max_postings.
+
+    Spark-first shape: one explode, per-(token, doc) count, then two
+    aggs over that table — corpus scanned once, both aggs map-side
+    combinable, no window over an unbounded partition."""
+    from .dedup import tokenized
+
+    tok = tokenized(docs, text_col, keep=("doc_id",))
+    terms = tok.select("doc_id", F.explode("_toks").alias("token")).where(
+        F.col("token") != ""
+    )
+    per_doc = terms.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("n_occurrences"),
+    )
+    cool = stats.where(F.col("df") <= max_df).select("token")
+    posts = (
+        per_doc.join(cool, "token")
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(posts, "token", "left").select(
+        "token", "df", "n_occurrences", "postings"
+    )

@@ -347,3 +347,52 @@ def host_graph_windows(
             F.countDistinct("url").alias("n_src_pages"),
         )
     )
+
+
+def host_cocitation(
+    pages: DataFrame,
+    links: DataFrame | None = None,
+    max_out: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Co-citation similarity between hosts: two hosts are related when
+    the same third host links to both (Small's co-citation measure —
+    the host-graph analogue of 'entities mentioned by the same
+    documents', and a cheap related-domain signal for crawl frontier
+    expansion). Returns (host_a, host_b, n_cociting) with
+    host_a < host_b and n_cociting = number of distinct citing hosts,
+    kept when >= ``min_shared``.
+
+    Skew control is the whole design (the triangle-counting lesson):
+    pairing a citing host's targets is quadratic in its out-degree, so
+    a portal that links 10^5 hosts would emit 10^10 pairs. Each citing
+    host's target list is therefore capped to its top-``max_out``
+    targets by (n_links desc, dst_host asc) BEFORE pairing — the
+    deterministic strongest-edges cap, bounding the pair fan-out at
+    max_out^2 per citing host. The cap window partitions by the citing
+    host, so its sort is bounded by that host's out-degree, and the
+    pair join is an equi join on the citing host — never a cross
+    product across hosts."""
+    from pyspark.sql import Window
+
+    hg = host_graph(pages, links=links).where(
+        F.col("src_host") != F.col("dst_host")
+    )
+    w = Window.partitionBy("src_host").orderBy(
+        F.desc("n_links"), F.asc("dst_host")
+    )
+    capped = (
+        hg.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_out)
+        .select("src_host", "dst_host")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(b, "src_host").where(F.col("a.dst_host") < F.col("b.dst_host"))
+    return (
+        pairs.groupBy(
+            F.col("a.dst_host").alias("host_a"),
+            F.col("b.dst_host").alias("host_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cociting"))
+        .where(F.col("n_cociting") >= min_shared)
+    )

@@ -3525,6 +3525,165 @@ GROUP BY dst_host
 
 
 # ---------------------------------------------------------------------------
+# tf-idf keyword extraction — operators/textops.py
+# ---------------------------------------------------------------------------
+TFIDF_TOP_N = 5
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N characteristic terms per document by lift-idf tf-idf
+    (score = tf * N / df — libm-free oracle surface, see operator
+    docstring): one explode, two combinable aggs sharing the tf table,
+    a 1-row broadcast doc count, and a per-document top-N window."""
+    from .operators.textops import tfidf_terms
+
+    return tfidf_terms(_read(spark, sf_dir, "documents"), top_n=TFIDF_TOP_N)
+
+
+def _sql_tfidf_terms(top_n: int = TFIDF_TOP_N) -> str:
+    return f"""
+WITH toks AS ({SQL_TOKS_SUBSELECT}),
+terms AS (SELECT doc_id, u.term AS term FROM toks, UNNEST(toks) AS u(term)
+          WHERE u.term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, nd.n_docs,
+       round(CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+             / CAST(dfq.df AS DOUBLE), 6) AS score
+   FROM tf JOIN dfq USING (term), nd)
+SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored) WHERE rank <= {top_n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index — operators/textops.py
+# ---------------------------------------------------------------------------
+INVIDX_MAX_POSTINGS = 8
+INVIDX_MAX_DF = 40
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> capped posting list over the documents corpus. max_df
+    is set so the sf0.01 corpus exercises BOTH branches: stop-like
+    tokens (df > max_df) keep exact df / occurrence counts but a NULL
+    posting list — the bounded-buffer skew control the operator exists
+    to demonstrate."""
+    from .operators.textops import inverted_index
+
+    return inverted_index(
+        _read(spark, sf_dir, "documents"),
+        max_postings=INVIDX_MAX_POSTINGS,
+        max_df=INVIDX_MAX_DF,
+    )
+
+
+def _sql_inverted_index(
+    max_postings: int = INVIDX_MAX_POSTINGS, max_df: int = INVIDX_MAX_DF
+) -> str:
+    return f"""
+WITH toks AS ({SQL_TOKS_SUBSELECT}),
+terms AS (SELECT doc_id, u.token AS token FROM toks, UNNEST(toks) AS u(token)
+          WHERE u.token <> ''),
+pd AS (SELECT token, doc_id, COUNT(*) AS tf FROM terms GROUP BY token, doc_id),
+stats AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+          FROM pd GROUP BY token),
+capped AS (SELECT token, doc_id FROM (
+    SELECT pd.token, pd.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY pd.token ORDER BY pd.doc_id) AS rn
+    FROM pd JOIN stats USING (token) WHERE stats.df <= {max_df})
+  WHERE rn <= {max_postings}),
+posts AS (SELECT token,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+          FROM capped GROUP BY token)
+SELECT s.token, s.df, s.n_occurrences, p.postings
+FROM stats s LEFT JOIN posts p ON s.token = p.token
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — operators/temporal.py
+# ---------------------------------------------------------------------------
+COHORT_BUCKET_S = 86400
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bucketed cohort retention over the events stream: users
+    cohorted by first-event day, each (cohort, offset) cell counting
+    distinct active users — keyed min-agg + equi join on the user,
+    dimension-sized cohort sizes broadcast."""
+    from .operators.temporal import cohort_retention
+
+    return cohort_retention(
+        _read(spark, sf_dir, "events"), bucket_s=COHORT_BUCKET_S
+    )
+
+
+def _sql_cohort_retention(bucket_s: int = COHORT_BUCKET_S) -> str:
+    return f"""
+WITH ep AS (SELECT user_id AS usr, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
+            FROM events),
+act AS (SELECT DISTINCT usr, e - e % {bucket_s} AS bucket_epoch FROM ep),
+coh AS (SELECT usr, MIN(bucket_epoch) AS cohort_epoch FROM act GROUP BY usr),
+sizes AS (SELECT cohort_epoch, COUNT(*) AS n_cohort FROM coh GROUP BY cohort_epoch),
+cells AS (SELECT c.cohort_epoch,
+                 (a.bucket_epoch - c.cohort_epoch) // {bucket_s} AS offset_buckets,
+                 COUNT(*) AS n_active
+          FROM act a JOIN coh c ON a.usr = c.usr GROUP BY 1, 2)
+SELECT cells.cohort_epoch, cells.offset_buckets, cells.n_active, sizes.n_cohort,
+       round(CAST(cells.n_active AS DOUBLE) / CAST(sizes.n_cohort AS DOUBLE), 6)
+         AS retention
+FROM cells JOIN sizes ON cells.cohort_epoch = sizes.cohort_epoch
+"""
+
+
+# ---------------------------------------------------------------------------
+# host co-citation — operators/webgraph.py
+# ---------------------------------------------------------------------------
+COCITE_MAX_OUT = 50
+COCITE_MIN_SHARED = 2
+
+
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-cited host pairs (distinct third hosts linking to both) over
+    the web-pages fixture — related-domain discovery with the
+    top-max_out fan-out cap that keeps pair generation bounded at
+    portal hosts."""
+    from .operators.webgraph import host_cocitation
+
+    return host_cocitation(
+        _read_web_pages(spark),
+        max_out=COCITE_MAX_OUT,
+        min_shared=COCITE_MIN_SHARED,
+    )
+
+
+def _sql_host_cocitation(
+    path: str,
+    max_out: int = COCITE_MAX_OUT,
+    min_shared: int = COCITE_MIN_SHARED,
+) -> str:
+    return f"""
+WITH hg AS ({_sql_host_graph(path)}),
+nl AS (SELECT src_host, dst_host, n_links FROM hg WHERE src_host <> dst_host),
+capped AS (SELECT src_host, dst_host FROM (
+    SELECT src_host, dst_host,
+           ROW_NUMBER() OVER (PARTITION BY src_host
+                              ORDER BY n_links DESC, dst_host ASC) AS rn
+    FROM nl) WHERE rn <= {max_out}),
+pairs AS (SELECT a.dst_host AS host_a, b.dst_host AS host_b
+          FROM capped a JOIN capped b
+            ON a.src_host = b.src_host AND a.dst_host < b.dst_host)
+SELECT host_a, host_b, COUNT(*) AS n_cociting FROM pairs
+GROUP BY host_a, host_b HAVING COUNT(*) >= {min_shared}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 # Registry order is load-bearing: the external correctness gate records only the
@@ -3536,6 +3695,10 @@ GROUP BY dst_host
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "tfidf_terms": q_tfidf_terms,
+    "inverted_index": q_inverted_index,
+    "cohort_retention": q_cohort_retention,
+    "host_cocitation": q_host_cocitation,
     "event_asof": q_event_asof,
     "kg_khop": q_kg_khop,
     "host_hits": q_host_hits,
@@ -3647,6 +3810,10 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "tfidf_terms": _sql_tfidf_terms(),
+    "inverted_index": _sql_inverted_index(),
+    "cohort_retention": _sql_cohort_retention(),
+    "host_cocitation": _sql_host_cocitation(_web_pages_file()),
     "event_asof": SQL_EVENT_ASOF,
     "kg_khop": _sql_kg_khop(),
     "host_hits": _sql_host_hits(_web_pages_file()),

@@ -366,3 +366,27 @@ def test_round5_late_queries_plan_shapes(spark):
         plan = _plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_round5_index_cohort_cocite_plan_shapes(spark):
+    """The round-5 additions stay distributed-safe. tfidf_terms is the
+    collocations-style exception: its corpus doc count rides in as a
+    1-ROW broadcast cross join (planned as BroadcastNestedLoopJoin,
+    deliberate and O(n)); everything else in every plan must be equi
+    joins with no Python."""
+    from surfactant_spark.queries import (
+        q_cohort_retention,
+        q_host_cocitation,
+        q_inverted_index,
+        q_tfidf_terms,
+    )
+
+    for q in (q_inverted_index, q_cohort_retention, q_host_cocitation):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+
+    plan = _plan(q_tfidf_terms(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

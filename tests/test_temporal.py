@@ -237,3 +237,92 @@ def test_funnel_matches_python_scan(spark, events):
         for r in funnel_stages(ev, _STEPS).collect()
     }
     assert got == _py_funnel(events, _STEPS)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+def _ts(day, sec=0):
+    from datetime import datetime, timedelta
+
+    return datetime(2024, 1, 1) + timedelta(days=day, seconds=sec)
+
+
+DAY0 = 1704067200  # 2024-01-01 UTC, a multiple of 86400
+
+
+def test_cohort_retention_hand_computed(spark):
+    """u1/u2 cohort on day 0 (u1 twice that day — distinct-bucket dedup),
+    u1 returns day 2, u3 cohorts on day 1 and returns day 2."""
+    from surfactant_spark.operators.temporal import cohort_retention
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0, 10)),
+            (1, _ts(0, 20)),
+            (2, _ts(0, 30)),
+            (1, _ts(2, 5)),
+            (3, _ts(1, 0)),
+            (3, _ts(2, 0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.cohort_epoch, r.offset_buckets): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(events).collect()
+    }
+    d = 86400
+    assert got == {
+        (DAY0, 0): (2, 2, 1.0),
+        (DAY0 + 0 * d, 2): (1, 2, 0.5),
+        (DAY0 + d, 0): (1, 1, 1.0),
+        (DAY0 + d, 1): (1, 1, 1.0),
+    }
+
+
+def _py_cohort(rows, bucket_s):
+    from collections import Counter
+
+    from tests.test_training_ops import _round6_half_up
+
+    act = {(u, e - e % bucket_s) for u, e in rows}
+    coh = {}
+    for u, b in act:
+        coh[u] = min(coh.get(u, b), b)
+    sizes = Counter(coh.values())
+    cells = Counter(
+        (coh[u], (b - coh[u]) // bucket_s) for (u, b) in act
+    )
+    return {
+        (c, off): (n, sizes[c], _round6_half_up(n / sizes[c]))
+        for (c, off), n in cells.items()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=60),
+)
+def test_cohort_retention_matches_python(spark, rows, bucket_s):
+    from datetime import datetime, timedelta
+
+    from surfactant_spark.operators.temporal import cohort_retention
+
+    base = datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(u, base + timedelta(seconds=s)) for u, s in rows],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.cohort_epoch, r.offset_buckets): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(events, bucket_s=bucket_s).collect()
+    }
+    assert got == _py_cohort([(u, DAY0 + s) for u, s in rows], bucket_s)

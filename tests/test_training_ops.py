@@ -491,3 +491,131 @@ def test_pack_sequences_match_python_cumsum(spark, rows, budget):
         want[i] = (n, offsets[g], offsets[g] // budget)
         offsets[g] += n
     assert got == want
+
+
+def test_tfidf_terms_hand_computed(spark):
+    """3-doc corpus with a within-doc score tie (banana/cherry in doc 2
+    resolve by term asc) and a cross-term tie in doc 3 (cherry/date at
+    3.0 push apple to rank 3, outside top_n=2)."""
+    from surfactant_spark.operators.textops import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.n_docs, r.score)
+        for r in tfidf_terms(docs, top_n=2).collect()
+    }
+    assert got == {
+        (1, 1): ("apple", 2, 2, 3, 3.0),
+        (1, 2): ("banana", 1, 2, 3, 1.5),
+        (2, 1): ("banana", 1, 2, 3, 1.5),
+        (2, 2): ("cherry", 1, 2, 3, 1.5),
+        (3, 1): ("cherry", 2, 2, 3, 3.0),
+        (3, 2): ("date", 1, 1, 3, 3.0),
+    }
+
+
+def test_inverted_index_caps_and_hot_token_null(spark):
+    """df/n_occurrences stay exact for EVERY token, but the posting
+    list materializes only under the max_df cap (the bounded-buffer
+    skew control) and is sliced to max_postings."""
+    from surfactant_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "the apple the"), (2, "the banana"), (3, "the apple")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token: (r.df, r.n_occurrences, r.postings)
+        for r in inverted_index(docs, max_postings=8, max_df=2).collect()
+    }
+    assert got == {
+        "the": (3, 4, None),  # hot: counts exact, postings dropped
+        "apple": (2, 2, "1,3"),
+        "banana": (1, 1, "2"),
+    }
+    got1 = {
+        r.token: r.postings
+        for r in inverted_index(docs, max_postings=1, max_df=2).collect()
+    }
+    assert got1["apple"] == "1"  # slice keeps the smallest doc_id
+
+
+def _py_tfidf(texts, top_n):
+    n_docs = len(texts)
+    tf = Counter()
+    for i, s in enumerate(texts):
+        for t in re.split(r"\s+", s.strip().lower()):
+            if t:
+                tf[(i, t)] += 1
+    df = Counter(t for (_, t) in tf)
+    out = {}
+    for i in range(n_docs):
+        scored = sorted(
+            (
+                (-_round6_half_up(n * n_docs / df[t]), t, n)
+                for (d, t), n in tf.items()
+                if d == i
+            ),
+        )
+        for rank, (neg_score, t, n) in enumerate(scored[:top_n], start=1):
+            out[(i, rank)] = (t, n, df[t], n_docs, -neg_score)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docs_st, st.integers(min_value=1, max_value=4))
+def test_tfidf_matches_python_counter(spark, texts, top_n):
+    from surfactant_spark.operators.textops import tfidf_terms
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.n_docs, r.score)
+        for r in tfidf_terms(docs, top_n=top_n).collect()
+    }
+    assert got == _py_tfidf(texts, top_n)
+
+
+def _py_inverted_index(texts, max_postings, max_df):
+    per_doc = Counter()
+    for i, s in enumerate(texts):
+        for t in re.split(r"\s+", s.strip().lower()):
+            if t:
+                per_doc[(t, i)] += 1
+    out = {}
+    toks = {t for (t, _) in per_doc}
+    for tok in toks:
+        docs = sorted(d for (t, d) in per_doc if t == tok)
+        occ = sum(n for (t, _), n in per_doc.items() if t == tok)
+        posts = (
+            ",".join(str(d) for d in docs[:max_postings])
+            if len(docs) <= max_df
+            else None
+        )
+        out[tok] = (len(docs), occ, posts)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    _docs_st,
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=5),
+)
+def test_inverted_index_matches_python_counter(spark, texts, max_postings, max_df):
+    from surfactant_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.token: (r.df, r.n_occurrences, r.postings)
+        for r in inverted_index(
+            docs, max_postings=max_postings, max_df=max_df
+        ).collect()
+    }
+    assert got == _py_inverted_index(texts, max_postings, max_df)

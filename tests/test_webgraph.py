@@ -401,3 +401,53 @@ def test_host_graph_windows_buckets_by_source_page_time(spark):
     }
     with _pytest.raises(ValueError):
         host_graph_windows(df, bucket_s=0)
+
+
+def test_host_cocitation_hand_computed(spark):
+    """Full pair set without the cap; with max_out=2 the weakest s1
+    target (c.org, tie with b.org broken by dst asc) is dropped before
+    pairing, and the self-link never cites."""
+    from surfactant_spark.operators.webgraph import host_cocitation
+
+    df = _pages(
+        spark,
+        [
+            (
+                "https://s1.org/p",
+                '<a href="https://a.org/1">a</a><a href="https://a.org/2">a</a>'
+                '<a href="https://b.org/">b</a><a href="https://c.org/">c</a>'
+                '<a href="https://s1.org/self">me</a>',
+            ),
+            (
+                "https://s2.org/p",
+                '<a href="https://a.org/">a</a><a href="https://b.org/">b</a>',
+            ),
+        ],
+    )
+    full = {
+        (r.host_a, r.host_b): r.n_cociting
+        for r in host_cocitation(df, max_out=10, min_shared=1).collect()
+    }
+    assert full == {
+        ("a.org", "b.org"): 2,
+        ("a.org", "c.org"): 1,
+        ("b.org", "c.org"): 1,
+    }
+    capped = {
+        (r.host_a, r.host_b): r.n_cociting
+        for r in host_cocitation(df, max_out=2, min_shared=1).collect()
+    }
+    assert capped == {("a.org", "b.org"): 2}
+
+
+def test_host_cocitation_plan_shape(spark):
+    """The pair join stays an equi join on the citing host — no
+    nested-loop/cartesian, no Python (the cap bounds fan-out, it must
+    not change the join strategy)."""
+    from surfactant_spark.operators.webgraph import host_cocitation
+
+    df = _pages(spark, [("https://s.org/", '<a href="https://a.org/">a</a>')])
+    plan = host_cocitation(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
