@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "collocations",
     "corpus_pack",
     "quality_filter",
+    "tfidf_terms",
+    "inverted_index",
+    "cohort_retention",
+    "kmeans_clusters",
 ]
 
 

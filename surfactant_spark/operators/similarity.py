@@ -263,3 +263,81 @@ def topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the semantic
+    clustering step of a training-data curation pipeline (topic
+    bucketing, per-cluster sampling quotas, cluster-balanced eval
+    splits). Returns (vec_id, cluster, sim): each vector's cluster
+    after ``iters`` centroid updates, plus its rounded cosine to that
+    centroid.
+
+    Everything is deterministic and (with ``exact=True``) bit-exact
+    cross-engine, the topk_ivf discipline extended to an ITERATIVE
+    operator: seeding is the k lowest-id vectors (no rand()), each
+    assignment ranks on round(cosine, 6) with cluster-id tie-break,
+    and centroid updates use label_centroids_exact's canonical
+    summation order (members sorted by id, strict left fold per
+    dimension) so a SQL oracle can replay every iteration with
+    list_reduce. ``exact=False`` swaps in the production centroid path
+    (per-(cluster, dim) avg — single-double buffers, partition-order
+    float accumulation) for cluster-scale runs where replayability is
+    not needed.
+
+    Spark-first shape per iteration: ONE broadcast join against the
+    k-row centroid table + a per-vector top-1 window (partition = one
+    vector's k candidate rows, never corpus-wide) + the centroid
+    aggregation keyed on (cluster, dim). Centroids are eagerly
+    localCheckpoint'ed each round — the canon.py connected-components
+    discipline that truncates the iterative plan's lineage. A cluster
+    that loses all members simply disappears (k shrinks) — identical
+    in the SQL replay, documented rather than papered over."""
+    if k < 1 or iters < 0:
+        raise ValueError("k must be >= 1 and iters >= 0")
+    emb = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+    seed_w = Window.orderBy("_id")
+    cents = (
+        emb.orderBy("_id")
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("cluster"), F.col("v").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        scored = emb.join(F.broadcast(centroids)).select(
+            "_id",
+            "v",
+            "cluster",
+            F.round(cosine_col(F.col("v"), F.col("centroid")), 6).alias("sim"),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.asc("cluster"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("_id", "v", "cluster", "sim")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        if exact:
+            new_cents = label_centroids_exact(
+                assigned, label_col="cluster", vec_col="v", id_col="_id"
+            )
+        else:
+            new_cents = label_centroids(assigned, label_col="cluster", vec_col="v")
+        cents = (
+            new_cents.select(F.col("list_id").alias("cluster"), "centroid")
+            .localCheckpoint(eager=True)
+        )
+
+    return _assign(cents).select(
+        F.col("_id").alias(id_col), "cluster", "sim"
+    )

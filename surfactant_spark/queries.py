@@ -3684,6 +3684,74 @@ GROUP BY host_a, host_b HAVING COUNT(*) >= {min_shared}
 
 
 # ---------------------------------------------------------------------------
+# k-means embedding clustering — operators/similarity.py
+# ---------------------------------------------------------------------------
+KMEANS_K, KMEANS_ITERS = 4, 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table
+    (semantic clustering for curation quotas): lowest-id seeding,
+    round(cosine, 6) assignment with cluster tie-break, canonical-
+    summation-order centroid updates — every iteration replayable
+    bit-for-bit by the unrolled SQL twin."""
+    from .operators.similarity import kmeans_assign
+
+    return kmeans_assign(
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS
+    ).select("vec_id", F.col("cluster").cast("int").alias("cluster"), "sim")
+
+
+def _sql_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled DuckDB replay of q_kmeans_clusters: one (assign,
+    centroid) CTE pair per iteration; centroid component j is the same
+    strict left fold over members ordered by vec_id as
+    label_centroids_exact's F.aggregate (the _sql_topk_ivf pattern,
+    iterated)."""
+    cent = "[" + ",\n    ".join(
+        f"list_reduce(list_prepend(0.0, [v[{j}]::DOUBLE for v in vs]),"
+        " (s, x) -> s + x) / n"
+        for j in range(1, EMB_DIM + 1)
+    ) + "]"
+    ctes = [
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(iters):
+        cos = SQL_COSINE.format(a="e.embedding", b="c.centroid")
+        ctes.append(
+            f"""a{i} AS (
+  SELECT _id, v, cluster FROM (
+    SELECT e.vec_id AS _id, e.embedding AS v, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos}, 6) DESC,
+                                       c.cluster ASC) AS r
+    FROM embeddings e, c{i} c) WHERE r = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT cluster, list(v ORDER BY _id) AS vs, count(*) AS n
+  FROM a{i} GROUP BY cluster)"""
+        )
+        ctes.append(f"c{i + 1} AS (SELECT cluster, {cent} AS centroid FROM m{i})")
+    cos = SQL_COSINE.format(a="e.embedding", b="c.centroid")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
+  SELECT e.vec_id, c.cluster, round({cos}, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC,
+                                     c.cluster ASC) AS r
+  FROM embeddings e, c{iters} c) WHERE r = 1
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 # Registry order is load-bearing: the external correctness gate records only the
@@ -3695,6 +3763,7 @@ GROUP BY host_a, host_b HAVING COUNT(*) >= {min_shared}
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "kmeans_clusters": q_kmeans_clusters,
     "tfidf_terms": q_tfidf_terms,
     "inverted_index": q_inverted_index,
     "cohort_retention": q_cohort_retention,
@@ -3810,6 +3879,7 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "kmeans_clusters": _sql_kmeans(),
     "tfidf_terms": _sql_tfidf_terms(),
     "inverted_index": _sql_inverted_index(),
     "cohort_retention": _sql_cohort_retention(),

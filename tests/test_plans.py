@@ -390,3 +390,15 @@ def test_round5_index_cohort_cocite_plan_shapes(spark):
     plan = _plan(q_tfidf_terms(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_plan_shape(spark):
+    """kmeans_clusters joins the corpus against a K-ROW broadcast
+    centroid table with no equi key (the host_hits-style deliberate
+    1-dim broadcast cross join, planned as BroadcastNestedLoopJoin and
+    O(n*k)); no cartesian product, no Python anywhere."""
+    from surfactant_spark.queries import q_kmeans_clusters
+
+    plan = _plan(q_kmeans_clusters(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

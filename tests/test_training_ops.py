@@ -619,3 +619,145 @@ def test_inverted_index_matches_python_counter(spark, texts, max_postings, max_d
         ).collect()
     }
     assert got == _py_inverted_index(texts, max_postings, max_df)
+
+
+# ---------------------------------------------------------------------------
+# k-means embedding clustering
+# ---------------------------------------------------------------------------
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_hand_computed(spark):
+    """Two orthogonal directions, lowest-id seeding: members follow
+    their direction, centroids move to the means, sims land on 1.0;
+    the equidistant vector ties at round6 and resolves to the lower
+    cluster id."""
+    from surfactant_spark.operators.similarity import kmeans_assign
+
+    clean = _emb_df(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0]), (3, [0.0, 3.0])],
+    )
+    got = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in kmeans_assign(clean, k=2, iters=1).collect()
+    }
+    assert got == {0: (0, 1.0), 2: (0, 1.0), 1: (1, 1.0), 3: (1, 1.0)}
+
+    # the equidistant vector against the SEED centroids (iters=0):
+    # cos 0.707107 to both after round6 -> lower cluster id wins
+    tied = _emb_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (4, [1.0, 1.0])])
+    got0 = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in kmeans_assign(tied, k=2, iters=0).collect()
+    }
+    assert got0[4] == (0, 0.707107)
+
+
+def test_kmeans_empty_cluster_disappears(spark):
+    """Duplicate seeds: the tie sends both [1,0] vectors to cluster 0,
+    cluster 1 starves and drops out — k shrinks, documented semantics."""
+    from surfactant_spark.operators.similarity import kmeans_assign
+
+    df = _emb_df(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=3, iters=1).collect()}
+    assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_kmeans_exact_and_production_paths_agree(spark):
+    """On well-separated data the production centroid path (avg,
+    partition-order accumulation) must produce the same PARTITION as
+    the canonical-order exact path (sims may differ in the last ulp,
+    assignments must not)."""
+    from surfactant_spark.operators.similarity import kmeans_assign
+
+    rows = [(i, [10.0 + (i % 3), 0.1 * (i % 5), 0.0]) for i in range(0, 8)]
+    rows += [(i, [0.0, 0.1 * (i % 5), 10.0 + (i % 3)]) for i in range(8, 16)]
+    df = _emb_df(spark, rows)
+    a = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=2, exact=True).collect()}
+    b = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=2, exact=False).collect()}
+    assert a == b
+    assert len(set(a.values())) == 2
+
+
+def _py_kmeans(vecs, k, iters):
+    import math
+    from collections import defaultdict
+
+    ids = sorted(vecs)
+    cents = {i: list(vecs[ids[i]]) for i in range(min(k, len(ids)))}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return dot / (na * nb)
+
+    def assign(cents):
+        out = {}
+        for i in ids:
+            cands = sorted(
+                (-_round6_half_up(cos(vecs[i], c)), cl) for cl, c in cents.items()
+            )
+            out[i] = (cands[0][1], -cands[0][0])
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        members = defaultdict(list)
+        for i in ids:
+            members[a[i][0]].append(i)
+        cents = {}
+        for cl, mids in members.items():
+            dim = len(vecs[mids[0]])
+            cent = []
+            for j in range(dim):
+                s = 0.0
+                for mid in sorted(mids):
+                    s += vecs[mid][j]
+                cent.append(s / len(mids))
+            cents[cl] = cent
+    return {i: (cl, abs(s)) for i, (cl, s) in assign(cents).items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2),
+)
+def test_kmeans_matches_python_replay(spark, vec_rows, k, iters):
+    """Seeding, per-iteration assignment (round6 tie-break), canonical
+    summation centroids, and the final sims all pinned to a pure-python
+    replay — float32 inputs widened to double exactly like the engine."""
+    import numpy as np
+
+    from surfactant_spark.operators.similarity import kmeans_assign
+
+    vecs = {
+        i: [float(np.float32(x)) for x in row] for i, row in enumerate(vec_rows)
+    }
+    df = _emb_df(spark, [(i, v) for i, v in vecs.items()])
+    got = {
+        r.vec_id: (r.cluster, abs(r.sim))
+        for r in kmeans_assign(df, k=k, iters=iters).collect()
+    }
+    assert got == _py_kmeans(vecs, k, iters)
