@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "cohort_retention",
     "kmeans_clusters",
+    "bpe_merges",
 ]
 
 

@@ -552,3 +552,113 @@ def inverted_index(
     return stats.join(posts, "token", "left").select(
         "token", "df", "n_occurrences", "postings"
     )
+
+
+BPE_SEP = "\x1f"  # unit separator: symbol boundary in packed sequences
+
+
+def bpe_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The single corpus pass of BPE training: the (cnt, seq)
+    vocabulary table, with each word's symbol sequence packed as a
+    doubled-separator string (see :func:`bpe_merges`). Exposed so the
+    plan tests can assert the corpus-touching stage of the loop stays
+    JVM-only with no joins."""
+    from .dedup import tokenized
+
+    ss = BPE_SEP + BPE_SEP
+    words = (
+        tokenized(docs, text_col)
+        .select(F.explode("_toks").alias("word"))
+        .where((F.col("word") != "") & (~F.col("word").contains(BPE_SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seq = F.concat(
+        F.lit(ss),
+        F.array_join(F.regexp_extract_all("word", F.lit("(?s)."), 0), ss),
+        F.lit(ss),
+    )
+    return words.select("cnt", seq.alias("seq"))
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """One merge step's candidate table: corpus-frequency-weighted
+    counts of adjacent symbol pairs over the packed vocabulary — a
+    single combinable (map-side partial) aggregation, no joins."""
+    ss = BPE_SEP + BPE_SEP
+    syms = vocab.select(
+        "cnt", F.filter(F.split("seq", ss), lambda s: s != "").alias("syms")
+    )
+    pairs = syms.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                " (t, i) -> struct(t AS a, element_at(syms, i + 2) AS b))"
+            )
+        ).alias("bg"),
+    )
+    return pairs.groupBy(
+        F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    ).agg(F.sum("cnt").alias("n"))
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+    tokenizer-training step of an LLM data pipeline. Returns the
+    learned merge table (merge_rank, sym_a, sym_b, merged,
+    n_occurrences): at each step the corpus-frequency-weighted most
+    frequent adjacent symbol pair (ties broken (sym_a, sym_b) asc —
+    fully deterministic) is fused everywhere, exactly the reference
+    algorithm's greedy loop.
+
+    Spark-first shape — the iterated state is the VOCABULARY, not the
+    corpus: one corpus pass builds the (word, count) table, and every
+    merge step is (a) a combinable pair-count agg over the vocab,
+    (b) a 1-row orderBy/limit take (the pagerank driver-dispatch
+    precedent for per-iteration scalars), (c) one JVM string
+    ``replace`` over the vocab column. At web scale the vocabulary is
+    ~10^7-10^8 rows vs 10^12 documents, so the loop's per-step cost is
+    dimension-sized; the vocab frame is eagerly localCheckpoint'ed per
+    step (the CC lineage discipline).
+
+    Symbol sequences are packed as strings with DOUBLED \\x1f
+    separators ('␟␟a␟␟b␟␟'), and a merge of (a, b) replaces
+    '␟a␟␟b␟' -> '␟ab␟': every match consumes only the INNER half of
+    each boundary, so consecutive pair occurrences ('a b a b') all
+    fuse in one left-to-right non-overlapping pass — the exact BPE
+    semantic, and the exact semantics of both engines' literal
+    ``replace`` (overlapping occurrences like 'a a a' fuse once,
+    as BPE requires). Words containing the separator are excluded
+    up front (mirrored in the SQL twin), which keeps the packing
+    injective."""
+    ss = BPE_SEP + BPE_SEP
+    cur = bpe_vocab(docs, text_col).localCheckpoint(eager=True)
+    spark = cur.sparkSession
+
+    merges = []
+    for rank in range(n_merges):
+        pc = bpe_pair_counts(cur)
+        top = pc.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((rank, a, b, a + b, n))
+        cur = cur.select(
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(BPE_SEP + a + ss + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_a string, sym_b string, merged string,"
+        " n_occurrences long",
+    )

@@ -3684,6 +3684,69 @@ GROUP BY host_a, host_b HAVING COUNT(*) >= {min_shared}
 
 
 # ---------------------------------------------------------------------------
+# BPE merge induction — operators/textops.py
+# ---------------------------------------------------------------------------
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table over the documents corpus — tokenizer
+    training as a corpus operator (vocab-sized iterated state, one
+    corpus pass up front; see the operator docstring)."""
+    from .operators.textops import bpe_merges
+
+    return bpe_merges(_read(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
+
+
+def _sql_bpe_merges(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled DuckDB replay of q_bpe_merges: one (symbols, pair
+    counts, top-1, replace) CTE block per merge step; the step's
+    winning pair rides into the replace as scalar subqueries, and an
+    exhausted corpus (empty top-1) COALESCEs the search pattern onto a
+    chr(1) sentinel that can never match — the twin of the engine's
+    early break. Same doubled-chr(31) packing, same left-to-right
+    non-overlapping replace semantics. The per-step CTEs are
+    MATERIALIZED: without it DuckDB inlines each of the four scalar
+    subqueries' whole upstream chain, exponentiating the corpus scan
+    (observed as an fd-exhaustion blowup at 8 steps)."""
+    sep = "chr(31)"
+    ss = f"{sep} || {sep}"
+    ctes = [
+        f"""toks AS ({SQL_TOKS_SUBSELECT}),
+wrd AS (SELECT u.word AS word, COUNT(*) AS cnt
+        FROM toks, UNNEST(toks) AS u(word)
+        WHERE u.word <> '' AND NOT contains(u.word, {sep})
+        GROUP BY u.word),
+w0 AS MATERIALIZED (SELECT cnt,
+              {ss} || array_to_string(
+                [word[i] FOR i IN range(1, len(word) + 1)], {ss}) || {ss}
+                AS seq
+       FROM wrd)"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""s{i} AS (SELECT cnt,
+  list_filter(string_split(seq, {ss}), x -> x <> '') AS syms FROM w{i}),
+p{i} AS (SELECT syms[j] AS a, syms[j + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         FROM s{i}, UNNEST(range(1, len(syms))) AS g(j)
+         GROUP BY a, b),
+t{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+w{i + 1} AS MATERIALIZED (SELECT cnt, replace(seq,
+    {sep} || COALESCE((SELECT a FROM t{i}), chr(1)) || {ss}
+          || COALESCE((SELECT b FROM t{i}), chr(1)) || {sep},
+    {sep} || COALESCE((SELECT a FROM t{i}), '')
+          || COALESCE((SELECT b FROM t{i}), '') || {sep}) AS seq
+  FROM w{i})"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,"
+        f" n AS n_occurrences FROM t{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+# ---------------------------------------------------------------------------
 # k-means embedding clustering — operators/similarity.py
 # ---------------------------------------------------------------------------
 KMEANS_K, KMEANS_ITERS = 4, 2
@@ -3763,6 +3826,7 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "bpe_merges": q_bpe_merges,
     "kmeans_clusters": q_kmeans_clusters,
     "tfidf_terms": q_tfidf_terms,
     "inverted_index": q_inverted_index,
@@ -3879,6 +3943,7 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "bpe_merges": _sql_bpe_merges(),
     "kmeans_clusters": _sql_kmeans(),
     "tfidf_terms": _sql_tfidf_terms(),
     "inverted_index": _sql_inverted_index(),

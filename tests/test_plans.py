@@ -392,6 +392,21 @@ def test_round5_index_cohort_cocite_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_bpe_plan_shape(spark):
+    """The corpus-touching stage of BPE training (vocab build) and the
+    per-step pair-count agg are pure JVM aggregations: no joins of any
+    kind, no Python. The per-step top-1 is a limit-1 take over the
+    pair table (dimension-sized), the pagerank driver-dispatch
+    precedent."""
+    from surfactant_spark.operators.textops import bpe_pair_counts, bpe_vocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for frame in (bpe_vocab(docs), bpe_pair_counts(bpe_vocab(docs))):
+        plan = _plan(frame)
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 def test_kmeans_plan_shape(spark):
     """kmeans_clusters joins the corpus against a K-ROW broadcast
     centroid table with no equi key (the host_hits-style deliberate

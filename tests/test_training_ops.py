@@ -761,3 +761,107 @@ def test_kmeans_matches_python_replay(spark, vec_rows, k, iters):
         for r in kmeans_assign(df, k=k, iters=iters).collect()
     }
     assert got == _py_kmeans(vecs, k, iters)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction
+# ---------------------------------------------------------------------------
+def test_bpe_merges_hand_computed(spark):
+    """The Sennrich low/lower/newest example: (l,o) wins the first tie
+    on sym order, (lo,w) chains, then (e,r) beats (low,e) on the rank-3
+    tie — all counts corpus-frequency weighted."""
+    from surfactant_spark.operators.textops import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower lower"), (2, "newest")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=3).collect()]
+    assert sorted(got) == [
+        (0, "l", "o", "lo", 5),
+        (1, "lo", "w", "low", 5),
+        (2, "e", "r", "er", 2),
+    ]
+
+
+def test_bpe_merges_overlap_and_consecutive(spark):
+    """'aaa' fuses ONCE per pass (non-overlapping left-to-right, the
+    BPE semantic); 'abab' fuses BOTH occurrences in one pass."""
+    from surfactant_spark.operators.textops import bpe_merges
+
+    aaa = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(aaa, n_merges=2).collect()]
+    assert got == [(0, "a", "a", "aa", 2), (1, "aa", "a", "aaa", 1)]
+
+    abab = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(abab, n_merges=2).collect()]
+    assert got == [(0, "a", "b", "ab", 2), (1, "ab", "ab", "abab", 1)]
+
+
+def test_bpe_merges_exhausted_corpus_stops_early(spark):
+    from surfactant_spark.operators.textops import bpe_merges
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = bpe_merges(docs, n_merges=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "merge_rank", "sym_a", "sym_b", "merged", "n_occurrences",
+    ]
+
+
+def _py_bpe(texts, n_merges):
+    wc = Counter()
+    for s in texts:
+        for w in re.split(r"\s+", s.strip().lower()):
+            if w:
+                wc[w] += 1
+    seqs = {w: tuple(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += wc[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, n))
+        new = {}
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[w] = tuple(out)
+        seqs = new
+    return merges
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bpe_merges_match_python_reference(spark, texts, n_merges):
+    """The whole greedy loop (weighted pair counts, (count desc, pair
+    asc) selection, non-overlapping fuse) pinned to an independent
+    pure-python BPE on random corpora."""
+    from surfactant_spark.operators.textops import bpe_merges
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=n_merges).collect()]
+    assert got == _py_bpe(texts, n_merges)
