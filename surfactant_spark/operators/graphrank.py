@@ -560,3 +560,69 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
         .alias("assortativity"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core of the UNDIRECTED simple graph of ``edges``
+    (directions merged, self-loops and multi-edges dropped): the
+    maximal subgraph in which every node keeps degree >= k, computed by
+    the standard peeling fixpoint (Seidman 1983 / Batagelj-Zaveršnik) —
+    drop all nodes below degree k, recompute degrees, repeat. Returns
+    (id, core_degree): each surviving node with its degree INSIDE the
+    core. The web-graph reading: the k-core is the densely
+    interconnected crawl nucleus, the standard coarse filter before
+    community detection.
+
+    Spark shape — each round is one degree aggregation over the
+    surviving edge set plus two semi joins against the keep set (node-
+    dimension-sized: broadcast for a host graph, AQE-decided at entity
+    scale); the edge set is eagerly localCheckpoint'ed per round (the
+    CC lineage discipline). Peeling converges in <= max_rounds or
+    truncates there deterministically — the oracle unrolls EXACTLY
+    max_rounds (converged rounds are no-ops on both engines, so an
+    early break is result-identical); callers assert convergence where
+    the fixpoint semantic matters (the gate query's test does).
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = e.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).dropDuplicates()
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    prev = -1
+    for _ in range(max_rounds):
+        keep = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("a")
+        )
+        n = keep.count()
+        if n == prev:
+            break
+        prev = n
+        sym = kcore_peel_round(sym, keep).localCheckpoint(eager=True)
+    return sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def kcore_peel_round(sym: DataFrame, keep: DataFrame) -> DataFrame:
+    """One peel round's surviving-edge frame: the symmetrized edge set
+    filtered to endpoints in the keep set — two equi joins against a
+    node-dimension table. Exposed (pre-checkpoint) so the plan tests
+    can assert the round stays nested-loop- and Python-free."""
+    return (
+        sym.join(keep, "a")
+        .join(keep.select(F.col("a").alias("b")), "b")
+        .select("a", "b")
+    )

@@ -3684,6 +3684,58 @@ GROUP BY host_a, host_b HAVING COUNT(*) >= {min_shared}
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition — operators/graphrank.py
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core nucleus of the host link graph (k=3): surviving
+    hosts with their in-core degree after iterative peeling — the
+    densely interlinked crawl core, the standard coarse filter before
+    community detection on real web graphs. Each peel round is one
+    degree agg + two host-dimension semi joins; convergence asserted
+    within KCORE_ROUNDS by tests/test_graphrank.py."""
+    from .operators.graphrank import kcore
+    from .operators.webgraph import host_graph
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return kcore(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS).select(
+        F.col("id").alias("host"), "core_degree"
+    )
+
+
+def _sql_host_kcore(path: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peeling replay: EXACTLY `rounds` (degree, keep, filter)
+    CTE blocks over the symmetrized simple host graph — converged
+    rounds are no-ops on both engines, so the engine's early break is
+    result-identical. MATERIALIZED per round (the bpe_merges lesson:
+    DuckDB otherwise re-inlines each round's upstream chain)."""
+    ctes = [
+        f"""hg AS ({_sql_host_graph(path)}),
+e AS (SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+             GREATEST(src_host, dst_host) AS b
+      FROM hg WHERE src_host <> dst_host),
+s0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""d{i} AS (SELECT a, COUNT(*) AS c FROM s{i} GROUP BY a),
+k{i} AS (SELECT a FROM d{i} WHERE c >= {k}),
+s{i + 1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM s{i} s
+  JOIN k{i} x ON s.a = x.a JOIN k{i} y ON s.b = y.a)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a AS host, COUNT(*) AS core_degree FROM s{rounds} GROUP BY a"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge induction — operators/textops.py
 # ---------------------------------------------------------------------------
 BPE_N_MERGES = 8
@@ -3826,6 +3878,7 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "host_kcore": q_host_kcore,
     "bpe_merges": q_bpe_merges,
     "kmeans_clusters": q_kmeans_clusters,
     "tfidf_terms": q_tfidf_terms,
@@ -3943,6 +3996,7 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "host_kcore": _sql_host_kcore(_web_pages_file()),
     "bpe_merges": _sql_bpe_merges(),
     "kmeans_clusters": _sql_kmeans(),
     "tfidf_terms": _sql_tfidf_terms(),

@@ -665,3 +665,103 @@ def test_assortativity_matches_python_pearson(spark, edges):
         assert rows[0].assortativity is None
         return
     assert (rows[0].n_edges, rows[0].assortativity) == want
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+def _py_kcore(pairs, k):
+    """Independent pure-python peeler over the undirected simple graph."""
+    adj = {}
+    for x, y in pairs:
+        if x == y:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    changed = True
+    while changed:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_peels_tail_then_cascade(spark):
+    """Triangle abc with a pendant path c-d-e: at k=2 the path peels in
+    two cascading rounds (e first, then d), leaving the triangle."""
+    from surfactant_spark.operators.graphrank import kcore
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r.id: r.core_degree for r in kcore(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_merges_directions_and_drops_loops(spark):
+    """Reversed duplicates and self-loops must not inflate degrees: a
+    triangle stated with both directions plus a self-loop is still a
+    plain 2-core of degree 2."""
+    from surfactant_spark.operators.graphrank import kcore
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "a")],
+        "src string, dst string",
+    )
+    got = {r.id: r.core_degree for r in kcore(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_below_k(spark):
+    from surfactant_spark.operators.graphrank import kcore
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = kcore(e, k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "core_degree"]
+
+
+def test_kcore_gate_query_converges_within_round_budget(spark):
+    """The fixpoint semantic of the gate query: on the driver fixture
+    the peel must CONVERGE within KCORE_ROUNDS (the oracle unrolls
+    exactly that many rounds — identity with a truncated peel would be
+    vacuous)."""
+    from surfactant_spark.operators.graphrank import kcore
+    from surfactant_spark.operators.webgraph import host_graph
+    from surfactant_spark.queries import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _read_web_pages,
+    )
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    budget = {r.id: r.core_degree for r in kcore(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS).collect()}
+    fixpoint = {r.id: r.core_degree for r in kcore(edges, k=KCORE_K, max_rounds=64).collect()}
+    assert budget == fixpoint and budget  # converged AND non-trivial
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+            lambda t: (f"n{t[0]}", f"n{t[1]}")
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_kcore_matches_python_peeler(spark, pairs, k):
+    from surfactant_spark.operators.graphrank import kcore
+
+    e = spark.createDataFrame(
+        pairs or [("x", "x")], "src string, dst string"
+    )
+    got = {r.id: r.core_degree for r in kcore(e, k=k, max_rounds=32).collect()}
+    assert got == _py_kcore(pairs, k)

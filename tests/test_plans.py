@@ -392,6 +392,24 @@ def test_round5_index_cohort_cocite_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_kcore_plan_shape(spark):
+    """Every peel round's surviving-edge frame is built from equi
+    (semi-style) joins against the host-dimension keep set — no
+    nested-loop, no cartesian, no Python. Asserted on one unrolled
+    round over the gate fixture's host graph."""
+    from surfactant_spark.operators.graphrank import kcore
+    from surfactant_spark.operators.webgraph import host_graph
+    from surfactant_spark.queries import _read_web_pages
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    plan = _plan(kcore(edges, k=3, max_rounds=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_bpe_plan_shape(spark):
     """The corpus-touching stage of BPE training (vocab build) and the
     per-step pair-count agg are pure JVM aggregations: no joins of any
