@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r4c"
+FIXTURE_VERSION = "r5a"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -350,6 +350,45 @@ def stage_web_pages(n: int) -> str:
     _write_parquet(tmp, synth_web_pages(n))
     os.rename(tmp, final)  # losers overwrite with identical bytes
     return final
+
+
+def synth_boiler_pages() -> Dict[str, list]:
+    """Per-host templated pages for the boilerplate-shingle miner
+    (`textops.host_boilerplate`): every host stamps a constant header
+    and footer sentence on all of its pages (true boilerplate, 100 %),
+    a 'subscribe' block appears on only some pages — exactly 60 % on
+    bsite1 (the inclusive threshold boundary), ~33-50 % elsewhere
+    (below it) — and the middle sentence varies per page through
+    coprime integer arithmetic so no 5-token window of it repeats
+    within a host. tiny.example.net has just 2 pages: its header IS
+    universal but the host sits below min_pages. Deterministic literal
+    arithmetic — no rng."""
+    urls: List[str] = []
+    texts: List[str] = []
+    for h in range(6):
+        host = f"bsite{h}.example.net"
+        n_pages = 4 + h % 4
+        for i in range(n_pages):
+            header = f"copyright bsite{h} example net all rights reserved"
+            footer = f"navigation home about contact bsite{h} sitemap terms"
+            middle = (
+                f"article a{h}x{i} discusses topic t{(i * 7 + h) % 13}"
+                f" and item m{(i * 11 + h) % 17}"
+            )
+            block2 = f"subscribe to the bsite{h} newsletter for weekly updates today"
+            parts = [header, middle]
+            if (h == 1 and i < 3) or (h != 1 and i % 3 == 0):
+                parts.append(block2)
+            parts.append(footer)
+            urls.append(f"https://{host}/a/{i}.html")
+            texts.append(" ".join(parts))
+    for i in range(2):
+        urls.append(f"https://tiny.example.net/a/{i}.html")
+        texts.append(
+            "copyright tiny example net all rights reserved"
+            f" article q{i} is short"
+        )
+    return {"url": urls, "text": texts}
 
 
 def synth_raw_urls(n: int = 72) -> Dict[str, list]:
@@ -804,7 +843,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
         "audit_rows", "cp_software", "cp_map", "cp_edges",
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
-        "web_pages", "raw_urls",
+        "web_pages", "raw_urls", "boiler_pages",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -949,6 +988,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["ole_pages"], synth_ole_pages())
     _write_parquet(paths["web_pages"], synth_web_pages())
     _write_parquet(paths["raw_urls"], synth_raw_urls())
+    _write_parquet(paths["boiler_pages"], synth_boiler_pages())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

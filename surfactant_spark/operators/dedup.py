@@ -84,6 +84,22 @@ def shingles_from_toks(toks: Column, n: int = 3) -> Column:
     )
 
 
+def ngrams_from_toks(toks: Column, n: int) -> Column:
+    """Exact-window word n-grams from a *materialized* token-array
+    column: one ' '-joined string per position, EMPTY array when the
+    document is shorter than ``n`` (contrast shingles_from_toks, which
+    falls back to the whole text for dedup recall). Same lambda caveat:
+    ``toks`` must be a plain column reference, or Catalyst re-evaluates
+    the expression per element."""
+    k = F.size(toks)
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def tokenized(docs: DataFrame, text_col: str = "text", keep: tuple = ()) -> DataFrame:
     """Project (keep..., _toks) with the whitespace tokens materialized
     — the mandatory prelude to :func:`shingles_from_toks`."""

@@ -662,3 +662,139 @@ def bpe_merges(
         "merge_rank int, sym_a string, sym_b string, merged string,"
         " n_occurrences long",
     )
+
+
+def host_boilerplate(
+    pages: DataFrame,
+    n: int = 5,
+    min_pages: int = 3,
+    min_pct: int = 60,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host boilerplate shingle mining: token ``n``-grams that
+    recur across at least ``min_pct`` percent of a host's pages (hosts
+    with fewer than ``min_pages`` pages excluded) — the standard
+    template-text detector a crawl-cleaning pipeline runs BEFORE
+    training-data extraction (CCNet-style dedup-by-frequency, applied
+    at host granularity where page templates actually live). Returns
+    (host, shingle, n_pages, n_host_pages) with exact integer counts;
+    the threshold compares 100*n_pages >= min_pct*n_host_pages so no
+    IEEE division reaches the oracle surface.
+
+    Spark shape — everything corpus-sized is ROW-LOCAL: tokenize,
+    window into n-grams (slice under transform: no per-element
+    re-split), array_distinct per page (a shingle counts once per
+    page no matter how often the template repeats within it). The
+    first shuffle is the (host, shingle) count itself — map-side
+    combinable, and the key's shingle component keeps hot hosts from
+    concentrating (the same reason dedup's shingle aggs never salt).
+    The per-host page count is a host-dimension aggregate joined back
+    on host — broadcast-sized against any real crawl. Shingles stay
+    human-readable strings (the product is a reviewable blocklist);
+    at 10^12 pages swap the agg key for portable_hash64_col(shingle)
+    and keep a min_by exemplar, the shingle_table(hashed=True) trade.
+    """
+    from .dedup import ngrams_from_toks, tokenized
+    from .webgraph import _URL_HOST
+
+    tok = tokenized(pages, text_col, keep=(url_col,)).select(
+        F.regexp_extract(F.col(url_col), _URL_HOST, 1).alias("host"), "_toks"
+    )
+    sh = ngrams_from_toks(F.col("_toks"), n)
+    page_sh = tok.select("host", F.explode(F.array_distinct(sh)).alias("shingle"))
+    host_pages = tok.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_host_pages")
+    )
+    counts = page_sh.groupBy("host", "shingle").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return (
+        counts.join(host_pages, "host")
+        .where(
+            (F.col("n_host_pages") >= min_pages)
+            & (F.col("n_pages") * 100 >= F.col("n_host_pages") * min_pct)
+        )
+        .select("host", "shingle", "n_pages", "n_host_pages")
+    )
+
+
+def split_oov(
+    docs: DataFrame,
+    weights: dict,
+    n: int = 1,
+    train_label: str = "train",
+    eval_label: str = "val",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Cross-split novelty audit: for each language, how much of the
+    eval split's token-``n``-gram mass is ABSENT from the train
+    split's n-gram vocabulary — the unseen-n-gram fraction used to
+    separate generalization from memorization in LM evals (novel
+    val text the model cannot have copied), and a leak detector in
+    the other direction (an oov_rate near 0 at high n means the val
+    split is effectively inside the train set). Splits come from the
+    same growth-stable :func:`hash_split` ranges the corpus_sample
+    product uses, so the audit describes the REAL training splits.
+    Returns (lang, n_tokens, n_oov_tokens, n_types, n_oov_types,
+    oov_rate) — exact integer counts plus one IEEE divide+round(6).
+
+    Spark shape: tokenize + n-gram windows row-locally, then reduce
+    the corpus to the (lang, split, gram, n_occ) type table FIRST
+    (map-side combinable; the one corpus-sized shuffle) and
+    localCheckpoint it — the train-vocab and eval branches both read
+    the type table, not the corpus. The vocab membership probe is a
+    token-keyed equi join at type cardinality (10^7-8 at web scale,
+    never corpus-sized); AQE picks the strategy.
+    """
+    from .dedup import ngrams_from_toks, tokenized
+
+    lab = hash_split(
+        docs.select(id_col, lang_col, text_col), weights, id_col=id_col, salt=salt
+    )
+    tok = tokenized(lab, text_col, keep=(lang_col, "split"))
+    occ = (
+        tok.select(
+            lang_col,
+            "split",
+            F.explode(ngrams_from_toks(F.col("_toks"), n)).alias("tok"),
+        )
+        .groupBy(lang_col, "split", "tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        occ.where(F.col("split") == train_label)
+        .select("tok")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    oov = F.col("_seen").isNull()
+    return (
+        occ.where(F.col("split") == eval_label)
+        .join(vocab, "tok", "left")
+        .groupBy(lang_col)
+        .agg(
+            F.sum("n_occ").alias("n_tokens"),
+            F.sum(F.when(oov, F.col("n_occ")).otherwise(F.lit(0))).alias(
+                "n_oov_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(oov, F.lit(1)).otherwise(F.lit(0))).alias("n_oov_types"),
+        )
+        .select(
+            lang_col,
+            "n_tokens",
+            "n_oov_tokens",
+            "n_types",
+            "n_oov_types",
+            F.round(
+                F.col("n_oov_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

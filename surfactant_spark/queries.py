@@ -3736,6 +3736,106 @@ s{i + 1} AS MATERIALIZED (
 
 
 # ---------------------------------------------------------------------------
+# cross-split n-gram novelty audit — operators/textops.py
+# ---------------------------------------------------------------------------
+OOV_N = 3
+
+
+def q_val_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-trigram fraction of the val split vs the train split's
+    trigram vocabulary, per language — the novelty/memorization audit
+    over the SAME growth-stable hash splits corpus_sample ships (near
+    0 at high n would mean the eval set is effectively inside the
+    train set). One corpus-sized shuffle (the type-table agg), then
+    type-cardinality joins only."""
+    from .operators.textops import split_oov
+
+    return split_oov(_read(spark, sf_dir, "documents"), SPLIT_WEIGHTS, n=OOV_N)
+
+
+def _sql_val_oov(n: int = OOV_N) -> str:
+    mod = 1_000_000
+    pb = _H.format(expr="'split:v1:' || CAST(doc_id AS VARCHAR)") + f" % {mod}"
+    names = list(SPLIT_WEIGHTS)
+    cum, arms = 0, []
+    for name in names[:-1]:
+        cum += int(round(SPLIT_WEIGHTS[name] * mod))
+        arms.append(f"WHEN {pb} < {cum} THEN '{name}'")
+    split_case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+    return rf"""
+WITH d AS (
+  SELECT lang, {split_case} AS split,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT lang, split, array_to_string(toks[i:i + {n - 1}], ' ') AS tok
+  FROM d, UNNEST(range(1, GREATEST(len(toks) - {n} + 2, 1))) AS z(i)),
+occ AS (SELECT lang, split, tok, COUNT(*) AS n_occ
+        FROM g GROUP BY lang, split, tok),
+tv AS (SELECT DISTINCT tok FROM occ WHERE split = 'train'),
+v AS (SELECT o.lang, o.n_occ, (tv.tok IS NULL) AS oov
+      FROM occ o LEFT JOIN tv ON o.tok = tv.tok WHERE o.split = 'val')
+SELECT lang,
+       CAST(SUM(n_occ) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN oov THEN n_occ ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+       round(CAST(SUM(CASE WHEN oov THEN n_occ ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_occ) AS DOUBLE), 6) AS oov_rate
+FROM v GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-host boilerplate shingle mining — operators/textops.py
+# ---------------------------------------------------------------------------
+BOILER_N = 5
+BOILER_MIN_PAGES = 3
+BOILER_MIN_PCT = 60
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-text detection per host: token 5-grams recurring on
+    >= 60 % of a host's pages (hosts with >= 3 pages) — the crawl-
+    cleaning blocklist a training-data pipeline mines BEFORE dedup so
+    navigation/copyright text never reaches the model. Row-local
+    shingling, one map-side-combinable (host, shingle) count, one
+    host-dimension join."""
+    from .operators.textops import host_boilerplate
+
+    p = _fixture_paths()
+    return host_boilerplate(
+        spark.read.parquet(p["boiler_pages"]),
+        n=BOILER_N,
+        min_pages=BOILER_MIN_PAGES,
+        min_pct=BOILER_MIN_PCT,
+    )
+
+
+def _sql_host_boilerplate(
+    path: str,
+    n: int = BOILER_N,
+    min_pages: int = BOILER_MIN_PAGES,
+    min_pct: int = BOILER_MIN_PCT,
+) -> str:
+    return rf"""
+WITH pg AS (
+  SELECT url, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM read_parquet('{path}')),
+sh AS (
+  SELECT DISTINCT host, url, array_to_string(toks[i:i + {n - 1}], ' ') AS shingle
+  FROM pg, UNNEST(range(1, GREATEST(len(toks) - {n} + 2, 1))) AS g(i)),
+hp AS (SELECT host, COUNT(*) AS n_host_pages FROM pg GROUP BY host),
+c AS (SELECT host, shingle, COUNT(*) AS n_pages FROM sh GROUP BY host, shingle)
+SELECT c.host, c.shingle, c.n_pages, hp.n_host_pages
+FROM c JOIN hp USING (host)
+WHERE hp.n_host_pages >= {min_pages}
+  AND c.n_pages * 100 >= hp.n_host_pages * {min_pct}
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE merge induction — operators/textops.py
 # ---------------------------------------------------------------------------
 BPE_N_MERGES = 8
@@ -3878,6 +3978,8 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "val_oov": q_val_oov,
+    "host_boilerplate": q_host_boilerplate,
     "host_kcore": q_host_kcore,
     "bpe_merges": q_bpe_merges,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3996,6 +4098,8 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "val_oov": _sql_val_oov(),
+    "host_boilerplate": _sql_host_boilerplate(_fixture_file("boiler_pages")),
     "host_kcore": _sql_host_kcore(_web_pages_file()),
     "bpe_merges": _sql_bpe_merges(),
     "kmeans_clusters": _sql_kmeans(),

@@ -392,6 +392,19 @@ def test_round5_index_cohort_cocite_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_boilerplate_and_oov_plan_shapes(spark):
+    """host_boilerplate's host-pages join and val_oov's vocab-membership
+    join are both equi joins (host-dimension / type-cardinality); all
+    shingling is row-local — no nested-loop, no cartesian, no Python."""
+    from surfactant_spark.queries import q_host_boilerplate, q_val_oov
+
+    for q in (q_host_boilerplate, q_val_oov):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+
+
 def test_kcore_plan_shape(spark):
     """Every peel round's surviving-edge frame is built from equi
     (semi-style) joins against the host-dimension keep set — no

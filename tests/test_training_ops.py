@@ -865,3 +865,184 @@ def test_bpe_merges_match_python_reference(spark, texts, n_merges):
     )
     got = [tuple(r) for r in bpe_merges(docs, n_merges=n_merges).collect()]
     assert got == _py_bpe(texts, n_merges)
+
+
+# ---------------------------------------------------------------------------
+# host boilerplate shingle mining
+# ---------------------------------------------------------------------------
+def _py_boilerplate(rows, n, min_pages, min_pct):
+    from collections import defaultdict
+
+    pages = defaultdict(int)
+    counts = defaultdict(int)
+    for url, text in rows:
+        m = re.match(r"^[a-z]+://([^/?#]+)", url)
+        host = m.group(1) if m else ""
+        toks = re.split(r"\s+", text.strip().lower())
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+        pages[host] += 1
+        for g in grams:
+            counts[(host, g)] += 1
+    return {
+        (host, g): (c, pages[host])
+        for (host, g), c in counts.items()
+        if pages[host] >= min_pages and c * 100 >= pages[host] * min_pct
+    }
+
+
+def test_host_boilerplate_hand_computed(spark):
+    """Template on 3/3 pages kept; a 2/3 (66 %) tail kept; a 1/3 tail
+    dropped; a perfectly-templated 2-page host dropped by min_pages."""
+    from surfactant_spark.operators.textops import host_boilerplate
+
+    rows = [
+        ("https://a.example/p/0", "a b c d e f z1 z2 z3 z4 z5"),
+        ("https://a.example/p/1", "a b c d e f z1 z2 z3 z4 z5"),
+        ("https://a.example/p/2", "a b c d e f q1 q2 q3 q4 q5"),
+        ("https://b.example/p/0", "p q r s t u"),
+        ("https://b.example/p/1", "p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.host, r.shingle): (r.n_pages, r.n_host_pages)
+        for r in host_boilerplate(df, n=5, min_pages=3, min_pct=60).collect()
+    }
+    assert got == _py_boilerplate(rows, 5, 3, 60)
+    assert got[("a.example", "a b c d e")] == (3, 3)
+    assert got[("a.example", "z1 z2 z3 z4 z5")] == (2, 3)
+    assert ("a.example", "q1 q2 q3 q4 q5") not in got
+    assert not any(h == "b.example" for h, _ in got)
+
+
+def test_host_boilerplate_within_page_repeat_counts_once(spark):
+    """A template repeated twice INSIDE one page still counts that page
+    once (array_distinct), and a sub-n-token page contributes no
+    shingles but does count toward n_host_pages."""
+    from surfactant_spark.operators.textops import host_boilerplate
+
+    rows = [
+        ("https://c.example/p/0", "t1 t2 t3 t4 t5 t1 t2 t3 t4 t5"),
+        ("https://c.example/p/1", "t1 t2 t3 t4 t5"),
+        ("https://c.example/p/2", "hi"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.host, r.shingle): (r.n_pages, r.n_host_pages)
+        for r in host_boilerplate(df, n=5, min_pages=3, min_pct=60).collect()
+    }
+    assert got == _py_boilerplate(rows, 5, 3, 60)
+    assert got[("c.example", "t1 t2 t3 t4 t5")] == (2, 3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["h0", "h1"]), _text), min_size=1, max_size=12
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_host_boilerplate_matches_python_counter(spark, pages, n):
+    from surfactant_spark.operators.textops import host_boilerplate
+
+    rows = [
+        (f"https://{h}.example.net/p/{i}", t)
+        for i, (h, t) in enumerate(pages)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.host, r.shingle): (r.n_pages, r.n_host_pages)
+        for r in host_boilerplate(df, n=n, min_pages=2, min_pct=50).collect()
+    }
+    assert got == _py_boilerplate(rows, n, 2, 50)
+
+
+# ---------------------------------------------------------------------------
+# cross-split n-gram novelty (val_oov)
+# ---------------------------------------------------------------------------
+def _py_split_oov(rows, weights, n, salt="split:v1"):
+    from collections import Counter, defaultdict
+
+    from surfactant_spark.functions.hashing import portable_hash64
+
+    mod = 1_000_000
+    names = list(weights)
+
+    def split_of(doc_id):
+        b = portable_hash64(f"{salt}:{doc_id}") % mod
+        cum = 0
+        for name in names[:-1]:
+            cum += int(round(weights[name] * mod))
+            if b < cum:
+                return name
+        return names[-1]
+
+    train = set()
+    val = defaultdict(Counter)
+    for doc_id, lang, text in rows:
+        toks = re.split(r"\s+", text.strip().lower())
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        s = split_of(doc_id)
+        if s == "train":
+            train.update(grams)
+        elif s == "val":
+            val[lang].update(grams)
+    out = {}
+    for lang, c in val.items():
+        nt = sum(c.values())
+        no = sum(v for g, v in c.items() if g not in train)
+        out[lang] = (
+            nt,
+            no,
+            len(c),
+            sum(1 for g in c if g not in train),
+            _round6_half_up(no / nt),
+        )
+    return out
+
+
+def test_split_oov_hand_labeled(spark):
+    """Fully-covered and fully-novel val docs behave as expected: a val
+    doc repeating only train trigrams scores 0, one sharing nothing
+    scores 1. Split labels pinned by choosing ids whose hash buckets
+    are known (computed with the same portable hash the engine uses)."""
+    from surfactant_spark.functions.hashing import portable_hash64
+    from surfactant_spark.operators.textops import split_oov
+
+    # find concrete ids for each split under the test weights
+    w = {"train": 0.5, "val": 0.5}
+    train_ids = [i for i in range(60) if portable_hash64(f"split:v1:{i}") % 1_000_000 < 500_000]
+    val_ids = [i for i in range(60) if i not in train_ids]
+    rows = [
+        (train_ids[0], "en", "a b c d e"),
+        (val_ids[0], "en", "a b c d e"),        # every trigram seen in train
+        (val_ids[1], "de", "x y z w v"),        # nothing seen in train
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.lang: (r.n_tokens, r.n_oov_tokens, r.n_types, r.n_oov_types, r.oov_rate)
+        for r in split_oov(df, w, n=3).collect()
+    }
+    assert got == {"en": (3, 0, 3, 0, 0.0), "de": (3, 3, 3, 3, 1.0)}
+    assert got == _py_split_oov(rows, w, 3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), _text), min_size=1, max_size=14
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_split_oov_matches_python_counter(spark, rows_in, n):
+    from surfactant_spark.operators.textops import split_oov
+
+    rows = [(i, lang, t) for i, (lang, t) in enumerate(rows_in)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {"train": 0.5, "val": 0.4, "test": 0.1}
+    got = {
+        r.lang: (r.n_tokens, r.n_oov_tokens, r.n_types, r.n_oov_types, r.oov_rate)
+        for r in split_oov(df, w, n=n).collect()
+    }
+    assert got == _py_split_oov(rows, w, n)
