@@ -341,3 +341,87 @@ def kmeans_assign(
     return _assign(cents).select(
         F.col("_id").alias(id_col), "cluster", "sim"
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization of the embedding
+    column — the standard compression step before ANN serving or
+    training-shard export (int8 codes cut vector storage/bandwidth 4x
+    vs float32 with a per-vector scale): scale = max|v_i| / qmax with
+    qmax = 2^(bits-1) - 1, code_i = round(v_i / scale), so codes span
+    [-qmax, qmax] with no clamping. Returns (vec_id, n_dims, scale,
+    codes, max_err, mean_err): codes as a comma-joined scalar (the
+    driver canonicalizer cannot sort arrays — the inverted_index
+    posting trade), reconstruction errors |code_i*scale - v_i| rounded
+    to 6. All-zero vectors quantize to all-zero codes at scale 0.
+
+    Spark shape: one narrow JVM projection per row — no shuffle, no
+    Python, nothing leaves the scan stage. Each array expression is
+    materialized into a named column BEFORE the next lambda consumes
+    it (the shingles_from_toks caveat: Catalyst re-evaluates computed
+    expressions per element inside higher-order lambdas). Folds are
+    strict left folds in array order so the doubles replay bit-exactly
+    in the oracle's list_reduce.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = vectors.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    m = v.select(
+        id_col,
+        "_v",
+        F.aggregate(
+            "_v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        ).alias("_m"),
+    )
+    scale = F.col("_m") / F.lit(qmax)
+    coded = m.select(
+        id_col,
+        "_v",
+        "_m",
+        F.when(
+            F.col("_m") == 0.0,
+            F.transform(F.col("_v"), lambda x: F.lit(0)),
+        )
+        .otherwise(
+            F.transform(F.col("_v"), lambda x: F.round(x / scale).cast("int"))
+        )
+        .alias("_c"),
+    )
+    errs = coded.select(
+        id_col,
+        "_v",
+        "_m",
+        "_c",
+        F.transform(
+            F.arrays_zip("_c", "_v"),
+            lambda z: F.abs(z["_c"].cast("double") * scale - z["_v"]),
+        ).alias("_e"),
+    )
+    n = F.size("_v")
+    return errs.select(
+        F.col(id_col),
+        n.cast("int").alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", F.transform("_c", lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+        F.round(
+            F.aggregate("_e", F.lit(0.0), lambda a, x: F.greatest(a, x)), 6
+        ).alias("max_err"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.aggregate("_e", F.lit(0.0), lambda a, x: a + x)
+                / n.cast("double"),
+                6,
+            )
+        )
+        .alias("mean_err"),
+    )

@@ -3736,6 +3736,54 @@ s{i + 1} AS MATERIALIZED (
 
 
 # ---------------------------------------------------------------------------
+# embedding scalar quantization — operators/similarity.py
+# ---------------------------------------------------------------------------
+QUANT_BITS = 8
+
+
+def q_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embeddings table with
+    per-vector reconstruction-error audit — the ANN/export compression
+    step. One narrow JVM projection on the scan: no shuffle, no
+    Python; folds replay bit-exactly in the list_reduce twin."""
+    from .operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir), bits=QUANT_BITS)
+
+
+def _sql_embedding_quant(bits: int = QUANT_BITS) -> str:
+    qmax = 2 ** (bits - 1) - 1
+    return f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0, [abs(x) for x in v]),
+                     (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS m
+  FROM v),
+c AS (
+  SELECT vec_id, v, m,
+         CASE WHEN m = 0 THEN [0 for x in v]
+              ELSE [CAST(round(x / (m / {qmax}.0)) AS INT) for x in v] END AS c
+  FROM m),
+e AS (
+  SELECT vec_id, v, m, c,
+         [abs(CAST(c[i] AS DOUBLE) * (m / {qmax}.0) - v[i])
+          for i in range(1, len(v) + 1)] AS err
+  FROM c)
+SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
+       round(m / {qmax}.0, 6) AS scale,
+       array_to_string(c, ',') AS codes,
+       round(list_reduce(list_prepend(0.0, err),
+                         (a, x) -> CASE WHEN x > a THEN x ELSE a END), 6) AS max_err,
+       CASE WHEN len(v) = 0 THEN 0.0
+            ELSE round(list_reduce(list_prepend(0.0, err), (a, x) -> a + x)
+                       / CAST(len(v) AS DOUBLE), 6) END AS mean_err
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # cross-split n-gram novelty audit — operators/textops.py
 # ---------------------------------------------------------------------------
 OOV_N = 3
@@ -3978,6 +4026,7 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
 # records which rounds proved which entries so rotation can continue.
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "embedding_quant": q_embedding_quant,
     "val_oov": q_val_oov,
     "host_boilerplate": q_host_boilerplate,
     "host_kcore": q_host_kcore,
@@ -4098,6 +4147,7 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "embedding_quant": _sql_embedding_quant(),
     "val_oov": _sql_val_oov(),
     "host_boilerplate": _sql_host_boilerplate(_fixture_file("boiler_pages")),
     "host_kcore": _sql_host_kcore(_web_pages_file()),

@@ -392,6 +392,19 @@ def test_round5_index_cohort_cocite_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_embedding_quant_plan_is_scan_rooted_no_shuffle(spark):
+    """Quantization is ONE narrow JVM projection on the embeddings
+    scan: no Exchange, no Python of any kind, no join — the shape that
+    makes it free to fuse into any export or ANN-build pass."""
+    from surfactant_spark.queries import q_embedding_quant
+
+    df = q_embedding_quant(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
 def test_boilerplate_and_oov_plan_shapes(spark):
     """host_boilerplate's host-pages join and val_oov's vocab-membership
     join are both equi joins (host-dimension / type-cardinality); all

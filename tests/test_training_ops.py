@@ -1046,3 +1046,81 @@ def test_split_oov_matches_python_counter(spark, rows_in, n):
         for r in split_oov(df, w, n=n).collect()
     }
     assert got == _py_split_oov(rows, w, n)
+
+
+# ---------------------------------------------------------------------------
+# embedding scalar quantization
+# ---------------------------------------------------------------------------
+def _round0_half_up(x):
+    """Spark round(col) at scale 0: HALF_UP on the shortest decimal
+    repr (BigDecimal.valueOf), away from zero on ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(float(x))).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _py_quant(vecs, bits=8):
+    qmax = 2 ** (bits - 1) - 1
+    out = {}
+    for vid, v in vecs:
+        m = max((abs(x) for x in v), default=0.0)
+        scale = m / qmax
+        codes = [0] * len(v) if m == 0.0 else [_round0_half_up(x / scale) for x in v]
+        err = [abs(float(c) * scale - x) for c, x in zip(codes, v)]
+        s = 0.0
+        for x in err:
+            s += x
+        out[vid] = (
+            len(v),
+            _round6_half_up(scale),
+            ",".join(str(c) for c in codes),
+            _round6_half_up(max(err, default=0.0)),
+            _round6_half_up(s / len(v)) if v else 0.0,
+        )
+    return out
+
+
+def _quant_rows(df_rows):
+    return {
+        r.vec_id: (r.n_dims, r.scale, r.codes, r.max_err, r.mean_err)
+        for r in df_rows
+    }
+
+
+def test_quantize_hand_computed(spark):
+    """scale = max|v|/127; -0.5 at scale 1/127 is the -63.5 tie and
+    must round away from zero to -64; the max element hits exactly
+    +/-127 (no clamp needed); the all-zero vector quantizes to zero
+    codes at scale 0 with zero error."""
+    from surfactant_spark.operators.similarity import quantize_embeddings
+
+    rows = [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    got = _quant_rows(quantize_embeddings(_emb_df(spark, rows)).collect())
+    assert got == _py_quant(rows)
+    n, scale, codes, _, _ = got[0]
+    assert codes == "127,-64,32,0"
+    assert got[1] == (4, 0.0, "0,0,0,0", 0.0, 0.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=2,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantize_matches_python_reference(spark, vec_rows):
+    import numpy as np
+
+    from surfactant_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (i, [float(np.float32(x)) for x in row]) for i, row in enumerate(vec_rows)
+    ]
+    got = _quant_rows(quantize_embeddings(_emb_df(spark, rows)).collect())
+    assert got == _py_quant(rows)
