@@ -242,7 +242,7 @@ def test_funnel_matches_python_scan(spark, events):
 # ---------------------------------------------------------------------------
 # cohort retention
 # ---------------------------------------------------------------------------
-def _ts(day, sec=0):
+def _day_ts(day, sec=0):
     from datetime import datetime, timedelta
 
     return datetime(2024, 1, 1) + timedelta(days=day, seconds=sec)
@@ -258,12 +258,12 @@ def test_cohort_retention_hand_computed(spark):
 
     events = spark.createDataFrame(
         [
-            (1, _ts(0, 10)),
-            (1, _ts(0, 20)),
-            (2, _ts(0, 30)),
-            (1, _ts(2, 5)),
-            (3, _ts(1, 0)),
-            (3, _ts(2, 0)),
+            (1, _day_ts(0, 10)),
+            (1, _day_ts(0, 20)),
+            (2, _day_ts(0, 30)),
+            (1, _day_ts(2, 5)),
+            (3, _day_ts(1, 0)),
+            (3, _day_ts(2, 0)),
         ],
         "user_id long, ts timestamp",
     )
