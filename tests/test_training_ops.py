@@ -990,6 +990,10 @@ def _py_split_oov(rows, weights, n, salt="split:v1"):
             val[lang].update(grams)
     out = {}
     for lang, c in val.items():
+        if not c:
+            # a sub-n-token val doc yields no grams: explode drops the
+            # row, so the engine emits no row for the language either
+            continue
         nt = sum(c.values())
         no = sum(v for g, v in c.items() if g not in train)
         out[lang] = (
