@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "kmeans_clusters",
     "bpe_merges",
+    "val_oov",
+    "embedding_quant",
 ]
 
 
