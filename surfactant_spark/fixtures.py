@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5a"
+FIXTURE_VERSION = "r5b"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -388,6 +388,82 @@ def synth_boiler_pages() -> Dict[str, list]:
             "copyright tiny example net all rights reserved"
             f" article q{i} is short"
         )
+    return {"url": urls, "text": texts}
+
+
+def synth_line_pages() -> Dict[str, list]:
+    """Multi-line pages for the C4/RefinedWeb-style line-level dedup
+    (`dedup.line_dedup`): every site stamps a constant header and
+    footer line on all of its pages, one 'subscribe' line is shared
+    ACROSS sites (global boilerplate), the article/detail lines vary
+    per page through coprime integer arithmetic (never duplicated),
+    one page per site repeats its own header intra-document, article
+    lines carry surrounding whitespace (the trim-normalization case),
+    and blank lines punctuate every page (dropped before keying). A
+    final all-duplicate page whose url sorts LAST owns no first
+    occurrence — every line excised (n_kept=0, text_clean '').
+    Deterministic literal arithmetic — no rng."""
+    urls: List[str] = []
+    texts: List[str] = []
+    shared = "subscribe to our newsletter for weekly updates"
+    for s in range(3):
+        header = f"welcome to site{s} the best site on the web"
+        footer = f"copyright site{s} all rights reserved"
+        for i in range(4):
+            lines = [
+                header,
+                f"  article s{s}d{i} covers topic t{(i * 5 + s) % 7}  ",
+                shared,
+                "",
+                f"unique detail u{(i * 11 + s * 3) % 29} for page s{s}d{i}",
+                footer,
+            ]
+            if i == 1:
+                lines.insert(3, header)
+            urls.append(f"https://site{s}.example.com/d/{i}")
+            texts.append("\n".join(lines))
+    urls.append("https://zz-dup.example.com/all-dup")
+    texts.append(
+        "\n".join(
+            [
+                "welcome to site0 the best site on the web",
+                shared,
+                "copyright site2 all rights reserved",
+            ]
+        )
+    )
+    return {"url": urls, "text": texts}
+
+
+def synth_pii_pages() -> Dict[str, list]:
+    """Pages salted with deterministic synthetic PII for the redaction
+    operator (`textops.redact_pii`): emails (with dots and +tags in
+    the local part), IPv4 addresses (including a 5-octet run where
+    only the leading 4 octets match), international-format phone
+    numbers, near-misses that must NOT match (a bare '@', a phone
+    without country code), and PII-free pages. All identifiers are
+    synthetic (example.com / RFC 5737-style shapes) — nothing real.
+    Deterministic literal arithmetic — no rng."""
+    urls: List[str] = []
+    texts: List[str] = []
+    for i in range(24):
+        parts = [f"contact page {i} of example corp"]
+        if i % 2 == 0:
+            parts.append(
+                f"mail us at user{i}.name+tag@mail{i % 5}.example.com today"
+            )
+        if i % 3 == 0:
+            parts.append(
+                f"server at 10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256} responded"
+            )
+        if i % 4 == 0:
+            parts.append(f"call +{1 + i % 89} 555 01{i % 10:02d} now")
+        if i % 5 == 0:
+            parts.append(f"edge 192.168.{i}.1.{i} and addr{i}@x{i % 3}.io end")
+        if i % 6 == 0:
+            parts.append("almost phone 555 0100 and bare at sign @ not pii")
+        urls.append(f"https://pii.example.org/p/{i}")
+        texts.append(" ".join(parts))
     return {"url": urls, "text": texts}
 
 
@@ -843,7 +919,8 @@ def stage_link_fixtures() -> Dict[str, str]:
         "magic_pages", "merge_base", "merge_inc", "edges_raw", "uuid_map",
         "audit_rows", "cp_software", "cp_map", "cp_edges",
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
-        "web_pages", "raw_urls", "boiler_pages",
+        "web_pages", "raw_urls", "boiler_pages", "line_pages",
+        "pii_pages",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -989,6 +1066,8 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["web_pages"], synth_web_pages())
     _write_parquet(paths["raw_urls"], synth_raw_urls())
     _write_parquet(paths["boiler_pages"], synth_boiler_pages())
+    _write_parquet(paths["line_pages"], synth_line_pages())
+    _write_parquet(paths["pii_pages"], synth_pii_pages())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -844,3 +844,75 @@ def contamination_spans(
     )
     hits = twin.join(pwin, "wh").select(id_col, "pos")
     return _fuse_spans(hits, id_col, w)
+
+
+def line_dedup(
+    pages: DataFrame,
+    min_dups: int = 2,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style LINE-level dedup: a (trimmed, non-empty)
+    line that occurs ``min_dups``-or-more times anywhere in the corpus
+    keeps only its FIRST occurrence — ordered by (url, position) so
+    the survivor is deterministic — and every other occurrence is
+    excised; under-threshold lines always survive. Documents are then
+    reconstructed from their surviving lines. This is the cleaning
+    step that strips repeated navigation / cookie-banner / copyright
+    lines without dropping whole documents (the reference dedups whole
+    files by content hash, `_sbom.py:75-122`; line granularity is its
+    web-corpus analogue). Returns (url, n_lines, n_kept, text_clean)
+    — counts over non-empty lines; text_clean is '' when everything
+    was excised.
+
+    Spark shape: split + posexplode are ROW-LOCAL; the line statistics
+    (occurrence count + first-occurrence owner) reduce with ONE
+    map-side-combinable groupBy keyed on the line text — count plus
+    min(struct(url, pos)), both partial-aggregable, so a hot line (the
+    exact case this operator exists for: corpus-wide boilerplate
+    occurring 10^9 times) never concentrates rows in one buffer the
+    way a window-rank formulation would. The join back to occurrences
+    is keyed on the same line text; AQE's skew-join splits hot lines
+    and its broadcast kicks in when the distinct-line table is small.
+    Reconstruction groups by url — bounded by one document's own line
+    count. At 10^12 docs swap the join key for
+    portable_hash64_col(line) to shrink shuffle width; semantics are
+    unchanged (the fixture oracle keys on the string so DuckDB can
+    replay verbatim).
+    """
+    ln = (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .select("url", "pos", F.trim(F.col("line")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    stats = ln.groupBy("line").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col("url").alias("u"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+    )
+    kept = (F.col("n_occ") < min_dups) | (
+        (F.col("first.u") == F.col("url")) & (F.col("first.p") == F.col("pos"))
+    )
+    return (
+        ln.join(stats, "line")
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda x: x.line,
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )

@@ -798,3 +798,48 @@ def split_oov(
             ).alias("oov_rate"),
         )
     )
+
+
+# PII patterns shared verbatim by the Spark operator and the DuckDB
+# oracle SQL. Both engines' regex dialects (java.util.regex / RE2) are
+# leftmost-first with greedy quantifiers and ASCII \b \d here, so the
+# SAME pattern string yields the same matches — keep patterns inside
+# this common subset (no lookaround, no backreferences, no unicode
+# classes) or the oracle diverges.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}[ -]\d{3}[ -]\d{2,4}\b"
+
+
+def redact_pii(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scrubbing for training corpora: mask emails, IPv4
+    addresses, and international-format phone numbers with typed
+    sentinels (<EMAIL>/<IP>/<PHONE>), counting each class. The three
+    passes are SEQUENTIAL over the progressively redacted text —
+    emails first, so the digits-and-dots inside a matched email can
+    never double-count as an IP — which makes the counts well-defined
+    and engine-replayable. Returns (url, n_emails, n_ips, n_phones,
+    text_redacted).
+
+    Spark shape: pure row-local JVM regexp_count/regexp_replace inside
+    one whole-stage-codegen projection — no shuffle, no UDF, scales as
+    a scan. Pattern notes: IPv4 deliberately matches octets > 255
+    (redaction favors recall; '999.999.999.999' is masked, not
+    leaked); the phone shape requires a +country prefix so bare
+    7-digit runs (dates, ids) are left alone.
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        t3.alias("text_redacted"),
+    )

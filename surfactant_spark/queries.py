@@ -4024,6 +4024,77 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
 # (kg_edges evidence cap) plus the flagship families.  The trailing 22 entries
 # were all driver-green in CORRECTNESS_r01..r04 and are unchanged; COVERAGE.md
 # records which rounds proved which entries so rotation can continue.
+# ---------------------------------------------------------------------------
+# line-level dedup + PII redaction (operators/dedup.py, operators/textops.py)
+# ---------------------------------------------------------------------------
+LINE_MIN_DUPS = 2
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line dedup over a multi-line page fixture:
+    corpus-duplicated lines keep only their first (url, pos)
+    occurrence; documents are reconstructed from survivors. See
+    operators/dedup.py:line_dedup for the one-combinable-agg shape."""
+    from .operators.dedup import line_dedup
+
+    p = _fixture_paths()
+    return line_dedup(spark.read.parquet(p["line_pages"]), min_dups=LINE_MIN_DUPS)
+
+
+def _sql_line_dedup(path: str, min_dups: int = LINE_MIN_DUPS) -> str:
+    return f"""
+WITH p AS (SELECT url, string_split(text, chr(10)) AS parts
+           FROM read_parquet('{path}')),
+ln AS (
+  SELECT url, CAST(i AS BIGINT) AS pos, trim(parts[i]) AS line
+  FROM p, UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE trim(parts[i]) <> ''),
+k AS (
+  SELECT url, pos, line,
+         COUNT(*) OVER (PARTITION BY line) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY url, pos) AS rn
+  FROM ln)
+SELECT url,
+       COUNT(*)::BIGINT AS n_lines,
+       COALESCE(SUM(CASE WHEN n_occ < {min_dups} OR rn = 1 THEN 1 END), 0)::BIGINT
+         AS n_kept,
+       COALESCE(string_agg(CASE WHEN n_occ < {min_dups} OR rn = 1 THEN line END,
+                           chr(10) ORDER BY pos), '') AS text_clean
+FROM k GROUP BY url
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-sentinel PII masking (emails -> IPv4 -> phones,
+    sequential over the progressively redacted text) with per-class
+    counts. Pure row-local JVM regex — scales as a scan."""
+    from .operators.textops import redact_pii
+
+    p = _fixture_paths()
+    return redact_pii(spark.read.parquet(p["pii_pages"]))
+
+
+def _sql_redact_pii(path: str) -> str:
+    from .operators.textops import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH s1 AS (
+  SELECT url,
+         len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM read_parquet('{path}')),
+s2 AS (
+  SELECT url, n_emails,
+         len(regexp_extract_all(t1, '{PII_IPV4}'))::BIGINT AS n_ips,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT url, n_emails, n_ips,
+       len(regexp_extract_all(t2, '{PII_PHONE}'))::BIGINT AS n_phones,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+FROM s2
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4129,6 +4200,10 @@ QUERIES = {
     "sbom_roundtrip": q_sbom_roundtrip,
     "csv_export": q_csv_export,
     "cyclonedx": q_cyclonedx,
+    # -- post-window additions (local-twin evidence; rotate forward in
+    #    any future round per COVERAGE.md's rotation discipline) --
+    "line_dedup": q_line_dedup,
+    "redact_pii": q_redact_pii,
 }
 
 
@@ -4265,4 +4340,6 @@ ORACLE_SQL = {
     "lang_quantiles": _sql_lang_quantiles(),
     "kg_negatives": _sql_kg_negatives(),
     "kg_edge_split": _sql_kg_edge_split(),
+    "line_dedup": _sql_line_dedup(_fixture_file("line_pages")),
+    "redact_pii": _sql_redact_pii(_fixture_file("pii_pages")),
 }

@@ -461,3 +461,20 @@ def test_kmeans_plan_shape(spark):
     plan = _plan(q_kmeans_clusters(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_and_redact_pii_plan_shapes(spark):
+    """line_dedup: one combinable (line -> count+min-struct) agg, an
+    equi join back on the line key, one per-url reconstruction agg —
+    no nested-loop, no cartesian, no Python. redact_pii: a single
+    JVM projection on the scan — no Exchange at all."""
+    from surfactant_spark.queries import q_line_dedup, q_redact_pii
+
+    plan = _plan(q_line_dedup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = _plan(q_redact_pii(spark, SF_DIR))
+    assert "Exchange" not in plan, "redact_pii must stay shuffle-free"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1128,3 +1128,99 @@ def test_quantize_matches_python_reference(spark, vec_rows):
     ]
     got = _quant_rows(quantize_embeddings(_emb_df(spark, rows)).collect())
     assert got == _py_quant(rows)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup + PII redaction (round-5 post-window additions)
+# ---------------------------------------------------------------------------
+def _py_line_dedup(pages, min_dups=2):
+    """Pure-python reference: first (url, pos) occurrence of a
+    corpus-duplicated trimmed line survives; under-threshold lines
+    always survive; empty lines drop before keying."""
+    ln = []
+    for url, text in pages:
+        for pos, raw in enumerate(text.split("\n")):
+            line = raw.strip(" ")
+            if line:
+                ln.append((url, pos, line))
+    occ = Counter(l for _, _, l in ln)
+    first = {}
+    for url, pos, line in sorted(ln):
+        first.setdefault(line, (url, pos))
+    out = {}
+    for url, _ in pages:
+        rows = [(p, l) for u, p, l in ln if u == url]
+        if not rows:
+            continue
+        kept = [
+            l
+            for p, l in sorted(rows)
+            if occ[l] < min_dups or first[l] == (url, p)
+        ]
+        out[url] = (len(rows), len(kept), "\n".join(kept))
+    return out
+
+
+def test_line_dedup_hand_case(spark):
+    from surfactant_spark.operators.dedup import line_dedup
+
+    pages = [
+        ("a", "header\n  body one  \nheader\nfooter"),
+        ("b", "header\nbody two\n\nfooter"),
+        ("c", "header\nfooter"),
+        ("d", "unique only"),
+    ]
+    df = spark.createDataFrame(pages, "url string, text string")
+    got = {r.url: (r.n_lines, r.n_kept, r.text_clean) for r in line_dedup(df).collect()}
+    # 'header' occurs 4x (twice in a): only a's pos-0 copy survives;
+    # 'footer' occurs 3x: only a's copy survives; bodies are unique.
+    assert got["a"] == (4, 3, "header\nbody one\nfooter")
+    assert got["b"] == (3, 1, "body two")
+    assert got["c"] == (2, 0, "")
+    assert got["d"] == (1, 1, "unique only")
+    assert got == _py_line_dedup(pages)
+
+
+_line = st.sampled_from(["dup line", "other dup", "x1", "x2", "x3", "", "  dup line  "])
+_page_text = st.lists(_line, min_size=1, max_size=6).map("\n".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_page_text, min_size=1, max_size=6), st.integers(2, 3))
+def test_line_dedup_matches_python(spark, texts, min_dups):
+    from surfactant_spark.operators.dedup import line_dedup
+
+    pages = [(f"u{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(pages, "url string, text string")
+    got = {
+        r.url: (r.n_lines, r.n_kept, r.text_clean)
+        for r in line_dedup(df, min_dups=min_dups).collect()
+    }
+    assert got == _py_line_dedup(pages, min_dups)
+
+
+def test_redact_pii_hand_cases(spark):
+    from surfactant_spark.operators.textops import redact_pii
+
+    rows = [
+        ("e1", "write to jo.doe+x@mail.example.com or sue@ex.org now"),
+        ("i1", "hosts 10.0.0.1 and 999.999.999.999 and 1.2.3.4.5 up"),
+        ("p1", "call +44 555 0199 or +1-555-0100 but not 555 0100"),
+        ("mix", "root@10.0.0.1.example.com logged from 10.0.0.2"),
+        ("clean", "no pii here just text 12345"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r.url: (r.n_emails, r.n_ips, r.n_phones, r.text_redacted)
+        for r in redact_pii(df).collect()
+    }
+    assert got["e1"] == (2, 0, 0, "write to <EMAIL> or <EMAIL> now")
+    # recall-first IPv4: out-of-range octets mask too; the 5-octet run
+    # masks its leading 4 octets and leaves the tail
+    assert got["i1"] == (0, 3, 0, "hosts <IP> and <IP> and <IP>.5 up")
+    assert got["p1"] == (0, 0, 2, "call <PHONE> or <PHONE> but not 555 0100")
+    # the email pass consumes the whole user@dotted-quad-domain address
+    # (leftmost match starts at 'root'), so only the bare second
+    # address counts as an IP
+    assert got["mix"] == (1, 1, 0, "<EMAIL> logged from <IP>")
+    assert got["clean"] == (0, 0, 0, "no pii here just text 12345")
