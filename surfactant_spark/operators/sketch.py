@@ -288,3 +288,91 @@ def heavy_hitters(
         .where(F.col("cnt") * F.lit(den) >= F.lit(int(total) * num))
         .select("tok", "cnt", F.lit(int(total)).cast("long").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the crawl "URL-seen" membership primitive.
+# ---------------------------------------------------------------------------
+# A frontier scheduler at 10^12 documents cannot equi-join every
+# candidate outlink against the full crawled-URL table on every cycle;
+# it probes a bits-sized filter first and pays the exact join only for
+# filter hits. Deterministic double hashing (Kirsch–Mitzenmacher:
+# pos_i = h1 + i*h2 mod m) over the SAME portable md5-prefix hash the
+# other sketches use — no rand(), bit-exactly replayable in DuckDB —
+# and the filter is a (word_idx, word_bits) table whose shards MERGE
+# by word-wise bit_or (the same semigroup shape as cms_merge).
+# Words hold 32 bits inside a BIGINT so `1 << bit` stays positive in
+# both engines (bit 63 of a shifted BIGINT would go negative in Spark
+# and overflow-check in DuckDB).
+
+BLOOM_M_WORDS = 32
+BLOOM_K = 3
+_WORD_BITS = 32
+
+
+def _bloom_positions(value: Column, k: int, m_bits: int) -> Column:
+    h1 = portable_hash64_col(F.concat(F.lit("bf1:"), value))
+    h2 = portable_hash64_col(F.concat(F.lit("bf2:"), value))
+    # h1,h2 < 2^60 and i < k keep h1 + i*h2 well inside BIGINT
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_build(
+    values: DataFrame,
+    value_col: str = "url",
+    m_words: int = BLOOM_M_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the filter over a column of values: ONE explode (k
+    positions per value) + ONE bit_or aggregation to at most
+    ``m_words`` rows — the map-side-combinable shape, never wider than
+    the filter itself regardless of corpus size. Returns (word_idx,
+    word_bits); absent words are all-zero."""
+    m_bits = m_words * _WORD_BITS
+    pos = values.select(
+        F.explode(_bloom_positions(F.col(value_col), k, m_bits)).alias("pos")
+    )
+    return pos.select(
+        F.floor(F.col("pos") / _WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, {_WORD_BITS}) AS INT))").alias(
+            "mask"
+        ),
+    ).groupBy("word_idx").agg(F.bit_or("mask").alias("word_bits"))
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Word-wise OR of independently built shard filters — equals the
+    filter of the unioned value sets (tested), so crawl batches fold
+    into a standing seen-set without rescanning old URLs."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("word_bits").alias("word_bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "url",
+    m_words: int = BLOOM_M_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe candidates against the filter: k (candidate, word, bit)
+    rows equi-joined to the words table (filter-sized — AQE
+    broadcasts it), then per-candidate ALL-bits-set. Returns
+    (<value_col>, bloom_hit with 0/1) — no false negatives ever; false
+    positives at the classic (1 - e^{-kn/m})^k rate."""
+    m_bits = m_words * _WORD_BITS
+    cpos = candidates.select(
+        F.col(value_col),
+        F.explode(_bloom_positions(F.col(value_col), k, m_bits)).alias("pos"),
+    ).select(
+        value_col,
+        F.floor(F.col("pos") / _WORD_BITS).cast("long").alias("word_idx"),
+        F.pmod(F.col("pos"), F.lit(_WORD_BITS)).cast("int").alias("bit"),
+    )
+    joined = cpos.join(bloom, "word_idx", "left")
+    hit = (
+        F.expr("shiftright(coalesce(word_bits, CAST(0 AS BIGINT)), bit)") % 2 == 1
+    ).cast("long")
+    return joined.groupBy(value_col).agg(F.min(hit).alias("bloom_hit"))

@@ -4095,6 +4095,83 @@ FROM s2
 """
 
 
+def q_url_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL-seen filter: build a shard-mergeable Bloom filter over
+    the crawled page urls, probe every distinct outlink target, and
+    audit each probe against exact membership. The product a frontier
+    scheduler uses to skip the exact-join for the overwhelmingly-unseen
+    candidate stream; bloom_hit >= seen ALWAYS (no false negatives —
+    property-tested), the gap rows are the measured false-positive
+    cost. As in q_crawl_frontier, the hot domain's pages are withheld
+    from the crawled set (the fixture is a COMPLETE crawl) so its link
+    targets probe as genuinely unseen. Output (url, bloom_hit, seen)
+    as 0/1 longs."""
+    from .operators.sketch import bloom_build, bloom_probe
+    from .operators.webgraph import extract_links
+
+    pages = _read_web_pages(spark).where(
+        ~F.col("url").startswith("https://hot.")
+    )
+    crawled = pages.select("url").dropDuplicates()
+    cand = (
+        extract_links(pages)
+        .select(F.regexp_replace("href", "^bundle://", "").alias("url"))
+        .where(F.col("url").rlike("^https?://"))
+        .dropDuplicates()
+    )
+    probed = bloom_probe(bloom_build(crawled), cand)
+    return probed.join(crawled.withColumn("seen", F.lit(1)), "url", "left").select(
+        "url", "bloom_hit", F.coalesce("seen", F.lit(0)).cast("long").alias("seen")
+    )
+
+
+def _sql_url_bloom(path: str) -> str:
+    from .operators.sketch import BLOOM_K, BLOOM_M_WORDS, _WORD_BITS
+
+    m_bits = BLOOM_M_WORDS * _WORD_BITS
+    h1 = _H.format(expr="'bf1:' || url")
+    h2 = _H.format(expr="'bf2:' || url")
+    # withhold the hot domain from the links source too (same needle
+    # trick as _sql_crawl_frontier): both engines extract candidates
+    # from the SAME withheld-crawl page set
+    links_sql = _SQL_LINKS.format(path=path)
+    needle = f"FROM read_parquet('{path}')"
+    assert links_sql.count(needle) == 1
+    links_sql = links_sql.replace(
+        needle, f"{needle} WHERE url NOT LIKE 'https://hot.%'"
+    )
+    return f"""
+WITH {links_sql},
+cand AS (
+  SELECT DISTINCT regexp_replace(href, '^bundle://', '') AS url FROM links
+  WHERE regexp_matches(regexp_replace(href, '^bundle://', ''), '^https?://')),
+crawled AS (SELECT DISTINCT url FROM read_parquet('{path}')
+            WHERE url NOT LIKE 'https://hot.%'),
+cpos AS (
+  SELECT ({h1} + i * {h2}) % {m_bits} AS pos
+  FROM crawled, UNNEST(range(0, {BLOOM_K})) AS g(i)),
+words AS (
+  SELECT pos // {_WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {_WORD_BITS} AS INT)) AS word_bits
+  FROM cpos GROUP BY 1),
+ppos AS (
+  SELECT url, ({h1} + i * {h2}) % {m_bits} AS pos
+  FROM cand, UNNEST(range(0, {BLOOM_K})) AS g(i)),
+probe AS (
+  SELECT url, pos // {_WORD_BITS} AS word_idx,
+         CAST(pos % {_WORD_BITS} AS INT) AS bit
+  FROM ppos),
+hits AS (
+  SELECT p.url,
+         MIN(CASE WHEN (COALESCE(w.word_bits, 0) >> p.bit) % 2 = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS bloom_hit
+  FROM probe p LEFT JOIN words w USING (word_idx) GROUP BY p.url)
+SELECT h.url, h.bloom_hit,
+       (CASE WHEN c.url IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS seen
+FROM hits h LEFT JOIN crawled c ON c.url = h.url
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4204,6 +4281,7 @@ QUERIES = {
     #    any future round per COVERAGE.md's rotation discipline) --
     "line_dedup": q_line_dedup,
     "redact_pii": q_redact_pii,
+    "url_bloom": q_url_bloom,
 }
 
 
@@ -4342,4 +4420,5 @@ ORACLE_SQL = {
     "kg_edge_split": _sql_kg_edge_split(),
     "line_dedup": _sql_line_dedup(_fixture_file("line_pages")),
     "redact_pii": _sql_redact_pii(_fixture_file("pii_pages")),
+    "url_bloom": _sql_url_bloom(_web_pages_file()),
 }

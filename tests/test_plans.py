@@ -478,3 +478,15 @@ def test_line_dedup_and_redact_pii_plan_shapes(spark):
     plan = _plan(q_redact_pii(spark, SF_DIR))
     assert "Exchange" not in plan, "redact_pii must stay shuffle-free"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_bloom_plan_shape(spark):
+    """Bloom build is one explode + one combinable bit_or agg; the
+    probe joins the at-most-32-row words table (AQE broadcasts) — no
+    nested-loop, no cartesian, no Python anywhere."""
+    from surfactant_spark.queries import q_url_bloom
+
+    plan = _plan(q_url_bloom(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

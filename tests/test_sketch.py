@@ -289,3 +289,64 @@ def test_heavy_hitters_match_python_counter(spark, texts):
         (t, k, n) for t, k in Counter(toks).items() if k * HH_DEN >= n * HH_NUM
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives, shard-merge identity, forced FPs
+# ---------------------------------------------------------------------------
+def _vals(spark, items):
+    return spark.createDataFrame([(v,) for v in items], "url string")
+
+
+def test_bloom_no_false_negatives_and_words_bounded(spark):
+    from surfactant_spark.operators.sketch import bloom_build, bloom_probe
+
+    seen = [f"https://s{i}.example.org/p/{i}" for i in range(80)]
+    unseen = [f"https://u{i}.example.net/q/{i}" for i in range(40)]
+    bloom = bloom_build(_vals(spark, seen))
+    words = bloom.collect()
+    assert len(words) <= 32  # never wider than the filter itself
+    assert all(0 <= r.word_idx < 32 for r in words)
+    got = {
+        r.url: r.bloom_hit
+        for r in bloom_probe(bloom, _vals(spark, seen + unseen)).collect()
+    }
+    assert all(got[v] == 1 for v in seen)  # membership is never missed
+
+
+def test_bloom_shard_merge_equals_whole_set(spark):
+    from surfactant_spark.operators.sketch import bloom_build, bloom_merge
+
+    a = [f"https://a{i}.example.org/" for i in range(30)]
+    b = [f"https://b{i}.example.org/" for i in range(30)]
+    merged = {
+        (r.word_idx, r.word_bits)
+        for r in bloom_merge(
+            bloom_build(_vals(spark, a)), bloom_build(_vals(spark, b))
+        ).collect()
+    }
+    whole = {
+        (r.word_idx, r.word_bits)
+        for r in bloom_build(_vals(spark, a + b)).collect()
+    }
+    assert merged == whole
+
+
+def test_bloom_tiny_filter_forces_false_positives(spark):
+    """With m crushed to one 32-bit word and a saturating insert set,
+    unseen values MUST collide — the false-positive side of the
+    contract is real and the probe still never reports a miss for a
+    member."""
+    from surfactant_spark.operators.sketch import bloom_build, bloom_probe
+
+    seen = [f"https://x{i}.example.org/" for i in range(64)]
+    unseen = [f"https://y{i}.example.net/" for i in range(20)]
+    bloom = bloom_build(_vals(spark, seen), m_words=1)
+    got = {
+        r.url: r.bloom_hit
+        for r in bloom_probe(
+            bloom, _vals(spark, seen + unseen), m_words=1
+        ).collect()
+    }
+    assert all(got[v] == 1 for v in seen)
+    assert sum(got[v] for v in unseen) > 0  # saturation -> collisions
