@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5b"
+FIXTURE_VERSION = "r5c"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -465,6 +465,28 @@ def synth_pii_pages() -> Dict[str, list]:
         urls.append(f"https://pii.example.org/p/{i}")
         texts.append(" ".join(parts))
     return {"url": urls, "text": texts}
+
+
+def synth_community_edges() -> Dict[str, list]:
+    """Planted-partition graph for the label-propagation oracle: three
+    cliques (8/10/12 nodes) joined by single bridge edges — the shape
+    where synchronized LPA provably converges to one community per
+    clique within two rounds (round 1: every member adopts the clique
+    minimum except the minimum itself; round 2: majority pulls the
+    minimum back), while the bridges' single cross votes never beat a
+    clique majority. Deterministic literal arithmetic — no rng."""
+    src_l: List[str] = []
+    dst_l: List[str] = []
+    sizes = [8, 10, 12]
+    for k, n in enumerate(sizes):
+        names = [f"c{k}n{i:02d}" for i in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                src_l.append(names[i])
+                dst_l.append(names[j])
+    src_l += ["c0n00", "c1n00"]
+    dst_l += ["c1n00", "c2n00"]
+    return {"src": src_l, "dst": dst_l}
 
 
 def synth_raw_urls(n: int = 72) -> Dict[str, list]:
@@ -920,7 +942,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "audit_rows", "cp_software", "cp_map", "cp_edges",
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
         "web_pages", "raw_urls", "boiler_pages", "line_pages",
-        "pii_pages",
+        "pii_pages", "community_edges",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -1068,6 +1090,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["boiler_pages"], synth_boiler_pages())
     _write_parquet(paths["line_pages"], synth_line_pages())
     _write_parquet(paths["pii_pages"], synth_pii_pages())
+    _write_parquet(paths["community_edges"], synth_community_edges())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

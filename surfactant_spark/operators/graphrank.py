@@ -626,3 +626,74 @@ def kcore_peel_round(sym: DataFrame, keep: DataFrame) -> DataFrame:
         .join(keep.select(F.col("a").alias("b")), "b")
         .select("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synchronized label propagation — community detection
+# (Raghavan-Albert-Kumara 2007, made deterministic)
+# ---------------------------------------------------------------------------
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection over the UNDIRECTED simple graph of
+    ``edges`` by SYNCHRONIZED label propagation: every node starts
+    labeled with its own id, and each round every node simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    MINIMUM label. Classic async LPA is visit-order-dependent (useless
+    for an oracle-checked engine); the synchronized variant with a
+    total tie order is fully deterministic, so the DuckDB twin unrolls
+    the SAME ``n_rounds`` and matches bit-for-bit. Returns
+    (node, community) — the community id is a member node's id.
+
+    Spark shape — per round: ONE equi join of the symmetrized edge set
+    against the node-dimension label table (AQE broadcasts it for host
+    graphs, shuffles at entity scale), then a two-level
+    map-side-combinable aggregation — (node, label) counts, then
+    min(struct(-count, label)) per node, the same agg-not-window trick
+    the W1 queries use so no per-node sort buffer exists. Labels are
+    localCheckpoint'ed each round (the CC/PageRank lineage
+    discipline). Fixed rounds, not convergence-polled: each round is
+    one more shuffle over the edge set, and community quality
+    plateaus within a few rounds on power-law graphs.
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = e.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).dropDuplicates()
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).dropDuplicates().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_rounds):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        pick = (
+            nb.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

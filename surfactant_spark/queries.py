@@ -4172,6 +4172,55 @@ FROM hits h LEFT JOIN crawled c ON c.url = h.url
 """
 
 
+LPA_ROUNDS = 3
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronized label
+    propagation over a planted-partition fixture graph (three cliques
+    joined by bridges — the structure the algorithm must recover; the
+    dense KG Uses graph and the tiny fixture host graph both collapse
+    to ONE community under LPA, which is correct but evidences
+    nothing). See operators/graphrank.py:label_propagation for why the
+    synchronized + min-tie variant is the oracle-checkable one."""
+    from .operators.graphrank import label_propagation
+
+    p = _fixture_paths()
+    edges = spark.read.parquet(p["community_edges"])
+    return label_propagation(edges, n_rounds=LPA_ROUNDS).select(
+        F.col("node").alias("member"), "community"
+    )
+
+
+def _sql_graph_communities(path: str, n_rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled DuckDB replay: one (count, pick, relabel) CTE block per
+    synchronized round; ROW_NUMBER ordered (c DESC, label ASC) is the
+    twin of the engine's min(struct(-c, label)) agg."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT s.a AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{r - 1} l ON l.node = s.b GROUP BY 1, 2),
+p{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{r}) WHERE rn = 1),
+l{r} AS MATERIALIZED (
+  SELECT l.node, COALESCE(p.label, l.label) AS label
+  FROM l{r - 1} l LEFT JOIN p{r} p USING (node))""")
+    return f"""
+WITH e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM read_parquet('{path}') WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{",".join(rounds)}
+SELECT node AS member, label AS community FROM l{n_rounds}
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4282,6 +4331,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "redact_pii": q_redact_pii,
     "url_bloom": q_url_bloom,
+    "graph_communities": q_graph_communities,
 }
 
 
@@ -4421,4 +4471,5 @@ ORACLE_SQL = {
     "line_dedup": _sql_line_dedup(_fixture_file("line_pages")),
     "redact_pii": _sql_redact_pii(_fixture_file("pii_pages")),
     "url_bloom": _sql_url_bloom(_web_pages_file()),
+    "graph_communities": _sql_graph_communities(_fixture_file("community_edges")),
 }

@@ -765,3 +765,57 @@ def test_kcore_matches_python_peeler(spark, pairs, k):
     )
     got = {r.id: r.core_degree for r in kcore(e, k=k, max_rounds=32).collect()}
     assert got == _py_kcore(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# synchronized label propagation (round-5 post-window addition)
+# ---------------------------------------------------------------------------
+def _py_lpa(edges, rounds):
+    """Pure-python reference of the deterministic synchronized LPA:
+    most frequent neighbor label, ties -> minimum label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        labels = {
+            v: min(
+                Counter(labels[u] for u in adj[v]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v in adj
+        }
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from surfactant_spark.operators.graphrank import label_propagation
+
+    tri = lambda p, n: [
+        (f"{p}{i}", f"{p}{j}") for i in range(n) for j in range(i + 1, n)
+    ]
+    edges = tri("a", 4) + tri("b", 5) + [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.community for r in label_propagation(df, n_rounds=3).collect()}
+    assert {got[f"a{i}"] for i in range(4)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(5)} == {"b0"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st, st.integers(min_value=1, max_value=3))
+def test_lpa_matches_python_reference(spark, edges, rounds):
+    from surfactant_spark.operators.graphrank import label_propagation
+
+    edges = [e for e in edges if e[0] != e[1]]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, n_rounds=rounds).collect()
+    }
+    assert got == _py_lpa(edges, rounds)

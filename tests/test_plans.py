@@ -490,3 +490,14 @@ def test_url_bloom_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graph_communities_plan_shape(spark):
+    """Each LPA round is one equi join + a two-level combinable agg —
+    no window sort per node, no nested-loop, no cartesian, no Python."""
+    from surfactant_spark.queries import q_graph_communities
+
+    plan = _plan(q_graph_communities(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
