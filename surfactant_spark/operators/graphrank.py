@@ -697,3 +697,84 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def partition_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity audit of a node partition over the UNDIRECTED
+    simple graph of ``edges``: per community, the exact integer
+    ingredients — member count, intra-community edge count, total
+    member degree, and the global edge count m — plus the community's
+    modularity term round(n_intra/m - (degree_sum/(2m))^2, 6). Sum the
+    terms for the partition's Q; the integers let the audit replay
+    bit-exactly and survive re-aggregation (the same exact-ingredients
+    discipline as host_metrics). Returns (community, n_members,
+    n_intra, degree_sum, m_edges, mod_term).
+
+    Spark shape: two equi joins of the (eagerly checkpointed) edge set
+    against the node-dimension label table, then combinable aggs; m is
+    a driver literal off the checkpoint (one count, no constant-key
+    join). Labels come from any partitioner (label_propagation,
+    connected components, k-core shells).
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("community")
+    )
+    intra = (
+        und.join(lab.select(F.col("node").alias("a"), "community"), "a")
+        .join(
+            lab.select(
+                F.col("node").alias("b"), F.col("community").alias("cb")
+            ),
+            "b",
+        )
+        .where(F.col("community") == F.col("cb"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_intra"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    members = (
+        lab.join(deg.select(F.col("a").alias("node"), "d"), "node", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("d", F.lit(0))).alias("degree_sum"),
+        )
+    )
+    return (
+        members.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("n_intra", F.lit(0)).cast("long").alias("n_intra"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.lit(m).cast("long").alias("m_edges"),
+            F.round(
+                F.coalesce("n_intra", F.lit(0)).cast("double") / F.lit(float(m))
+                - (
+                    F.col("degree_sum").cast("double")
+                    / F.lit(2.0 * m)
+                )
+                ** 2,
+                6,
+            ).alias("mod_term"),
+        )
+    )

@@ -4221,6 +4221,49 @@ SELECT node AS member, label AS community FROM l{n_rounds}
 """
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-ingredient Newman modularity audit of the LPA partition
+    over the planted-clique fixture — per community the integer
+    (members, intra edges, degree sum, m) plus the round(6) modularity
+    term. The quality gate that tells a crawl planner whether the
+    communities it is about to shard by are real structure."""
+    from .operators.graphrank import label_propagation, partition_modularity
+
+    p = _fixture_paths()
+    edges = spark.read.parquet(p["community_edges"])
+    labels = label_propagation(edges, n_rounds=LPA_ROUNDS)
+    return partition_modularity(edges, labels)
+
+
+def _sql_community_modularity(path: str) -> str:
+    lpa = _sql_graph_communities(path)
+    return f"""
+WITH lab AS MATERIALIZED ({lpa}),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM read_parquet('{path}') WHERE src <> dst),
+mt AS (SELECT COUNT(*) AS m FROM e),
+intra AS (
+  SELECT la.community, COUNT(*) AS n_intra
+  FROM e JOIN lab la ON la.member = e.a JOIN lab lb ON lb.member = e.b
+  WHERE la.community = lb.community GROUP BY 1),
+deg AS (SELECT a, COUNT(*) AS d
+        FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) GROUP BY 1),
+mem AS (
+  SELECT l.community, COUNT(*) AS n_members,
+         SUM(COALESCE(d.d, 0)) AS degree_sum
+  FROM lab l LEFT JOIN deg d ON d.a = l.member GROUP BY 1)
+SELECT mem.community,
+       mem.n_members::BIGINT AS n_members,
+       COALESCE(i.n_intra, 0)::BIGINT AS n_intra,
+       mem.degree_sum::BIGINT AS degree_sum,
+       mt.m::BIGINT AS m_edges,
+       round(COALESCE(i.n_intra, 0) / mt.m
+             - (mem.degree_sum / (2.0 * mt.m)) * (mem.degree_sum / (2.0 * mt.m)),
+             6) AS mod_term
+FROM mem CROSS JOIN mt LEFT JOIN intra i USING (community)
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4332,6 +4375,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "url_bloom": q_url_bloom,
     "graph_communities": q_graph_communities,
+    "community_modularity": q_community_modularity,
 }
 
 
@@ -4472,4 +4516,7 @@ ORACLE_SQL = {
     "redact_pii": _sql_redact_pii(_fixture_file("pii_pages")),
     "url_bloom": _sql_url_bloom(_web_pages_file()),
     "graph_communities": _sql_graph_communities(_fixture_file("community_edges")),
+    "community_modularity": _sql_community_modularity(
+        _fixture_file("community_edges")
+    ),
 }

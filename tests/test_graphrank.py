@@ -819,3 +819,26 @@ def test_lpa_matches_python_reference(spark, edges, rounds):
         for r in label_propagation(df, n_rounds=rounds).collect()
     }
     assert got == _py_lpa(edges, rounds)
+
+
+def test_partition_modularity_hand_case(spark):
+    """Two 3-cliques + one bridge: m=7; each community has 3 intra
+    edges; degrees 2,2,3 per clique member -> degree_sum 7. Q term =
+    3/7 - (7/14)^2 = round(0.178571..., 6). Ground communities fed
+    directly (not via LPA) so the audit is isolated."""
+    from surfactant_spark.operators.graphrank import partition_modularity
+
+    tri = lambda p: [(f"{p}0", f"{p}1"), (f"{p}0", f"{p}2"), (f"{p}1", f"{p}2")]
+    edges = spark.createDataFrame(
+        tri("a") + tri("b") + [("a0", "b0")], "src string, dst string"
+    )
+    labels = spark.createDataFrame(
+        [(f"{p}{i}", p) for p in "ab" for i in range(3)],
+        "node string, community string",
+    )
+    got = {
+        r.community: (r.n_members, r.n_intra, r.degree_sum, r.m_edges, r.mod_term)
+        for r in partition_modularity(edges, labels).collect()
+    }
+    assert got["a"] == (3, 3, 7, 7, 0.178571)
+    assert got["b"] == (3, 3, 7, 7, 0.178571)

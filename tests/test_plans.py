@@ -501,3 +501,12 @@ def test_graph_communities_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_community_modularity_plan_shape(spark):
+    from surfactant_spark.queries import q_community_modularity
+
+    plan = _plan(q_community_modularity(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
