@@ -371,3 +371,96 @@ def read_fold_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     import os
 
     return spark.read.parquet(os.path.join(state_dir, "metrics", "d*"))
+
+
+def stream_url_seen(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    checkpoint: str,
+    m_words: int = None,
+    k: int = None,
+    max_files_per_trigger: int = 4,
+    retain: int = 2,
+):
+    """Checkpoint-resumable streaming crawl URL-seen filter: every
+    micro-batch of pages PROBES its distinct urls against the standing
+    Bloom filter (the count of already-seen urls is the re-crawl work a
+    frontier would skip), then FOLDS them in via the word-wise bit_or
+    semigroup (`operators.sketch.bloom_merge`) — the streaming twin of
+    q_url_bloom, and the state-layout twin of `stream_kg_fold` with one
+    simplification: the entire state IS compact (<= m_words rows), so
+    there is no delta/compaction tier — each version directory holds
+    the whole filter, versions are marker-committed with the
+    metrics-before-marker discipline, and ``retain`` bounds the copies.
+    Replay-idempotent: a replayed batch_id either finds its marker
+    (no-op) or deterministically rewrites its own version. Returns the
+    latest committed words DataFrame (None when no batch committed)."""
+    import os
+    import shutil
+    import time
+
+    from ..operators.sketch import (
+        BLOOM_K,
+        BLOOM_M_WORDS,
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    mw = m_words or BLOOM_M_WORDS
+    kk = k or BLOOM_K
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(vdir, "_OK")):
+            return
+        t0 = time.time()
+        s = batch_df.sparkSession
+        urls = batch_df.select("url").dropDuplicates().localCheckpoint(eager=True)
+        n_urls = urls.count()
+        committed = _state_version_dirs(state_dir)
+        prior = [v for v in committed if v < batch_id]
+        if prior:
+            prev = s.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}", "words")
+            )
+            n_seen = (
+                bloom_probe(prev, urls, m_words=mw, k=kk)
+                .where(F.col("bloom_hit") == 1)
+                .count()
+            )
+            words = bloom_merge(prev, bloom_build(urls, m_words=mw, k=kk))
+        else:
+            n_seen = 0
+            words = bloom_build(urls, m_words=mw, k=kk)
+        words.write.mode("overwrite").parquet(os.path.join(vdir, "words"))
+        n_words = s.read.parquet(os.path.join(vdir, "words")).count()
+        # metrics BEFORE the marker (a marked version always has its row)
+        s.createDataFrame(
+            [(batch_id, n_urls, n_seen, n_words, int((time.time() - t0) * 1000))],
+            "batch_id long, n_urls long, n_seen long, n_words long, wall_ms long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "metrics", f"d{batch_id}")
+        )
+        _mark_ok(vdir)
+        if retain and retain > 0:
+            done = _state_version_dirs(state_dir)
+            for v in sorted(done)[:-retain]:
+                os.remove(os.path.join(done[v], "_OK"))
+                shutil.rmtree(done[v], ignore_errors=True)
+
+    q = (
+        stream_pages(spark, pages_path, max_files_per_trigger)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = _state_version_dirs(state_dir)
+    if not committed:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_dir, f"v{max(committed)}", "words")
+    )

@@ -246,3 +246,61 @@ def test_marker_implies_metrics(spark, tmp_path, monkeypatch):
     assert len(m) == 1 and m[0].batch_id == 0 and m[0].n_docs == 40
     want = _edge_set(edges_surface(kg_state_build(_docs(spark, 0, 40))))
     assert _edge_set(edges_surface(st)) == want
+
+
+# ---------------------------------------------------------------------------
+# streaming URL-seen Bloom fold (round-5 post-window addition)
+# ---------------------------------------------------------------------------
+def _pages(spark, lo, hi):
+    from surfactant_spark.synth import make_corpus, pages_to_spark
+
+    pdf, _ = make_corpus(hi, seed=11)
+    return pages_to_spark(spark, pdf.iloc[lo:hi])
+
+
+def _words_set(df):
+    return {(r.word_idx, r.word_bits) for r in df.collect()}
+
+
+def test_stream_url_seen_folds_and_counts_repeats(spark, tmp_path):
+    from surfactant_spark.operators.sketch import bloom_build
+    from surfactant_spark.streaming.incremental import stream_url_seen
+
+    src = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    a = _pages(spark, 0, 60)
+    a.coalesce(1).write.mode("append").parquet(src)
+    words = stream_url_seen(spark, src, state, ckpt)
+    assert _words_set(words) == _words_set(
+        bloom_build(a.select("url").dropDuplicates())
+    )
+
+    # batch B: 30 new pages + re-crawl of 20 already-seen urls — the
+    # probe-before-fold metric must count every repeat (no false
+    # negatives), and the folded filter must equal the one-shot build
+    b_new = _pages(spark, 60, 90)
+    b = b_new.unionByName(_pages(spark, 0, 20))
+    b.coalesce(1).write.mode("append").parquet(src)
+    words = stream_url_seen(spark, src, state, ckpt)
+    allp = _pages(spark, 0, 90)
+    assert _words_set(words) == _words_set(
+        bloom_build(allp.select("url").dropDuplicates())
+    )
+    import os
+
+    from surfactant_spark.streaming.incremental import read_fold_metrics
+
+    m = {r.batch_id: r for r in read_fold_metrics(spark, state).collect()}
+    assert m[0].n_seen == 0
+    assert m[1].n_seen >= 20  # every re-crawled url hits; FPs may add
+    assert m[1].n_urls == b.select("url").dropDuplicates().count()
+
+    # replay with a fresh checkpoint: markers short-circuit, state same
+    words2 = stream_url_seen(spark, src, state, str(tmp_path / "ckpt2"))
+    assert _words_set(words2) == _words_set(words)
+
+    # retention: default retain=2 keeps exactly the newest 2 versions
+    vs = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(vs) <= 2
