@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5c"
+FIXTURE_VERSION = "r5d"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -465,6 +465,45 @@ def synth_pii_pages() -> Dict[str, list]:
         urls.append(f"https://pii.example.org/p/{i}")
         texts.append(" ".join(parts))
     return {"url": urls, "text": texts}
+
+
+def synth_anchor_pages() -> Dict[str, list]:
+    """Referrer pages whose <a> anchors are entity SURFACE FORMS for
+    the alias-promotion oracle: the spark target gets a 4-of-6
+    consensus ("apache spark" — promoted at the 60 % bar exactly via
+    integer compare 400 >= 360), the flink target a 2/2/1 split vote
+    (top share 40 % — rejected), the duck target only 2 anchors
+    (under the min_anchors=3 evidence bar — rejected), the kafka
+    target a unanimous 4 ("kafka" — promoted). Empty anchors and
+    non-http hrefs are salted in to exercise the filters.
+    Deterministic literal arithmetic — no rng."""
+    t_spark = "https://proj.example.org/spark"
+    t_flink = "https://proj.example.org/flink"
+    t_duck = "https://proj.example.org/duck"
+    t_kafka = "https://proj.example.org/kafka"
+    votes = (
+        [(t_spark, "apache spark")] * 4
+        + [(t_spark, "spark engine")] * 2
+        + [(t_flink, "apache flink")] * 2
+        + [(t_flink, "flink")] * 2
+        + [(t_flink, "stream engine")]
+        + [(t_duck, "duckdb")] * 2
+        + [(t_kafka, "kafka")] * 4
+    )
+    urls: List[str] = []
+    htmls: List[bytes] = []
+    n_ref = 6
+    for r in range(n_ref):
+        elems = [
+            f'<a href="{tgt}">{txt}</a>'
+            for i, (tgt, txt) in enumerate(votes)
+            if i % n_ref == r
+        ]
+        elems.append(f'<a href="{t_spark}"></a>')  # empty anchor: dropped
+        elems.append('<a href="mailto:x@example.org">contact</a>')  # non-http
+        urls.append(f"https://ref{r}.example.net/a.html")
+        htmls.append(("<html><body>" + "".join(elems) + "</body></html>").encode())
+    return {"url": urls, "html": htmls}
 
 
 def synth_community_edges() -> Dict[str, list]:
@@ -942,7 +981,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "audit_rows", "cp_software", "cp_map", "cp_edges",
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
         "web_pages", "raw_urls", "boiler_pages", "line_pages",
-        "pii_pages", "community_edges",
+        "pii_pages", "community_edges", "anchor_pages",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -1091,6 +1130,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["line_pages"], synth_line_pages())
     _write_parquet(paths["pii_pages"], synth_pii_pages())
     _write_parquet(paths["community_edges"], synth_community_edges())
+    _write_parquet(paths["anchor_pages"], synth_anchor_pages())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -396,3 +396,59 @@ def host_cocitation(
         .agg(F.count(F.lit(1)).alias("n_cociting"))
         .where(F.col("n_cociting") >= min_shared)
     )
+
+
+def promote_anchor_aliases(
+    pages: DataFrame,
+    existing: DataFrame | None = None,
+    min_anchors: int = 3,
+    min_share_pct: int = 60,
+    links: DataFrame | None = None,
+) -> DataFrame:
+    """Dictionary ENRICHMENT from anchor text: promote a link target's
+    dominant inbound anchor to an alias-dictionary candidate when it
+    has enough evidence (``min_anchors`` inbound anchors in total) and
+    enough consensus (the top text holds >= ``min_share_pct`` percent
+    of them) — the self-improving loop where the web's own link text
+    feeds the entity-linking alias broadcast join (the reference's
+    analogue: pattern databases growing new detection entries).
+    ``existing`` (any frame with an ``alias`` column) anti-joins
+    already-known surface forms away so only NEW candidates surface.
+    Returns (alias, canon_url, n_top, n_total) with exact integer
+    evidence; the threshold compares 100*n_top >= pct*n_total so no
+    IEEE division reaches the oracle surface.
+
+    Spark shape: two stacked map-side-combinable aggs keyed by the
+    (target, anchor) pair then the target (the anchor_stats
+    discipline — min_by struct, never a per-target sort window);
+    the optional anti join is alias-keyed against a dimension table.
+    """
+    if links is None:
+        links = extract_links(pages)
+    t = links.select(
+        F.regexp_replace("href", "^bundle://", "").alias("tgt"),
+        F.trim(F.lower("anchor")).alias("alias"),
+    ).where(F.col("tgt").rlike("^https?://") & (F.col("alias") != ""))
+    pt = t.groupBy("tgt", "alias").agg(F.count(F.lit(1)).alias("n"))
+    agg = pt.groupBy("tgt").agg(
+        F.sum("n").alias("n_total"),
+        F.min_by(
+            F.struct(F.col("alias"), F.col("n").alias("n_top")),
+            F.struct((-F.col("n")).alias("nc"), F.col("alias")),
+        ).alias("top"),
+    )
+    out = (
+        agg.where(
+            (F.col("n_total") >= min_anchors)
+            & (F.col("top.n_top") * 100 >= F.col("n_total") * min_share_pct)
+        )
+        .select(
+            F.col("top.alias").alias("alias"),
+            F.col("tgt").alias("canon_url"),
+            F.col("top.n_top").cast("long").alias("n_top"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )
+    if existing is not None:
+        out = out.join(existing.select("alias").dropDuplicates(), "alias", "left_anti")
+    return out

@@ -4264,6 +4264,65 @@ FROM mem CROSS JOIN mt LEFT JOIN intra i USING (community)
 """
 
 
+ALIAS_MIN_ANCHORS = 3
+ALIAS_MIN_SHARE_PCT = 60
+
+
+def q_alias_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias promotion: each link target's dominant inbound
+    anchor becomes an alias-dictionary candidate when evidence
+    (>= {na} anchors) and consensus (>= {pct} % share) thresholds hold
+    — the dictionary-enrichment feedback loop over the crawl
+    (operators/webgraph.py:promote_anchor_aliases). Runs on the
+    anchor_pages fixture, whose anchors are entity surface forms with
+    planted consensus / split-vote / under-evidenced targets (the
+    synthetic corpus's anchors are bare urls with <= 2 votes — no
+    promotable signal)."""
+    from .operators.webgraph import promote_anchor_aliases
+
+    p = _fixture_paths()
+    return promote_anchor_aliases(
+        spark.read.parquet(p["anchor_pages"]),
+        min_anchors=ALIAS_MIN_ANCHORS,
+        min_share_pct=ALIAS_MIN_SHARE_PCT,
+    )
+
+
+q_alias_promotion.__doc__ = q_alias_promotion.__doc__.format(
+    na=ALIAS_MIN_ANCHORS, pct=ALIAS_MIN_SHARE_PCT
+)
+
+
+def _sql_alias_promotion(
+    path: str,
+    min_anchors: int = ALIAS_MIN_ANCHORS,
+    min_share_pct: int = ALIAS_MIN_SHARE_PCT,
+) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+t AS (
+  SELECT regexp_replace(href, '^bundle://', '') AS tgt,
+         trim(lower(anchor)) AS alias
+  FROM links
+  WHERE regexp_matches(regexp_replace(href, '^bundle://', ''), '^https?://')
+    AND trim(lower(anchor)) <> ''),
+pt AS (SELECT tgt, alias, COUNT(*) AS n FROM t GROUP BY 1, 2),
+agg AS (
+  SELECT tgt, SUM(n) AS n_total FROM pt GROUP BY 1),
+top AS (
+  SELECT tgt, alias, n FROM (
+    SELECT tgt, alias, n,
+           ROW_NUMBER() OVER (PARTITION BY tgt
+                              ORDER BY n DESC, alias ASC) AS rn
+    FROM pt) WHERE rn = 1)
+SELECT top.alias, top.tgt AS canon_url,
+       top.n::BIGINT AS n_top, agg.n_total::BIGINT AS n_total
+FROM top JOIN agg USING (tgt)
+WHERE agg.n_total >= {min_anchors}
+  AND top.n * 100 >= agg.n_total * {min_share_pct}
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4376,6 +4435,7 @@ QUERIES = {
     "url_bloom": q_url_bloom,
     "graph_communities": q_graph_communities,
     "community_modularity": q_community_modularity,
+    "alias_promotion": q_alias_promotion,
 }
 
 
@@ -4519,4 +4579,5 @@ ORACLE_SQL = {
     "community_modularity": _sql_community_modularity(
         _fixture_file("community_edges")
     ),
+    "alias_promotion": _sql_alias_promotion(_fixture_file("anchor_pages")),
 }

@@ -510,3 +510,14 @@ def test_community_modularity_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_alias_promotion_plan_shape(spark):
+    """Two stacked combinable aggs (pair counts -> min_by top), no
+    per-target sort window, no nested-loop, no Python."""
+    from surfactant_spark.queries import q_alias_promotion
+
+    plan = _plan(q_alias_promotion(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -451,3 +451,47 @@ def test_host_cocitation_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# anchor-text alias promotion (round-5 post-window addition)
+# ---------------------------------------------------------------------------
+def test_alias_promotion_thresholds_and_antijoin(spark):
+    """Consensus promotes, split votes and thin evidence do not, and
+    already-known aliases anti-join away."""
+    from surfactant_spark.operators.webgraph import promote_anchor_aliases
+
+    def page(url, elems):
+        return (url, ("<html>" + "".join(elems) + "</html>").encode())
+
+    a = lambda tgt, txt: f'<a href="{tgt}">{txt}</a>'
+    t1, t2, t3 = (f"https://t{i}.example.org/" for i in (1, 2, 3))
+    pages = spark.createDataFrame(
+        [
+            page("https://r0.example.net/", [a(t1, "Alpha Project")] * 3),
+            page(
+                "https://r1.example.net/",
+                [a(t1, "alpha project"), a(t2, "beta"), a(t2, "Beta Tool")],
+            ),
+            page(
+                "https://r2.example.net/",
+                [a(t2, "beta tool"), a(t3, "gamma"), a(t3, "gamma"), a(t1, "")],
+            ),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        r.alias: (r.canon_url, r.n_top, r.n_total)
+        for r in promote_anchor_aliases(pages).collect()
+    }
+    # t1: 'alpha project' 4/4 after case-fold (promoted; empty dropped);
+    # t2: 'beta tool' 2 of 3 after case-fold -> 200 >= 180 promoted;
+    # t3: gamma 2/2 -> under min_anchors=3 rejected
+    assert got == {
+        "alpha project": (t1, 4, 4),
+        "beta tool": (t2, 2, 3),
+    }
+
+    known = spark.createDataFrame([("alpha project",)], "alias string")
+    left = promote_anchor_aliases(pages, existing=known)
+    assert {r.alias for r in left.collect()} == {"beta tool"}
