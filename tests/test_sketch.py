@@ -350,3 +350,61 @@ def test_bloom_tiny_filter_forces_false_positives(spark):
     }
     assert all(got[v] == 1 for v in seen)
     assert sum(got[v] for v in unseen) > 0  # saturation -> collisions
+
+
+def _py_bloom(values, m_words=32, k=3):
+    """Pure-python third implementation of the portable-hash Bloom."""
+    import hashlib
+
+    def h(prefix, v):
+        return int(hashlib.md5((prefix + v).encode()).hexdigest()[:15], 16)
+
+    m_bits = m_words * 32
+    words = {}
+    for v in values:
+        h1, h2 = h("bf1:", v), h("bf2:", v)
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def _py_bloom_probe(words, values, m_words=32, k=3):
+    import hashlib
+
+    def h(prefix, v):
+        return int(hashlib.md5((prefix + v).encode()).hexdigest()[:15], 16)
+
+    m_bits = m_words * 32
+    out = {}
+    for v in values:
+        h1, h2 = h("bf1:", v), h("bf2:", v)
+        out[v] = int(
+            all(
+                (words.get(((h1 + i * h2) % m_bits) // 32, 0)
+                 >> (((h1 + i * h2) % m_bits) % 32)) & 1
+                for i in range(k)
+            )
+        )
+    return out
+
+
+from hypothesis import given, settings, strategies as st
+
+_url_st = st.integers(min_value=0, max_value=200).map(
+    lambda i: f"https://h{i}.example.org/p/{i}"
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.sets(_url_st, min_size=1, max_size=40),
+       st.sets(_url_st, min_size=1, max_size=20))
+def test_bloom_matches_python_reference(spark, seen, probes):
+    from surfactant_spark.operators.sketch import bloom_build, bloom_probe
+
+    seen, probes = sorted(seen), sorted(probes)
+    bloom = bloom_build(_vals(spark, seen))
+    got_words = {r.word_idx: r.word_bits for r in bloom.collect()}
+    assert got_words == _py_bloom(seen)
+    got = {r.url: r.bloom_hit for r in bloom_probe(bloom, _vals(spark, probes)).collect()}
+    assert got == _py_bloom_probe(got_words, probes)

@@ -1224,3 +1224,47 @@ def test_redact_pii_hand_cases(spark):
     # address counts as an IP
     assert got["mix"] == (1, 1, 0, "<EMAIL> logged from <IP>")
     assert got["clean"] == (0, 0, 0, "no pii here just text 12345")
+
+
+_pii_frag = st.sampled_from([
+    "plain words here",
+    "a.b+c@mail.example.com",
+    "root@10.0.0.1.example.com",
+    "10.0.0.1",
+    "999.999.999.999",
+    "1.2.3.4.5",
+    "+44 555 0199",
+    "+1-555-0100",
+    "555 0100",
+    "bare @ sign",
+    "x@y.io",
+])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_pii_frag, min_size=1, max_size=5))
+def test_redact_pii_matches_python_re(spark, frags):
+    """THIRD implementation: python `re` over the same pattern strings
+    (the patterns live in the java-regex ∩ RE2 ∩ python-re common
+    subset — this pins that claim on composed inputs)."""
+    import re
+
+    from surfactant_spark.operators.textops import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        redact_pii,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([("u", text)], "url string, text string")
+    r = redact_pii(df).collect()[0]
+    t1 = re.sub(PII_EMAIL, "<EMAIL>", text)
+    t2 = re.sub(PII_IPV4, "<IP>", t1)
+    t3 = re.sub(PII_PHONE, "<PHONE>", t2)
+    assert (r.n_emails, r.n_ips, r.n_phones) == (
+        len(re.findall(PII_EMAIL, text)),
+        len(re.findall(PII_IPV4, t1)),
+        len(re.findall(PII_PHONE, t2)),
+    )
+    assert r.text_redacted == t3
