@@ -632,11 +632,31 @@ def kcore_peel_round(sym: DataFrame, keep: DataFrame) -> DataFrame:
 # Synchronized label propagation — community detection
 # (Raghavan-Albert-Kumara 2007, made deterministic)
 # ---------------------------------------------------------------------------
+def undirected_simple(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The eagerly-checkpointed UNDIRECTED simple graph of ``edges``
+    (directions merged via least/greatest, self-loops and multi-edges
+    dropped) as (a, b) with a < b — the shared-pass input the
+    kcore/LPA/modularity family accepts so a query composing several
+    graph operators derives and checkpoints the edge set ONCE (the
+    webgraph `links=` discipline)."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
+        F.col(src) != F.col(dst)
+    )
+    return (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     n_rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Community detection over the UNDIRECTED simple graph of
     ``edges`` by SYNCHRONIZED label propagation: every node starts
@@ -657,14 +677,12 @@ def label_propagation(
     localCheckpoint'ed each round (the CC/PageRank lineage
     discipline). Fixed rounds, not convergence-polled: each round is
     one more shuffle over the edge set, and community quality
-    plateaus within a few rounds on power-law graphs.
+    plateaus within a few rounds on power-law graphs. Pass a prebuilt
+    ``und`` (from :func:`undirected_simple`) to share one edge pass
+    across composed graph operators.
     """
-    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
-        F.col(src) != F.col(dst)
-    )
-    und = e.select(
-        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-    ).dropDuplicates()
+    if und is None:
+        und = undirected_simple(edges, src, dst)
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
@@ -706,6 +724,7 @@ def partition_modularity(
     community_col: str = "community",
     src: str = "src",
     dst: str = "dst",
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity audit of a node partition over the UNDIRECTED
     simple graph of ``edges``: per community, the exact integer
@@ -721,17 +740,26 @@ def partition_modularity(
     against the node-dimension label table, then combinable aggs; m is
     a driver literal off the checkpoint (one count, no constant-key
     join). Labels come from any partitioner (label_propagation,
-    connected components, k-core shells).
+    connected components, k-core shells). Pass a prebuilt ``und``
+    (from :func:`undirected_simple`) to share one edge pass across
+    composed graph operators. An edgeless graph (m = 0) has no
+    modularity — the empty frame with the declared schema is returned
+    rather than letting ANSI mode raise DIVIDE_BY_ZERO.
     """
-    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).where(
-        F.col(src) != F.col(dst)
-    )
-    und = (
-        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    if und is None:
+        und = undirected_simple(edges, src, dst)
     m = und.count()
+    if m == 0:
+        # empty frame with the declared columns, community keeping the
+        # caller's label type
+        return labels.limit(0).select(
+            F.col(community_col).alias("community"),
+            *(
+                F.lit(0).cast("long").alias(c)
+                for c in ("n_members", "n_intra", "degree_sum", "m_edges")
+            ),
+            F.lit(0.0).alias("mod_term"),
+        )
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(community_col).alias("community")
     )

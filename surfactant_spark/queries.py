@@ -4227,12 +4227,17 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (members, intra edges, degree sum, m) plus the round(6) modularity
     term. The quality gate that tells a crawl planner whether the
     communities it is about to shard by are real structure."""
-    from .operators.graphrank import label_propagation, partition_modularity
+    from .operators.graphrank import (
+        label_propagation,
+        partition_modularity,
+        undirected_simple,
+    )
 
     p = _fixture_paths()
     edges = spark.read.parquet(p["community_edges"])
-    labels = label_propagation(edges, n_rounds=LPA_ROUNDS)
-    return partition_modularity(edges, labels)
+    und = undirected_simple(edges)  # ONE derive+checkpoint, two consumers
+    labels = label_propagation(edges, n_rounds=LPA_ROUNDS, und=und)
+    return partition_modularity(edges, labels, und=und)
 
 
 def _sql_community_modularity(path: str) -> str:

@@ -316,6 +316,14 @@ def stream_kg_fold(
         t0 = time.time()
         s = batch_df.sparkSession
         committed = _state_version_dirs(state_dir)
+        if committed and max(committed) >= batch_id:
+            # a replay from a FRESH checkpoint restarts batch ids below
+            # the committed frontier (retention may have pruned this
+            # id's marker): the data is already folded — recomputing
+            # would corrupt the metrics history (and pointlessly
+            # rebuild state). The checkpoint is the progress record;
+            # new files over a lost checkpoint need a fresh state_dir.
+            return
         prior = [v for v in committed if v < batch_id]
         if prior:
             prev = _read_state(s, state_dir, max(prior))
@@ -378,8 +386,8 @@ def stream_url_seen(
     pages_path: str,
     state_dir: str,
     checkpoint: str,
-    m_words: int = None,
-    k: int = None,
+    m_words: int | None = None,
+    k: int | None = None,
     max_files_per_trigger: int = 4,
     retain: int = 2,
 ):
@@ -411,15 +419,36 @@ def stream_url_seen(
     mw = m_words or BLOOM_M_WORDS
     kk = k or BLOOM_K
 
+    # pin the filter geometry: merging filters built with different
+    # (m_words, k) silently breaks the no-false-negative contract, so
+    # the state dir records its geometry on first use and every later
+    # run must match
+    os.makedirs(state_dir, exist_ok=True)
+    geo_path = os.path.join(state_dir, "_GEOMETRY")
+    geo = f"{mw}:{kk}"
+    if os.path.exists(geo_path):
+        with open(geo_path, "r", encoding="utf-8") as fh:
+            have = fh.read().strip()
+        if have != geo:
+            raise ValueError(
+                f"bloom state at {state_dir} was built with geometry "
+                f"{have} (m_words:k); refusing to fold with {geo}"
+            )
+    else:
+        with open(geo_path, "w", encoding="utf-8") as fh:
+            fh.write(geo)
+
     def fold_batch(batch_df, batch_id: int) -> None:
         vdir = os.path.join(state_dir, f"v{batch_id}")
         if os.path.exists(os.path.join(vdir, "_OK")):
             return
         t0 = time.time()
         s = batch_df.sparkSession
+        committed = _state_version_dirs(state_dir)
+        if committed and max(committed) >= batch_id:
+            return  # stale replay below the committed frontier (see kg fold)
         urls = batch_df.select("url").dropDuplicates().localCheckpoint(eager=True)
         n_urls = urls.count()
-        committed = _state_version_dirs(state_dir)
         prior = [v for v in committed if v < batch_id]
         if prior:
             prev = s.read.parquet(

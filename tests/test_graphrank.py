@@ -842,3 +842,17 @@ def test_partition_modularity_hand_case(spark):
     }
     assert got["a"] == (3, 3, 7, 7, 0.178571)
     assert got["b"] == (3, 3, 7, 7, 0.178571)
+
+
+def test_partition_modularity_edgeless_graph_is_empty_not_error(spark):
+    """m = 0 (only self-loops) must return the declared empty frame,
+    not an ANSI DIVIDE_BY_ZERO, with community keeping the label type."""
+    from surfactant_spark.operators.graphrank import partition_modularity
+
+    edges = spark.createDataFrame([("a", "a")], "src string, dst string")
+    labels = spark.createDataFrame([("a", "a")], "node string, community string")
+    out = partition_modularity(edges, labels)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "community", "n_members", "n_intra", "degree_sum", "m_edges", "mod_term",
+    ]

@@ -252,9 +252,12 @@ def test_marker_implies_metrics(spark, tmp_path, monkeypatch):
 # streaming URL-seen Bloom fold (round-5 post-window addition)
 # ---------------------------------------------------------------------------
 def _pages(spark, lo, hi):
+    """Slices of ONE fixed 110-page corpus: make_corpus is not
+    prefix-stable across different n (hot-domain share scales with n),
+    so batches must all come from the same generated frame."""
     from surfactant_spark.synth import make_corpus, pages_to_spark
 
-    pdf, _ = make_corpus(hi, seed=11)
+    pdf, _ = make_corpus(110, seed=11)
     return pages_to_spark(spark, pdf.iloc[lo:hi])
 
 
@@ -301,6 +304,29 @@ def test_stream_url_seen_folds_and_counts_repeats(spark, tmp_path):
     words2 = stream_url_seen(spark, src, state, str(tmp_path / "ckpt2"))
     assert _words_set(words2) == _words_set(words)
 
-    # retention: default retain=2 keeps exactly the newest 2 versions
-    vs = [v for v in os.listdir(state) if v.startswith("v")]
-    assert len(vs) <= 2
+    # batch C: a third fold makes retention actually DELETE v0
+    _pages(spark, 90, 110).coalesce(1).write.mode("append").parquet(src)
+    words = stream_url_seen(spark, src, state, ckpt)
+    allp = _pages(spark, 0, 110)
+    assert _words_set(words) == _words_set(
+        bloom_build(allp.select("url").dropDuplicates())
+    )
+    vs = sorted(v for v in os.listdir(state) if v.startswith("v"))
+    assert vs == ["v1", "v2"]
+
+    # stale replay below the pruned frontier: a fresh checkpoint packs
+    # everything into batch 0 (whose version retention deleted); the
+    # frontier guard must skip it — state AND the metrics history stay
+    # intact (no n_seen=0 rewrite of d0)
+    m_before = {r.batch_id: r.n_seen for r in read_fold_metrics(spark, state).collect()}
+    words3 = stream_url_seen(spark, src, state, str(tmp_path / "ckpt3"))
+    assert _words_set(words3) == _words_set(words)
+    m_after = {r.batch_id: r.n_seen for r in read_fold_metrics(spark, state).collect()}
+    assert m_after == m_before
+    assert sorted(v for v in os.listdir(state) if v.startswith("v")) == ["v1", "v2"]
+
+    # geometry pin: a later run with different m_words must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="geometry"):
+        stream_url_seen(spark, src, state, str(tmp_path / "ckpt4"), m_words=64)
