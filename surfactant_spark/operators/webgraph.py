@@ -452,3 +452,51 @@ def promote_anchor_aliases(
     if existing is not None:
         out = out.join(existing.select("alias").dropDuplicates(), "alias", "left_anti")
     return out
+
+
+def host_fetch_intervals(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Politeness-parameter mining: per host, the fetch count, the
+    first/last fetch epoch, and the MEDIAN inter-fetch gap in seconds —
+    the per-host rate estimate a crawl scheduler derives from its own
+    history before assigning frontier budgets (the companion product to
+    crawl_frontier and the url_bloom seen-filter). Returns (host,
+    n_fetches, first_ts, last_ts, median_gap_s) — all exact integers;
+    single-fetch hosts have no gaps and a null median.
+
+    Spark shape: one lag window per host for the gaps (ordered by
+    (ts, url) so equal timestamps stay deterministic; a hot host is one
+    spillable partition sort — bounded by that host's OWN fetch count,
+    never the corpus), then the median reuses
+    :func:`..textops.exact_quantiles` — gaps reduce to a per-host
+    (value, frequency) histogram first, so the quantile never sorts
+    raw fetches. Stats are one combinable agg.
+    """
+    from pyspark.sql import Window
+
+    from .textops import exact_quantiles
+
+    f = pages.select(
+        F.regexp_extract(F.col(url_col), _URL_HOST, 1).alias("host"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(url_col).alias("u"),
+    )
+    w = Window.partitionBy("host").orderBy("ts", "u")
+    gaps = f.select(
+        "host", (F.col("ts") - F.lag("ts").over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    med = (
+        exact_quantiles(gaps, [0.5], value_col="gap_s", group_cols=("host",))
+        .select("host", F.col("value").alias("median_gap_s"))
+    )
+    stats = f.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return stats.join(med, "host", "left").select(
+        "host", "n_fetches", "first_ts", "last_ts", "median_gap_s"
+    )

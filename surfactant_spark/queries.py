@@ -4328,6 +4328,50 @@ WHERE agg.n_total >= {min_anchors}
 """
 
 
+def q_host_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch history: count, first/last fetch epoch, median
+    inter-fetch gap (exact rank median over a per-host gap histogram) —
+    the politeness estimate a scheduler pairs with crawl_frontier and
+    the url_bloom seen-filter (operators/webgraph.py:
+    host_fetch_intervals)."""
+    from .operators.webgraph import host_fetch_intervals
+
+    return host_fetch_intervals(_read_web_pages(spark))
+
+
+def _sql_host_intervals(path: str) -> str:
+    return f"""
+WITH f AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         CAST(warc_ts AS BIGINT) AS ts, url
+  FROM read_parquet('{path}')),
+g AS (
+  SELECT host,
+         ts - LAG(ts) OVER (PARTITION BY host ORDER BY ts, url) AS gap_s
+  FROM f),
+gg AS (SELECT host, gap_s FROM g WHERE gap_s IS NOT NULL),
+hist AS (SELECT host, gap_s AS val, COUNT(*) AS fq FROM gg GROUP BY 1, 2),
+cum AS (
+  SELECT host, val, fq,
+         CAST(SUM(fq) OVER (PARTITION BY host ORDER BY val
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM hist),
+c2 AS (
+  SELECT host, val, hi - fq AS lo, hi,
+         MAX(hi) OVER (PARTITION BY host) AS n
+  FROM cum),
+med AS (
+  SELECT host, val AS median_gap_s FROM c2
+  WHERE lo <= (1 * (n - 1)) // 2 AND (1 * (n - 1)) // 2 < hi),
+st AS (
+  SELECT host, COUNT(*)::BIGINT AS n_fetches,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM f GROUP BY 1)
+SELECT st.host, st.n_fetches, st.first_ts, st.last_ts, med.median_gap_s
+FROM st LEFT JOIN med USING (host)
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4441,6 +4485,7 @@ QUERIES = {
     "graph_communities": q_graph_communities,
     "community_modularity": q_community_modularity,
     "alias_promotion": q_alias_promotion,
+    "host_intervals": q_host_intervals,
 }
 
 
@@ -4585,4 +4630,5 @@ ORACLE_SQL = {
         _fixture_file("community_edges")
     ),
     "alias_promotion": _sql_alias_promotion(_fixture_file("anchor_pages")),
+    "host_intervals": _sql_host_intervals(_web_pages_file()),
 }

@@ -521,3 +521,14 @@ def test_alias_promotion_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_intervals_plan_shape(spark):
+    """One per-host lag window, histogram-shaped median, combinable
+    stats agg — no nested-loop, no cartesian, no Python."""
+    from surfactant_spark.queries import q_host_intervals
+
+    plan = _plan(q_host_intervals(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -495,3 +495,28 @@ def test_alias_promotion_thresholds_and_antijoin(spark):
     known = spark.createDataFrame([("alpha project",)], "alias string")
     left = promote_anchor_aliases(pages, existing=known)
     assert {r.alias for r in left.collect()} == {"beta tool"}
+
+
+def test_host_fetch_intervals_hand_case(spark):
+    """Gaps 10/20/30 -> sorted [10,20,30], rank (3-1)//2 = 1 -> 20;
+    a single-fetch host has no gaps -> null median; equal-ts fetches
+    order by url (gap 0, deterministic)."""
+    from surfactant_spark.operators.webgraph import host_fetch_intervals
+
+    rows = [
+        ("https://a.example.org/1", 100),
+        ("https://a.example.org/2", 110),
+        ("https://a.example.org/3", 130),
+        ("https://a.example.org/4", 160),
+        ("https://b.example.org/1", 500),
+        ("https://c.example.org/1", 300),
+        ("https://c.example.org/2", 300),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long")
+    got = {
+        r.host: (r.n_fetches, r.first_ts, r.last_ts, r.median_gap_s)
+        for r in host_fetch_intervals(df).collect()
+    }
+    assert got["a.example.org"] == (4, 100, 160, 20)
+    assert got["b.example.org"] == (1, 500, 500, None)
+    assert got["c.example.org"] == (2, 300, 300, 0)
