@@ -806,3 +806,95 @@ def partition_modularity(
             ).alias("mod_term"),
         )
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "walk:v1",
+) -> DataFrame:
+    """DeepWalk-style walk corpus over a directed edge table: one walk
+    per node, ``walk_len`` steps, emitted as (walk_id, step, node) rows
+    — the sequence corpus a skip-gram node-embedding trainer consumes
+    (walks -> skipgram_pairs -> edge_negatives is the standard
+    node-embedding training-data pipeline; DeepWalk, KDD 2014).
+
+    Instead of rand() (plan-dependent, never replayable), step ``t`` of
+    the walk started at node ``s`` moves to the out-neighbor minimizing
+    the portable md5 hash of ``salt:s:t:neighbor`` — a pure function of
+    the edge set, so walks are bit-identical across retries, partition
+    layouts, and engines (the sample_bucket_col discipline), while
+    successive steps still decorrelate (hash depends on both walk and
+    step). Dead-end nodes simply end their walk early.
+
+    Per step: ONE equi join (frontier x edges on the current node) and
+    ONE min_by aggregation keyed by walk id — the pagerank_fixed
+    iteration discipline. min_by is partial-aggregable, so a hub node's
+    out-fan combines map-side before the shuffle; AQE's skew split
+    handles a frontier piled onto one hot host. Each frontier is
+    localCheckpoint-ed: iterative lineage otherwise compounds."""
+    from .dedup import portable_hash64_col
+
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("walk_id"), F.lit(0).alias("step"), "node"
+    ).localCheckpoint(eager=True)
+    out = frontier
+    for t in range(1, walk_len + 1):
+        h = portable_hash64_col(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("walk_id"), F.lit(str(t)), F.col("_dst")
+            )
+        )
+        frontier = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select("walk_id", F.col("_dst"), h.alias("h"))
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "_dst", F.struct(F.col("h"), F.col("_dst"))
+                ).alias("node")
+            )
+            .select("walk_id", F.lit(t).alias("step"), "node")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs) skip-gram co-occurrence counts from a
+    walk corpus — the positive-example table a node-embedding trainer
+    pairs with edge_negatives. Context = any node within ``window``
+    steps (both directions) of the center inside the same walk.
+
+    The self-join is keyed by walk_id with per-walk width <= walk_len+1
+    rows, so join fan-out is bounded by the walk length squared —
+    corpus-linear, never quadratic in nodes. The count agg combines
+    map-side (hot node pairs collapse before the shuffle)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        "walk_id", F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("s_a") != F.col("s_b"))
+            & (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -500,3 +500,39 @@ def host_fetch_intervals(
     return stats.join(med, "host", "left").select(
         "host", "n_fetches", "first_ts", "last_ts", "median_gap_s"
     )
+
+
+def host_language_mix(pages: DataFrame) -> DataFrame:
+    """Per-host language profile: (host, n_pages, n_langs, top_lang,
+    top_cnt, top_share) — the crawl-curation signal that flags mixed-
+    language hosts (scraper farms, auto-translated mirrors) and feeds
+    per-host language routing before any per-document language model
+    runs.
+
+    Two stacked hash aggregations (the anchor_stats discipline): the
+    (host, lang) agg combines map-side under hot-domain skew, and the
+    per-host pick is a min_by over (-count, lang) — no window sort.
+    All counts exact integers; the one IEEE division is a bit-exact
+    replay in the oracle."""
+    per = (
+        pages.select(
+            F.regexp_extract("url", _URL_HOST, 1).alias("host"), "lang"
+        )
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.min_by(
+                "lang", F.struct((-F.col("cnt")).alias("nc"), F.col("lang"))
+            ).alias("top_lang"),
+            F.max("cnt").cast("long").alias("top_cnt"),
+        )
+        .withColumn(
+            "top_share",
+            F.round(F.col("top_cnt").cast("double") / F.col("n_pages"), 6),
+        )
+    )

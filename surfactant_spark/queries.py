@@ -4372,6 +4372,111 @@ FROM st LEFT JOIN med USING (host)
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic walk corpus + skip-gram pairs — operators/graphrank.py
+# (walks -> skipgram_pairs -> kg_negatives -> kg_edge_split is the full
+#  node-embedding training-data pipeline)
+# ---------------------------------------------------------------------------
+WALK_LEN = 4
+SKIPGRAM_WINDOW = 2
+_WALK_SALT = "walk:v1"
+
+
+def _walk_edges(spark: SparkSession) -> DataFrame:
+    from .operators.webgraph import host_graph
+
+    return host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the host link graph: one walk
+    per host, WALK_LEN hash-deterministic steps (operators/graphrank.py:
+    deterministic_walks). Per step ONE equi join + ONE min_by agg over
+    the host-dimension graph — the pagerank_fixed iteration shape, so
+    the 10^12-doc scale path is the same bucketed-edges discipline."""
+    from .operators.graphrank import deterministic_walks
+
+    return deterministic_walks(
+        _walk_edges(spark), walk_len=WALK_LEN, salt=_WALK_SALT
+    )
+
+
+def _sql_graph_walks(path: str, iters: int = WALK_LEN, salt: str = _WALK_SALT) -> str:
+    ctes = [
+        f"hg AS ({_sql_host_graph(path)})",
+        "e AS (SELECT src_host AS src, dst_host AS dst FROM hg)",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "s0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        h = _H.format(expr=f"'{salt}:' || w.walk_id || ':{t}:' || e.dst")
+        ctes.append(
+            f"""s{t} AS (
+  SELECT walk_id, {t} AS step, dst AS node FROM (
+    SELECT w.walk_id, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                              ORDER BY {h}, e.dst) AS rn
+    FROM s{t - 1} w JOIN e ON w.node = e.src) WHERE rn = 1)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, n_pairs) counts from the walk corpus
+    — the positive-example table the node-embedding trainer pairs with
+    kg_negatives. Self-join keyed by walk_id with per-walk width
+    <= WALK_LEN+1, so fan-out is walk-length-squared, corpus-linear."""
+    from .operators.graphrank import deterministic_walks, skipgram_pairs
+
+    walks = deterministic_walks(
+        _walk_edges(spark), walk_len=WALK_LEN, salt=_WALK_SALT
+    )
+    return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
+
+
+def _sql_skipgram_pairs(path: str, window: int = SKIPGRAM_WINDOW) -> str:
+    return f"""
+WITH w AS ({_sql_graph_walks(path)})
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+FROM w a JOIN w b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {window}
+GROUP BY a.node, b.node
+"""
+
+
+def q_host_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language profile (operators/webgraph.py:
+    host_language_mix): page counts, language count, dominant language
+    and its share — the crawl-curation signal for mixed-language hosts.
+    Two stacked hash aggs, min_by pick, one bit-exact IEEE division."""
+    from .operators.webgraph import host_language_mix
+
+    return host_language_mix(_read_web_pages(spark))
+
+
+def _sql_host_language_mix(path: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, lang
+  FROM read_parquet('{path}')),
+pl AS (SELECT host, lang, COUNT(*) AS cnt FROM p GROUP BY 1, 2)
+SELECT host, n_pages, n_langs, lang AS top_lang, cnt AS top_cnt,
+       round(CAST(cnt AS DOUBLE) / n_pages, 6) AS top_share
+FROM (
+  SELECT host, lang, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_pages,
+         COUNT(*) OVER (PARTITION BY host) AS n_langs,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY cnt DESC, lang) AS rn
+  FROM pl) WHERE rn = 1
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4486,6 +4591,9 @@ QUERIES = {
     "community_modularity": q_community_modularity,
     "alias_promotion": q_alias_promotion,
     "host_intervals": q_host_intervals,
+    "graph_walks": q_graph_walks,
+    "skipgram_pairs": q_skipgram_pairs,
+    "host_language_mix": q_host_language_mix,
 }
 
 
@@ -4631,4 +4739,7 @@ ORACLE_SQL = {
     ),
     "alias_promotion": _sql_alias_promotion(_fixture_file("anchor_pages")),
     "host_intervals": _sql_host_intervals(_web_pages_file()),
+    "graph_walks": _sql_graph_walks(_web_pages_file()),
+    "skipgram_pairs": _sql_skipgram_pairs(_web_pages_file()),
+    "host_language_mix": _sql_host_language_mix(_web_pages_file()),
 }

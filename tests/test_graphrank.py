@@ -856,3 +856,97 @@ def test_partition_modularity_edgeless_graph_is_empty_not_error(spark):
     assert [f.name for f in out.schema.fields] == [
         "community", "n_members", "n_intra", "degree_sum", "m_edges", "mod_term",
     ]
+
+
+# ---------------------------------------------------------------------------
+# deterministic walks + skip-gram pairs
+# ---------------------------------------------------------------------------
+def _py_walks(edges, walk_len, salt="walk:v1"):
+    """Independent pure-Python replay of the hash-argmin walk."""
+    from surfactant_spark.functions.hashing import portable_hash64
+
+    out_adj = {}
+    nodes = set()
+    for a, b in edges:
+        out_adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    rows = []
+    for s in sorted(nodes):
+        cur = s
+        rows.append((s, 0, s))
+        for t in range(1, walk_len + 1):
+            nbrs = out_adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (portable_hash64(f"{salt}:{s}:{t}:{d}"), d))
+            rows.append((s, t, cur))
+    return sorted(rows)
+
+
+WALK_EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+    ("c", "a"), ("c", "d"), ("d", "a"), ("e", "a"),
+]
+
+
+def test_walks_match_python_reference(spark):
+    from surfactant_spark.operators.graphrank import deterministic_walks
+
+    e = spark.createDataFrame(WALK_EDGES, "src string, dst string")
+    got = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in deterministic_walks(e, walk_len=3).collect()
+    )
+    assert got == _py_walks(WALK_EDGES, 3)
+
+
+def test_walks_follow_edges_and_dead_end_stops(spark):
+    from surfactant_spark.operators.graphrank import deterministic_walks
+
+    edges = [("a", "b"), ("b", "z")]  # z is a dead end
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = deterministic_walks(e, walk_len=5).collect()
+    byw = {}
+    for r in rows:
+        byw.setdefault(r.walk_id, {})[r.step] = r.node
+    eset = set(edges)
+    for w, steps in byw.items():
+        assert steps[0] == w
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in eset
+    # chain a->b->z then dead end: walk 'a' has exactly steps 0..2
+    assert sorted(byw["a"]) == [0, 1, 2]
+    assert byw["z"] == {0: "z"}
+
+
+def test_walks_validation_and_empty(spark):
+    from surfactant_spark.operators.graphrank import deterministic_walks
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert deterministic_walks(e, walk_len=2).count() == 0
+    with pytest.raises(ValueError):
+        deterministic_walks(e, walk_len=-1)
+
+
+def test_skipgram_hand_computed_chain(spark):
+    from surfactant_spark.operators.graphrank import skipgram_pairs
+
+    # one walk: a b c d  (steps 0..3), window 2
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("w", 3, "d")],
+        "walk_id string, step int, node string",
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    want = {}
+    seq = ["a", "b", "c", "d"]
+    for i in range(4):
+        for j in range(4):
+            if i != j and abs(i - j) <= 2:
+                k = (seq[i], seq[j])
+                want[k] = want.get(k, 0) + 1
+    assert got == want
+    with pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)

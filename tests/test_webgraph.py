@@ -520,3 +520,24 @@ def test_host_fetch_intervals_hand_case(spark):
     assert got["a.example.org"] == (4, 100, 160, 20)
     assert got["b.example.org"] == (1, 500, 500, None)
     assert got["c.example.org"] == (2, 300, 300, 0)
+
+
+def test_host_language_mix_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import host_language_mix
+
+    rows = [
+        ("http://a.com/1", "en"), ("http://a.com/2", "en"),
+        ("http://a.com/3", "de"), ("https://b.net/x", "fr"),
+        # tie on b2.org: 1 en vs 1 de -> lexicographically first lang wins
+        ("http://b2.org/1", "en"), ("http://b2.org/2", "de"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, lang string")
+    got = {r.host: r for r in host_language_mix(pages).collect()}
+    assert set(got) == {"a.com", "b.net", "b2.org"}
+    a = got["a.com"]
+    assert (a.n_pages, a.n_langs, a.top_lang, a.top_cnt) == (3, 2, "en", 2)
+    assert a.top_share == round(2 / 3, 6)
+    b = got["b.net"]
+    assert (b.n_pages, b.n_langs, b.top_lang, b.top_share) == (1, 1, "fr", 1.0)
+    t = got["b2.org"]
+    assert (t.top_lang, t.top_cnt, t.top_share) == ("de", 1, 0.5)
