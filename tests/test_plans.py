@@ -532,3 +532,22 @@ def test_host_intervals_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_walk_family_plan_shapes(spark):
+    """The walk corpus (iterative hash-argmin steps), its skip-gram
+    self-join, and the host language profile stay distributed-safe:
+    equi joins only, no nested-loop/cartesian, no Python in any final
+    plan (the walk step's min_by is a partial-aggregable hash agg, not
+    a window sort)."""
+    from surfactant_spark.queries import (
+        q_graph_walks,
+        q_host_language_mix,
+        q_skipgram_pairs,
+    )
+
+    for q in (q_graph_walks, q_skipgram_pairs, q_host_language_mix):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
