@@ -898,3 +898,50 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def twohop_paths(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    fanout_cap: int = 100_000,
+) -> DataFrame:
+    """Two-hop path counts per (src, dst) node pair — the classic
+    link-prediction feature family (common-neighbor / path-count
+    scores): (src, dst, n_paths, n_mids) for every pair connected by
+    at least one directed 2-step path through a middle node.
+
+    The join is keyed by the middle node, where path fan-out is
+    in_deg(mid) * out_deg(mid) — a stop-token-like hub would
+    concentrate millions of pairs into one join key (the same blowup
+    class the dedup families cap). Middles whose in*out product
+    exceeds ``fanout_cap`` are EXCLUDED up front (deterministic,
+    mirrored in the oracle): a hub every node touches carries no
+    link-prediction signal, exactly like a stopword in tf-idf. Both
+    degree aggs and the final pair agg combine map-side."""
+    if fanout_cap < 1:
+        raise ValueError(f"fanout_cap must be >= 1, got {fanout_cap}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    ind = e.groupBy(F.col("_d").alias("mid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    outd = e.groupBy(F.col("_s").alias("mid")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    allowed = (
+        ind.join(outd, "mid")
+        .where(F.col("in_deg") * F.col("out_deg") <= fanout_cap)
+        .select("mid")
+    )
+    a = e.select(F.col("_s").alias("src"), F.col("_d").alias("mid"))
+    b = e.select(F.col("_s").alias("mid"), F.col("_d").alias("dst"))
+    return (
+        a.join(allowed, "mid")
+        .join(b, "mid")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("mid").alias("n_mids"),
+        )
+    )

@@ -536,3 +536,31 @@ def host_language_mix(pages: DataFrame) -> DataFrame:
             F.round(F.col("top_cnt").cast("double") / F.col("n_pages"), 6),
         )
     )
+
+
+def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL template mining: collapse each page's path to a shape
+    (digit runs -> ``<n>``) and count urls per (host, template) —
+    the crawler-trap / boilerplate-template detector crawl schedulers
+    run before spending budget on a host (a template with millions of
+    urls and near-identical content is a calendar, a session-id trap,
+    or a faceted-search explosion).
+
+    One JVM regex pass + one hash aggregation; the example url is a
+    min (partial-aggregable), never a window sort. Query strings and
+    fragments are excluded from the path before shaping, so
+    ``/p/7.html?sid=9`` and ``/p/12.html`` share ``/p/<n>.html``."""
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    return (
+        pages.select(
+            F.regexp_extract(url_col, _URL_HOST, 1).alias("host"),
+            F.regexp_replace(path, r"[0-9]+", "<n>").alias("template"),
+            F.col(url_col).alias("url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("example_url"),
+        )
+    )

@@ -4477,6 +4477,78 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# url template mining + two-hop path features
+# ---------------------------------------------------------------------------
+TWOHOP_FANOUT_CAP = 100_000
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining over the pages corpus (operators/webgraph.py:
+    url_templates): digit runs in the path collapse to ``<n>``, urls
+    count per (host, template) — the crawler-trap / faceted-search
+    detector. One regex pass + one hash agg."""
+    from .operators.webgraph import url_templates
+
+    return url_templates(_read_web_pages(spark))
+
+
+def _sql_url_templates(path: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         regexp_replace(
+           regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+           '[0-9]+', '<n>', 'g') AS template,
+         url
+  FROM read_parquet('{path}'))
+SELECT host, template, COUNT(DISTINCT url) AS n_urls,
+       COUNT(*) AS n_pages, MIN(url) AS example_url
+FROM u GROUP BY host, template
+"""
+
+
+def q_kg_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop path counts over the KG edge table (operators/
+    graphrank.py:twohop_paths) — the common-neighbor link-prediction
+    feature, with stop-entity hubs excluded by the deterministic
+    in*out fan-out cap (mirrored in the oracle)."""
+    from .operators.graphrank import twohop_paths
+
+    e = (
+        q_kg_edges(spark, sf_dir)
+        .select("subj_id", "obj_id")
+        .localCheckpoint(eager=True)
+    )
+    out = twohop_paths(
+        e, src="subj_id", dst="obj_id", fanout_cap=TWOHOP_FANOUT_CAP
+    )
+    return out.select(
+        F.col("src").alias("subj_id"),
+        F.col("dst").alias("obj_id"),
+        "n_paths",
+        "n_mids",
+    )
+
+
+def _sql_kg_twohop(cap: int = TWOHOP_FANOUT_CAP) -> str:
+    return f"""
+WITH e AS (SELECT subj_id, obj_id FROM ({SQL_KG_EDGES})),
+ind AS (SELECT obj_id AS mid, COUNT(*) AS in_deg FROM e GROUP BY 1),
+outd AS (SELECT subj_id AS mid, COUNT(*) AS out_deg FROM e GROUP BY 1),
+allowed AS (
+  SELECT mid FROM ind JOIN outd USING (mid)
+  WHERE in_deg * out_deg <= {cap})
+SELECT a.subj_id, b.obj_id, COUNT(*) AS n_paths,
+       COUNT(DISTINCT a.obj_id) AS n_mids
+FROM e a
+JOIN allowed m ON a.obj_id = m.mid
+JOIN e b ON a.obj_id = b.subj_id
+WHERE a.subj_id <> b.obj_id
+GROUP BY a.subj_id, b.obj_id
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4594,6 +4666,8 @@ QUERIES = {
     "graph_walks": q_graph_walks,
     "skipgram_pairs": q_skipgram_pairs,
     "host_language_mix": q_host_language_mix,
+    "url_templates": q_url_templates,
+    "kg_twohop": q_kg_twohop,
 }
 
 
@@ -4742,4 +4816,6 @@ ORACLE_SQL = {
     "graph_walks": _sql_graph_walks(_web_pages_file()),
     "skipgram_pairs": _sql_skipgram_pairs(_web_pages_file()),
     "host_language_mix": _sql_host_language_mix(_web_pages_file()),
+    "url_templates": _sql_url_templates(_web_pages_file()),
+    "kg_twohop": _sql_kg_twohop(),
 }

@@ -950,3 +950,48 @@ def test_skipgram_hand_computed_chain(spark):
     assert got == want
     with pytest.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+# ---------------------------------------------------------------------------
+# two-hop path counts
+# ---------------------------------------------------------------------------
+def _py_twohop(edges, cap):
+    from collections import Counter, defaultdict
+
+    ind, outd = Counter(), Counter()
+    for a, b in edges:
+        outd[a] += 1
+        ind[b] += 1
+    allowed = {m for m in set(ind) & set(outd) if ind[m] * outd[m] <= cap}
+    paths, mids = Counter(), defaultdict(set)
+    for a, m in edges:
+        if m not in allowed:
+            continue
+        for m2, c in edges:
+            if m2 == m and a != c:
+                paths[(a, c)] += 1
+                mids[(a, c)].add(m)
+    return {k: (v, len(mids[k])) for k, v in paths.items()}
+
+
+def test_twohop_matches_python_reference_and_cap(spark):
+    from surfactant_spark.operators.graphrank import twohop_paths
+
+    # hub 'h' has in_deg 3 * out_deg 2 = 6 > cap 4 -> excluded;
+    # 'm' has 1*1 = 1 -> kept; duplicate edge multiplies path counts
+    edges = [
+        ("a", "h"), ("b", "h"), ("c", "h"), ("h", "x"), ("h", "y"),
+        ("a", "m"), ("m", "z"), ("p", "q"), ("q", "p"),
+        ("d", "e"), ("d", "e"), ("e", "f"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    for cap in (4, 100):
+        got = {
+            (r.src, r.dst): (r.n_paths, r.n_mids)
+            for r in twohop_paths(e, fanout_cap=cap).collect()
+        }
+        assert got == _py_twohop(edges, cap), f"cap={cap}"
+    # p<->q cycle: p->q->p is a self-pair, dropped
+    assert ("p", "p") not in _py_twohop(edges, 100)
+    with pytest.raises(ValueError):
+        twohop_paths(e, fanout_cap=0)

@@ -543,10 +543,18 @@ def test_walk_family_plan_shapes(spark):
     from surfactant_spark.queries import (
         q_graph_walks,
         q_host_language_mix,
+        q_kg_twohop,
         q_skipgram_pairs,
+        q_url_templates,
     )
 
-    for q in (q_graph_walks, q_skipgram_pairs, q_host_language_mix):
+    for q in (
+        q_graph_walks,
+        q_skipgram_pairs,
+        q_host_language_mix,
+        q_url_templates,
+        q_kg_twohop,
+    ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__

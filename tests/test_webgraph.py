@@ -541,3 +541,31 @@ def test_host_language_mix_hand_computed(spark):
     assert (b.n_pages, b.n_langs, b.top_lang, b.top_share) == (1, 1, "fr", 1.0)
     t = got["b2.org"]
     assert (t.top_lang, t.top_cnt, t.top_share) == ("de", 1, 0.5)
+
+
+def test_url_templates_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import url_templates
+
+    rows = [
+        ("https://a.com/p/1.html",),
+        ("https://a.com/p/23.html",),
+        ("https://a.com/p/7.html?sid=99",),   # query excluded from path
+        ("https://a.com/about",),
+        ("https://b.org/cal/2024/05/01",),
+        ("https://b.org/cal/2024/05/02",),
+        ("https://c.net",),                   # no path at all
+    ]
+    pages = spark.createDataFrame(rows, "url string")
+    got = {
+        (r.host, r.template): (r.n_urls, r.n_pages, r.example_url)
+        for r in url_templates(pages).collect()
+    }
+    assert got[("a.com", "/p/<n>.html")] == (
+        3, 3, "https://a.com/p/1.html"
+    )
+    assert got[("a.com", "/about")] == (1, 1, "https://a.com/about")
+    assert got[("b.org", "/cal/<n>/<n>/<n>")] == (
+        2, 2, "https://b.org/cal/2024/05/01"
+    )
+    assert got[("c.net", "")] == (1, 1, "https://c.net")
+    assert len(got) == 4
