@@ -843,3 +843,66 @@ def redact_pii(
         F.regexp_count(t2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         t3.alias("text_redacted"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage under a corpus frequency floor
+    (word2vec's min_count): the vocabulary is every whitespace token
+    with corpus occurrence count >= ``min_count``; each document gets
+    (n_tokens, n_invocab, n_types, n_oov_types, coverage) — the
+    tokenizer-prep signal that predicts a document's UNK rate before
+    any trained tokenizer exists (low coverage = the doc is mostly
+    rare types: boilerplate noise, code, or another language).
+
+    Shape: ONE corpus-sized shuffle builds the (doc, tok, cnt) table,
+    localCheckpoint-ed because both the vocabulary reduction and the
+    membership probe read it; the vocabulary is a frequency FILTER on
+    the type table — no global top-K sort, no single-partition window
+    — and the probe is a token-keyed equi join at type cardinality
+    (the split_oov discipline). Exact integers + one IEEE division."""
+    from .dedup import tokenized
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    tok = tokenized(docs.select(id_col, text_col), text_col, keep=(id_col,))
+    occ = (
+        tok.select(id_col, F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        occ.groupBy("tok")
+        .agg(F.sum("cnt").alias("n_total"))
+        .where(F.col("n_total") >= min_count)
+        .select("tok")
+        .withColumn("_in", F.lit(1))
+    )
+    oov = F.col("_in").isNull()
+    return (
+        occ.join(vocab, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(~oov, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_invocab"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(oov, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(
+                F.col("n_invocab").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -564,3 +564,88 @@ def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("url").alias("example_url"),
         )
     )
+
+
+def host_dup_rates(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-host duplication profile: (host, n_pages, n_distinct,
+    n_mirrored, dup_rate) — the host-level spam/mirror signal crawl
+    curation ranks hosts by before per-document dedup even runs
+    (a host serving one article under a thousand urls, or mirroring
+    another host's content wholesale, gets its budget cut at the
+    host dimension).
+
+    ``n_mirrored`` counts this host's pages whose exact content hash
+    also appears on at least one OTHER host (cross-host mirror mass).
+    Shape: one sha256 pass, a (host, sha) hash agg (map-side combine
+    absorbs the hot domain), a sha-keyed dimension join for the
+    mirror bit, one host agg. Exact integers + one IEEE division."""
+    per = (
+        pages.select(
+            F.regexp_extract(url_col, _URL_HOST, 1).alias("host"),
+            F.sha2(F.col(text_col), 256).alias("sha"),
+        )
+        .groupBy("host", "sha")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    sha_hosts = per.groupBy("sha").agg(F.count(F.lit(1)).alias("n_hosts"))
+    return (
+        per.join(sha_hosts, "sha")
+        .groupBy("host")
+        .agg(
+            F.sum("n").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("n_hosts") > 1, F.col("n")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_mirrored"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_pages").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def page_markup_stats(pages: DataFrame) -> DataFrame:
+    """Per-page markup features: link/script/iframe element counts and
+    the text-to-html length ratio — the classic boilerplate/spam
+    signals (script-dense thin pages, iframe farms, low text ratio)
+    a quality filter consumes alongside the Gopher text rules.
+
+    One whole-stage-codegen JVM pass over the html bytes: regex counts
+    + lengths, no shuffle at all (the output is page-keyed). The pages
+    scan is spread first — regex over full bodies is compute-amplified
+    (the extract_links discipline)."""
+    h = F.col("html").cast("string")
+    spread = spread_partitions(pages.select("url", "html", "text"))
+    return spread.select(
+        "url",
+        F.size(F.regexp_extract_all(h, F.lit(_A_ELEM), 0)).cast("long").alias(
+            "n_links"
+        ),
+        F.size(F.regexp_extract_all(h, F.lit(r"<script\b"), 0))
+        .cast("long")
+        .alias("n_scripts"),
+        F.size(F.regexp_extract_all(h, F.lit(r"<iframe\b"), 0))
+        .cast("long")
+        .alias("n_iframes"),
+        F.length(h).cast("long").alias("html_len"),
+        F.length("text").cast("long").alias("text_len"),
+        F.when(
+            F.length(h) > 0,
+            F.round(
+                F.length("text").cast("double") / F.length(h).cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("text_ratio"),
+    )

@@ -4549,6 +4549,99 @@ GROUP BY a.subj_id, b.obj_id
 """
 
 
+# ---------------------------------------------------------------------------
+# host duplication profile, page markup features, vocabulary coverage
+# ---------------------------------------------------------------------------
+VOCAB_MIN_COUNT = 5
+
+
+def q_host_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host duplicate/mirror mass over the pages corpus
+    (operators/webgraph.py:host_dup_rates) — host-level spam budget
+    signal: exact sha256 counts, a sha-keyed dimension join for the
+    cross-host mirror bit, one IEEE division."""
+    from .operators.webgraph import host_dup_rates
+
+    return host_dup_rates(_read_web_pages(spark))
+
+
+def _sql_host_dup_rates(path: str) -> str:
+    return f"""
+WITH per AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         sha256(text) AS sha, COUNT(*) AS n
+  FROM read_parquet('{path}') GROUP BY 1, 2),
+sh AS (SELECT sha, COUNT(*) AS n_hosts FROM per GROUP BY sha)
+SELECT host, CAST(SUM(n) AS BIGINT) AS n_pages, COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN sh.n_hosts > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_mirrored,
+       round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         AS dup_rate
+FROM per JOIN sh USING (sha) GROUP BY host
+"""
+
+
+def q_page_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page markup/spam features (operators/webgraph.py:
+    page_markup_stats): link/script/iframe counts + text-to-html
+    ratio, one JVM regex pass, no shuffle."""
+    from .operators.webgraph import page_markup_stats
+
+    return page_markup_stats(_read_web_pages(spark))
+
+
+def _sql_page_markup_stats(path: str) -> str:
+    return f"""
+SELECT url,
+       CAST(len(regexp_extract_all(h, '<a href="[^"]*"[^>]*>[^<]*</a>'))
+            AS BIGINT) AS n_links,
+       CAST(len(regexp_extract_all(h, '<script\\b')) AS BIGINT) AS n_scripts,
+       CAST(len(regexp_extract_all(h, '<iframe\\b')) AS BIGINT) AS n_iframes,
+       CAST(length(h) AS BIGINT) AS html_len,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CASE WHEN length(h) > 0
+            THEN round(CAST(length(text) AS DOUBLE)
+                       / CAST(length(h) AS DOUBLE), 6)
+            ELSE 0.0 END AS text_ratio
+FROM (SELECT url, decode(html) AS h, text FROM read_parquet('{path}'))
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage under the corpus min-count
+    floor (operators/textops.py:vocab_coverage) — the UNK-rate
+    predictor of tokenizer prep. One corpus shuffle to the (doc, tok)
+    table; the vocabulary is a frequency filter, never a global
+    top-K sort."""
+    from .operators.textops import vocab_coverage
+
+    return vocab_coverage(
+        _read(spark, sf_dir, "documents"), min_count=VOCAB_MIN_COUNT
+    )
+
+
+def _sql_vocab_coverage(min_count: int = VOCAB_MIN_COUNT) -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+o AS (SELECT doc_id, t.tok AS tok, COUNT(*) AS cnt
+      FROM d, UNNEST(toks) AS t(tok) GROUP BY 1, 2),
+v AS (SELECT tok FROM (SELECT tok, SUM(cnt) AS n FROM o GROUP BY tok)
+      WHERE n >= {min_count})
+SELECT o.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_invocab,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_types,
+       round(CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN cnt ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS coverage
+FROM o LEFT JOIN v USING (tok) GROUP BY o.doc_id
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4668,6 +4761,9 @@ QUERIES = {
     "host_language_mix": q_host_language_mix,
     "url_templates": q_url_templates,
     "kg_twohop": q_kg_twohop,
+    "host_dup_rates": q_host_dup_rates,
+    "page_markup_stats": q_page_markup_stats,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 
@@ -4818,4 +4914,7 @@ ORACLE_SQL = {
     "host_language_mix": _sql_host_language_mix(_web_pages_file()),
     "url_templates": _sql_url_templates(_web_pages_file()),
     "kg_twohop": _sql_kg_twohop(),
+    "host_dup_rates": _sql_host_dup_rates(_web_pages_file()),
+    "page_markup_stats": _sql_page_markup_stats(_web_pages_file()),
+    "vocab_coverage": _sql_vocab_coverage(),
 }

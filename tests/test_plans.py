@@ -542,10 +542,13 @@ def test_walk_family_plan_shapes(spark):
     a window sort)."""
     from surfactant_spark.queries import (
         q_graph_walks,
+        q_host_dup_rates,
         q_host_language_mix,
         q_kg_twohop,
+        q_page_markup_stats,
         q_skipgram_pairs,
         q_url_templates,
+        q_vocab_coverage,
     )
 
     for q in (
@@ -554,6 +557,9 @@ def test_walk_family_plan_shapes(spark):
         q_host_language_mix,
         q_url_templates,
         q_kg_twohop,
+        q_host_dup_rates,
+        q_page_markup_stats,
+        q_vocab_coverage,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

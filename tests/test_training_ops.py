@@ -1268,3 +1268,24 @@ def test_redact_pii_matches_python_re(spark, frags):
         len(re.findall(PII_PHONE, t2)),
     )
     assert r.text_redacted == t3
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from surfactant_spark.operators.textops import vocab_coverage
+
+    # corpus counts: the=3, cat=2, rare=1 -> vocab at min_count=2: {the, cat}
+    docs = spark.createDataFrame(
+        [(1, "the cat the"), (2, "the cat rare")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in vocab_coverage(docs, min_count=2).collect()}
+    d1 = got[1]
+    assert (d1.n_tokens, d1.n_invocab, d1.n_types, d1.n_oov_types) == (3, 3, 2, 0)
+    assert d1.coverage == 1.0
+    d2 = got[2]
+    assert (d2.n_tokens, d2.n_invocab, d2.n_types, d2.n_oov_types) == (3, 2, 3, 1)
+    assert d2.coverage == round(2 / 3, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_coverage(docs, min_count=0)

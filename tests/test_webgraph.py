@@ -569,3 +569,43 @@ def test_url_templates_hand_computed(spark):
     )
     assert got[("c.net", "")] == (1, 1, "https://c.net")
     assert len(got) == 4
+
+
+def test_host_dup_rates_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import host_dup_rates
+
+    rows = [
+        # a.com: 3 pages, 2 distinct texts; "shared" also lives on b.org
+        ("http://a.com/1", "shared"), ("http://a.com/2", "shared"),
+        ("http://a.com/3", "only-a"),
+        ("http://b.org/x", "shared"),        # mirrors a.com's content
+        ("http://c.net/y", "unique-c"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = {r.host: r for r in host_dup_rates(pages).collect()}
+    a = got["a.com"]
+    assert (a.n_pages, a.n_distinct, a.n_mirrored) == (3, 2, 2)
+    assert a.dup_rate == round(1 - 2 / 3, 6)
+    b = got["b.org"]
+    assert (b.n_pages, b.n_distinct, b.n_mirrored, b.dup_rate) == (1, 1, 1, 0.0)
+    c = got["c.net"]
+    assert (c.n_pages, c.n_distinct, c.n_mirrored, c.dup_rate) == (1, 1, 0, 0.0)
+
+
+def test_page_markup_stats_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import page_markup_stats
+
+    html1 = b'<html><a href="http://x.com/">x</a><script>1</script><script src="s"></script><iframe></iframe>body</html>'
+    rows = [
+        ("http://a.com/1", html1, "tiny text"),
+        ("http://a.com/2", b"", "orphan"),  # empty html: ratio guarded to 0
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    got = {r.url: r for r in page_markup_stats(pages).collect()}
+    p = got["http://a.com/1"]
+    assert (p.n_links, p.n_scripts, p.n_iframes) == (1, 2, 1)
+    assert p.html_len == len(html1)
+    assert p.text_len == len("tiny text")
+    assert p.text_ratio == round(len("tiny text") / len(html1), 6)
+    q = got["http://a.com/2"]
+    assert (q.n_links, q.html_len, q.text_ratio) == (0, 0, 0.0)
