@@ -918,7 +918,14 @@ def twohop_paths(
     exceeds ``fanout_cap`` are EXCLUDED up front (deterministic,
     mirrored in the oracle): a hub every node touches carries no
     link-prediction signal, exactly like a stopword in tf-idf. Both
-    degree aggs and the final pair agg combine map-side."""
+    degree aggs and the final pair agg combine map-side.
+
+    ``ra_micro`` is the resource-allocation index (Zhou et al. 2009)
+    in integer micro-units: each distinct middle contributes
+    1e6 div (in_deg + out_deg), so rarer bridges score higher — the
+    degree-discounted variant of the raw path count, in the
+    pagerank_fixed exact-integer discipline (a float sum would never
+    replay across engines)."""
     if fanout_cap < 1:
         raise ValueError(f"fanout_cap must be >= 1, got {fanout_cap}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
@@ -931,17 +938,25 @@ def twohop_paths(
     allowed = (
         ind.join(outd, "mid")
         .where(F.col("in_deg") * F.col("out_deg") <= fanout_cap)
-        .select("mid")
+        .select(
+            "mid",
+            F.expr("div(1000000, in_deg + out_deg)").alias("_ra_w"),
+        )
     )
     a = e.select(F.col("_s").alias("src"), F.col("_d").alias("mid"))
     b = e.select(F.col("_s").alias("mid"), F.col("_d").alias("dst"))
-    return (
+    per_mid = (
         a.join(allowed, "mid")
         .join(b, "mid")
         .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
+        .groupBy("src", "dst", "mid")
         .agg(
-            F.count(F.lit(1)).alias("n_paths"),
-            F.countDistinct("mid").alias("n_mids"),
+            F.count(F.lit(1)).alias("_k"),
+            F.first("_ra_w").alias("_w"),
         )
+    )
+    return per_mid.groupBy("src", "dst").agg(
+        F.sum("_k").cast("long").alias("n_paths"),
+        F.count(F.lit(1)).alias("n_mids"),
+        F.sum("_w").cast("long").alias("ra_micro"),
     )

@@ -649,3 +649,107 @@ def page_markup_stats(pages: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("text_ratio"),
     )
+
+
+def _domain_col(host: Column) -> Column:
+    """Registered-domain heuristic: strip any ':port', keep the last
+    two dot-labels (site0.example.org -> example.org); a dot-less host
+    maps to itself. A real deployment swaps in the public-suffix list
+    (ccSLDs like co.uk need it); the heuristic is deterministic and
+    mirrored in the SQL oracles, which is what the correctness gate
+    pins."""
+    stripped = F.regexp_replace(host, r":[0-9]+$", "")
+    two = F.regexp_extract(stripped, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(stripped)
+
+
+def domain_graph(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
+    """Domain-level link graph: the host graph folded to registered
+    domains — Common Crawl ships exactly this rollup (host graph AND
+    domain graph) because domain is the unit of ownership for spam,
+    authority, and crawl-budget decisions. (src_domain, dst_domain,
+    n_links, n_host_pairs) where n_links sums the host-pair volumes
+    and n_host_pairs counts the distinct host pairs folded in.
+
+    The fold is one hash agg over the host graph (domain cardinality
+    <= host cardinality, itself a dimension next to the corpus)."""
+    hg = host_graph(pages, links)
+    return (
+        hg.select(
+            _domain_col(F.col("src_host")).alias("src_domain"),
+            _domain_col(F.col("dst_host")).alias("dst_domain"),
+            "n_links",
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.sum("n_links").cast("long").alias("n_links"),
+            F.count(F.lit(1)).alias("n_host_pairs"),
+        )
+    )
+
+
+def domain_metrics(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
+    """Per-domain link economy: (domain, n_hosts, intra_links,
+    out_links, in_links, intra_ratio) — how much of a domain's
+    outgoing link volume stays inside the domain (near-1.0 flags
+    navigation-only link farms; near-0 flags pure aggregators).
+
+    Everything runs at domain cardinality once the shared host-graph
+    agg has reduced the corpus; intra_ratio is exact integers + one
+    guarded IEEE division."""
+    hg = host_graph(pages, links).localCheckpoint(eager=True)
+    hosts = (
+        hg.select(F.col("src_host").alias("host"))
+        .unionByName(hg.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .select(_domain_col(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+    )
+    dg = (
+        hg.select(
+            _domain_col(F.col("src_host")).alias("sd"),
+            _domain_col(F.col("dst_host")).alias("dd"),
+            "n_links",
+        )
+        .localCheckpoint(eager=True)
+    )
+    intra = (
+        dg.where(F.col("sd") == F.col("dd"))
+        .groupBy(F.col("sd").alias("domain"))
+        .agg(F.sum("n_links").cast("long").alias("intra_links"))
+    )
+    out = (
+        dg.where(F.col("sd") != F.col("dd"))
+        .groupBy(F.col("sd").alias("domain"))
+        .agg(F.sum("n_links").cast("long").alias("out_links"))
+    )
+    inn = (
+        dg.where(F.col("sd") != F.col("dd"))
+        .groupBy(F.col("dd").alias("domain"))
+        .agg(F.sum("n_links").cast("long").alias("in_links"))
+    )
+    z = F.lit(0).cast("long")
+    total = F.col("intra_links") + F.col("out_links")
+    return (
+        hosts.join(intra, "domain", "left")
+        .join(out, "domain", "left")
+        .join(inn, "domain", "left")
+        .select(
+            "domain",
+            "n_hosts",
+            F.coalesce("intra_links", z).alias("intra_links"),
+            F.coalesce("out_links", z).alias("out_links"),
+            F.coalesce("in_links", z).alias("in_links"),
+        )
+        .withColumn(
+            "intra_ratio",
+            F.when(
+                total > 0,
+                F.round(
+                    F.col("intra_links").cast("double") / total.cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -4528,6 +4528,7 @@ def q_kg_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").alias("obj_id"),
         "n_paths",
         "n_mids",
+        "ra_micro",
     )
 
 
@@ -4537,15 +4538,19 @@ WITH e AS (SELECT subj_id, obj_id FROM ({SQL_KG_EDGES})),
 ind AS (SELECT obj_id AS mid, COUNT(*) AS in_deg FROM e GROUP BY 1),
 outd AS (SELECT subj_id AS mid, COUNT(*) AS out_deg FROM e GROUP BY 1),
 allowed AS (
-  SELECT mid FROM ind JOIN outd USING (mid)
-  WHERE in_deg * out_deg <= {cap})
-SELECT a.subj_id, b.obj_id, COUNT(*) AS n_paths,
-       COUNT(DISTINCT a.obj_id) AS n_mids
-FROM e a
-JOIN allowed m ON a.obj_id = m.mid
-JOIN e b ON a.obj_id = b.subj_id
-WHERE a.subj_id <> b.obj_id
-GROUP BY a.subj_id, b.obj_id
+  SELECT mid, 1000000 // (in_deg + out_deg) AS w
+  FROM ind JOIN outd USING (mid)
+  WHERE in_deg * out_deg <= {cap}),
+pm AS (
+  SELECT a.subj_id, b.obj_id, a.obj_id AS mid, COUNT(*) AS k, MIN(m.w) AS w
+  FROM e a
+  JOIN allowed m ON a.obj_id = m.mid
+  JOIN e b ON a.obj_id = b.subj_id
+  WHERE a.subj_id <> b.obj_id
+  GROUP BY 1, 2, 3)
+SELECT subj_id, obj_id, CAST(SUM(k) AS BIGINT) AS n_paths,
+       COUNT(*) AS n_mids, CAST(SUM(w) AS BIGINT) AS ra_micro
+FROM pm GROUP BY subj_id, obj_id
 """
 
 
@@ -4639,6 +4644,79 @@ SELECT o.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
                   AS DOUBLE)
              / CAST(SUM(cnt) AS DOUBLE), 6) AS coverage
 FROM o LEFT JOIN v USING (tok) GROUP BY o.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain-level graph rollup — operators/webgraph.py
+# ---------------------------------------------------------------------------
+_SQL_DOMAIN = """CASE WHEN contains({h}, '.')
+  THEN regexp_extract(regexp_replace({h}, ':[0-9]+$', ''),
+                      '([^.]+\\.[^.]+)$', 1)
+  ELSE regexp_replace({h}, ':[0-9]+$', '') END"""
+
+
+def q_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph (operators/webgraph.py:domain_graph):
+    the host graph folded to registered domains — Common Crawl's
+    domain-graph product. One hash agg over the host-graph dimension."""
+    from .operators.webgraph import domain_graph
+
+    return domain_graph(_read_web_pages(spark))
+
+
+def _sql_domain_graph(path: str) -> str:
+    sd = _SQL_DOMAIN.format(h="src_host")
+    dd = _SQL_DOMAIN.format(h="dst_host")
+    return f"""
+WITH hg AS ({_sql_host_graph(path)})
+SELECT {sd} AS src_domain, {dd} AS dst_domain,
+       CAST(SUM(n_links) AS BIGINT) AS n_links,
+       COUNT(*) AS n_host_pairs
+FROM hg GROUP BY 1, 2
+"""
+
+
+def q_domain_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link economy (operators/webgraph.py:domain_metrics):
+    host counts, intra/inter link volumes, and the intra-domain link
+    ratio — the domain-ownership signal crawl-budget and spam systems
+    key on. Domain-cardinality joins only."""
+    from .operators.webgraph import domain_metrics
+
+    return domain_metrics(_read_web_pages(spark))
+
+
+def _sql_domain_metrics(path: str) -> str:
+    sd = _SQL_DOMAIN.format(h="src_host")
+    dd = _SQL_DOMAIN.format(h="dst_host")
+    dh = _SQL_DOMAIN.format(h="host")
+    return f"""
+WITH hg AS ({_sql_host_graph(path)}),
+hosts AS (
+  SELECT {dh} AS domain, COUNT(*) AS n_hosts FROM (
+    SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)
+  GROUP BY 1),
+dg AS (SELECT {sd} AS sd, {dd} AS dd, n_links FROM hg),
+intra AS (SELECT sd AS domain, CAST(SUM(n_links) AS BIGINT) AS intra_links
+          FROM dg WHERE sd = dd GROUP BY 1),
+o AS (SELECT sd AS domain, CAST(SUM(n_links) AS BIGINT) AS out_links
+      FROM dg WHERE sd <> dd GROUP BY 1),
+i AS (SELECT dd AS domain, CAST(SUM(n_links) AS BIGINT) AS in_links
+      FROM dg WHERE sd <> dd GROUP BY 1)
+SELECT h.domain, h.n_hosts,
+       COALESCE(intra.intra_links, 0) AS intra_links,
+       COALESCE(o.out_links, 0) AS out_links,
+       COALESCE(i.in_links, 0) AS in_links,
+       CASE WHEN COALESCE(intra.intra_links, 0) + COALESCE(o.out_links, 0) > 0
+            THEN round(CAST(COALESCE(intra.intra_links, 0) AS DOUBLE)
+                       / CAST(COALESCE(intra.intra_links, 0)
+                              + COALESCE(o.out_links, 0) AS DOUBLE), 6)
+            ELSE 0.0 END AS intra_ratio
+FROM hosts h
+LEFT JOIN intra ON h.domain = intra.domain
+LEFT JOIN o ON h.domain = o.domain
+LEFT JOIN i ON h.domain = i.domain
 """
 
 
@@ -4764,6 +4842,8 @@ QUERIES = {
     "host_dup_rates": q_host_dup_rates,
     "page_markup_stats": q_page_markup_stats,
     "vocab_coverage": q_vocab_coverage,
+    "domain_graph": q_domain_graph,
+    "domain_metrics": q_domain_metrics,
 }
 
 
@@ -4917,4 +4997,6 @@ ORACLE_SQL = {
     "host_dup_rates": _sql_host_dup_rates(_web_pages_file()),
     "page_markup_stats": _sql_page_markup_stats(_web_pages_file()),
     "vocab_coverage": _sql_vocab_coverage(),
+    "domain_graph": _sql_domain_graph(_web_pages_file()),
+    "domain_metrics": _sql_domain_metrics(_web_pages_file()),
 }

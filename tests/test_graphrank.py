@@ -971,7 +971,14 @@ def _py_twohop(edges, cap):
             if m2 == m and a != c:
                 paths[(a, c)] += 1
                 mids[(a, c)].add(m)
-    return {k: (v, len(mids[k])) for k, v in paths.items()}
+    return {
+        k: (
+            v,
+            len(mids[k]),
+            sum(1_000_000 // (ind[m] + outd[m]) for m in mids[k]),
+        )
+        for k, v in paths.items()
+    }
 
 
 def test_twohop_matches_python_reference_and_cap(spark):
@@ -987,7 +994,7 @@ def test_twohop_matches_python_reference_and_cap(spark):
     e = spark.createDataFrame(edges, "src string, dst string")
     for cap in (4, 100):
         got = {
-            (r.src, r.dst): (r.n_paths, r.n_mids)
+            (r.src, r.dst): (r.n_paths, r.n_mids, r.ra_micro)
             for r in twohop_paths(e, fanout_cap=cap).collect()
         }
         assert got == _py_twohop(edges, cap), f"cap={cap}"

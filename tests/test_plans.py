@@ -551,6 +551,8 @@ def test_walk_family_plan_shapes(spark):
         q_vocab_coverage,
     )
 
+    from surfactant_spark.queries import q_domain_graph, q_domain_metrics
+
     for q in (
         q_graph_walks,
         q_skipgram_pairs,
@@ -560,6 +562,8 @@ def test_walk_family_plan_shapes(spark):
         q_host_dup_rates,
         q_page_markup_stats,
         q_vocab_coverage,
+        q_domain_graph,
+        q_domain_metrics,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

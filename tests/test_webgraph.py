@@ -609,3 +609,36 @@ def test_page_markup_stats_hand_computed(spark):
     assert p.text_ratio == round(len("tiny text") / len(html1), 6)
     q = got["http://a.com/2"]
     assert (q.n_links, q.html_len, q.text_ratio) == (0, 0, 0.0)
+
+
+def test_domain_graph_and_metrics_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import domain_graph, domain_metrics
+
+    # two hosts of example.org link each other (intra-domain) and one
+    # links out to other.com; localhost has no dot (maps to itself)
+    def page(u, href):
+        return (u, f'<a href="{href}">t</a>'.encode())
+
+    rows = [
+        page("https://a.example.org/1", "https://b.example.org/x"),
+        page("https://b.example.org/2", "https://a.example.org/y"),
+        page("https://b.example.org/3", "https://other.com/z"),
+        page("http://localhost:8080/4", "https://a.example.org/w"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    dg = {
+        (r.src_domain, r.dst_domain): (r.n_links, r.n_host_pairs)
+        for r in domain_graph(pages).collect()
+    }
+    assert dg[("example.org", "example.org")] == (2, 2)
+    assert dg[("example.org", "other.com")] == (1, 1)
+    assert dg[("localhost", "example.org")] == (1, 1)
+    m = {r.domain: r for r in domain_metrics(pages).collect()}
+    ex = m["example.org"]
+    assert (ex.n_hosts, ex.intra_links, ex.out_links, ex.in_links) == (2, 2, 1, 1)
+    assert ex.intra_ratio == round(2 / 3, 6)
+    oc = m["other.com"]
+    assert (oc.n_hosts, oc.intra_links, oc.out_links, oc.in_links) == (1, 0, 0, 1)
+    assert oc.intra_ratio == 0.0
+    lh = m["localhost"]
+    assert (lh.n_hosts, lh.out_links, lh.intra_ratio) == (1, 1, 0.0)
