@@ -4720,6 +4720,119 @@ LEFT JOIN i ON h.domain = i.domain
 """
 
 
+# ---------------------------------------------------------------------------
+# host rank drift between crawl windows + KWIC term concordance
+# ---------------------------------------------------------------------------
+KWIC_TERM = "merge"
+_KWIC_PAT = r"(?:\S+\s+){0,3}\bTERM\b(?:\s+\S+){0,3}"
+
+
+def q_host_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank drift between crawl windows: PageRank over the early-half
+    host graph (pages with warc_ts at or below the corpus ts midpoint)
+    vs the full graph, per host — the trending-hosts product of
+    successive crawls. The midpoint is exact integer arithmetic off
+    one tiny min/max agg (driver literal, the comention_lift n_docs
+    discipline); both ranks are the integer-micro-unit recurrence, so
+    the delta is exact and replayable. Hosts absent from the early
+    window read rank_early = 0 (they did not exist yet)."""
+    from .operators.graphrank import pagerank_auto
+    from .operators.webgraph import host_graph
+
+    pages = _read_web_pages(spark)
+    ts = F.col("warc_ts").cast("long")
+    mn, mx = pages.agg(F.min(ts), F.max(ts)).first()
+    mid = (int(mn) + int(mx)) // 2
+
+    def ranks(p):
+        edges = host_graph(p).select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            "n_links",
+        )
+        return pagerank_auto(edges, iters=PAGERANK_ITERS, weight_col="n_links")
+
+    full = ranks(pages).select(
+        F.col("id").alias("host"), F.col("rank").alias("rank_full")
+    )
+    early = ranks(pages.where(ts <= F.lit(mid))).select(
+        F.col("id").alias("host"), F.col("rank").alias("rank_early")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        full.join(early, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("rank_early", z).alias("rank_early"),
+            F.coalesce("rank_full", z).alias("rank_full"),
+        )
+        .withColumn("rank_delta", F.col("rank_full") - F.col("rank_early"))
+    )
+
+
+def _sql_host_rank_delta(path: str) -> str:
+    mid = (
+        f"(SELECT (MIN(CAST(warc_ts AS BIGINT)) + MAX(CAST(warc_ts AS BIGINT)))"
+        f" // 2 FROM read_parquet('{path}'))"
+    )
+    hg_early = _sql_host_graph(path)
+    needle = f"FROM read_parquet('{path}')"
+    assert hg_early.count(needle) == 1
+    hg_early = hg_early.replace(
+        needle, f"{needle} WHERE CAST(warc_ts AS BIGINT) <= {mid}"
+    )
+    full_sql = _sql_pagerank_unrolled(
+        "SELECT src_host AS src, dst_host AS dst, n_links AS w"
+        f" FROM ({_sql_host_graph(path)})",
+        "host",
+    )
+    early_sql = _sql_pagerank_unrolled(
+        "SELECT src_host AS src, dst_host AS dst, n_links AS w"
+        f" FROM ({hg_early})",
+        "host",
+    )
+    return f"""
+SELECT host,
+       COALESCE(e.rank, 0) AS rank_early,
+       COALESCE(f.rank, 0) AS rank_full,
+       COALESCE(f.rank, 0) - COALESCE(e.rank, 0) AS rank_delta
+FROM ({full_sql}) f FULL JOIN ({early_sql}) e USING (host)
+"""
+
+
+def q_term_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance for a literal term: every occurrence of
+    KWIC_TERM in the documents corpus with up to 3 tokens of context
+    either side, aggregated to (doc_id, snippet, n) — the corpus-
+    inspection tool used to audit what a filter or a dedup rule is
+    about to act on. One JVM regex pass + one hash agg; both engines
+    run the IDENTICAL leftmost non-overlapping regex, so snippets are
+    byte-equal."""
+    pat = _KWIC_PAT.replace("TERM", KWIC_TERM)
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
+            ).alias("snippet"),
+        )
+        .groupBy("doc_id", "snippet")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_term_contexts(term: str = KWIC_TERM) -> str:
+    pat = _KWIC_PAT.replace("TERM", term)
+    return f"""
+SELECT doc_id, snippet, COUNT(*) AS n FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{pat}')) AS snippet
+  FROM documents)
+GROUP BY doc_id, snippet
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -4844,6 +4957,8 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "domain_graph": q_domain_graph,
     "domain_metrics": q_domain_metrics,
+    "host_rank_delta": q_host_rank_delta,
+    "term_contexts": q_term_contexts,
 }
 
 
@@ -4999,4 +5114,6 @@ ORACLE_SQL = {
     "vocab_coverage": _sql_vocab_coverage(),
     "domain_graph": _sql_domain_graph(_web_pages_file()),
     "domain_metrics": _sql_domain_metrics(_web_pages_file()),
+    "host_rank_delta": _sql_host_rank_delta(_web_pages_file()),
+    "term_contexts": _sql_term_contexts(),
 }

@@ -551,7 +551,12 @@ def test_walk_family_plan_shapes(spark):
         q_vocab_coverage,
     )
 
-    from surfactant_spark.queries import q_domain_graph, q_domain_metrics
+    from surfactant_spark.queries import (
+        q_domain_graph,
+        q_domain_metrics,
+        q_host_rank_delta,
+        q_term_contexts,
+    )
 
     for q in (
         q_graph_walks,
@@ -564,6 +569,8 @@ def test_walk_family_plan_shapes(spark):
         q_vocab_coverage,
         q_domain_graph,
         q_domain_metrics,
+        q_host_rank_delta,
+        q_term_contexts,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

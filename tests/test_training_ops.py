@@ -1289,3 +1289,20 @@ def test_vocab_coverage_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         vocab_coverage(docs, min_count=0)
+
+
+def test_term_contexts_every_snippet_contains_term(spark):
+    from tests.conftest import SF_DIR
+    from surfactant_spark.queries import KWIC_TERM, q_term_contexts
+
+    rows = q_term_contexts(spark, SF_DIR).collect()
+    assert rows, "fixture corpus must contain the KWIC term"
+    import re
+
+    for r in rows:
+        assert re.search(rf"\b{KWIC_TERM}\b", r.snippet), r.snippet
+        # window bound: at most 3 tokens either side of one occurrence
+        toks = r.snippet.split()
+        first = toks.index(KWIC_TERM) if KWIC_TERM in toks else 0
+        assert first <= 3
+        assert r.n >= 1

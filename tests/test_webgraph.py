@@ -642,3 +642,16 @@ def test_domain_graph_and_metrics_hand_computed(spark):
     assert oc.intra_ratio == 0.0
     lh = m["localhost"]
     assert (lh.n_hosts, lh.out_links, lh.intra_ratio) == (1, 1, 0.0)
+
+
+def test_host_rank_delta_consistent_with_host_rank(spark):
+    from tests.conftest import SF_DIR
+    from surfactant_spark.queries import q_host_rank, q_host_rank_delta
+
+    delta = {r.host: r for r in q_host_rank_delta(spark, SF_DIR).collect()}
+    full = {r.host: r.rank for r in q_host_rank(spark, SF_DIR).collect()}
+    # the full-graph leg of the delta must be the host_rank product
+    assert {h: r.rank_full for h, r in delta.items()} == full
+    for r in delta.values():
+        assert r.rank_delta == r.rank_full - r.rank_early
+        assert r.rank_early >= 0
