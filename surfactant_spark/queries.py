@@ -4403,15 +4403,22 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_graph_walks(path: str, iters: int = WALK_LEN, salt: str = _WALK_SALT) -> str:
+def _sql_walks_unrolled(
+    edges_sql: str, iters: int = WALK_LEN, salt: str = _WALK_SALT
+) -> str:
+    """Unrolled hash-argmin walk replay over any (src, dst) edge SQL —
+    string or integer node ids (the hash input CASTs to VARCHAR, which
+    matches Spark's concat_ws string coercion)."""
     ctes = [
-        f"hg AS ({_sql_host_graph(path)})",
-        "e AS (SELECT src_host AS src, dst_host AS dst FROM hg)",
+        f"e AS ({edges_sql})",
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
         "s0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM nodes)",
     ]
     for t in range(1, iters + 1):
-        h = _H.format(expr=f"'{salt}:' || w.walk_id || ':{t}:' || e.dst")
+        h = _H.format(
+            expr=f"'{salt}:' || CAST(w.walk_id AS VARCHAR)"
+            f" || ':{t}:' || CAST(e.dst AS VARCHAR)"
+        )
         ctes.append(
             f"""s{t} AS (
   SELECT walk_id, {t} AS step, dst AS node FROM (
@@ -4424,6 +4431,13 @@ def _sql_graph_walks(path: str, iters: int = WALK_LEN, salt: str = _WALK_SALT) -
         f"SELECT walk_id, step, node FROM s{t}" for t in range(iters + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _sql_graph_walks(path: str) -> str:
+    return _sql_walks_unrolled(
+        "SELECT src_host AS src, dst_host AS dst"
+        f" FROM ({_sql_host_graph(path)})"
+    )
 
 
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4439,15 +4453,56 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
 
 
-def _sql_skipgram_pairs(path: str, window: int = SKIPGRAM_WINDOW) -> str:
+def _sql_skipgram_over(walks_sql: str, window: int = SKIPGRAM_WINDOW) -> str:
     return f"""
-WITH w AS ({_sql_graph_walks(path)})
+WITH w AS ({walks_sql})
 SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
 FROM w a JOIN w b
   ON a.walk_id = b.walk_id AND a.step <> b.step
  AND abs(a.step - b.step) <= {window}
 GROUP BY a.node, b.node
 """
+
+
+def _sql_skipgram_pairs(path: str, window: int = SKIPGRAM_WINDOW) -> str:
+    return _sql_skipgram_over(_sql_graph_walks(path), window)
+
+
+def q_entity_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The walk corpus over the ENTITY graph itself (kg_edges) — the
+    KG-embedding analogue of graph_walks: these sequences feed the
+    skip-gram trainer whose positives are entity_skipgrams and whose
+    negatives are kg_negatives, over the same canonical node ids the
+    edge split (kg_edge_split) holds out. Same hash-argmin operator,
+    integer node ids."""
+    from .operators.graphrank import deterministic_walks
+
+    e = q_kg_edges(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    return deterministic_walks(e, walk_len=WALK_LEN, salt=_WALK_SALT)
+
+
+def _sql_entity_walks() -> str:
+    return _sql_walks_unrolled(
+        f"SELECT subj_id AS src, obj_id AS dst FROM ({SQL_KG_EDGES})"
+    )
+
+
+def q_entity_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram positives from the entity walk corpus — the table a
+    KG-embedding trainer batches against kg_negatives."""
+    from .operators.graphrank import deterministic_walks, skipgram_pairs
+
+    e = q_kg_edges(spark, sf_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    walks = deterministic_walks(e, walk_len=WALK_LEN, salt=_WALK_SALT)
+    return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
+
+
+def _sql_entity_skipgrams() -> str:
+    return _sql_skipgram_over(_sql_entity_walks())
 
 
 def q_host_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4959,6 +5014,8 @@ QUERIES = {
     "domain_metrics": q_domain_metrics,
     "host_rank_delta": q_host_rank_delta,
     "term_contexts": q_term_contexts,
+    "entity_walks": q_entity_walks,
+    "entity_skipgrams": q_entity_skipgrams,
 }
 
 
@@ -5116,4 +5173,6 @@ ORACLE_SQL = {
     "domain_metrics": _sql_domain_metrics(_web_pages_file()),
     "host_rank_delta": _sql_host_rank_delta(_web_pages_file()),
     "term_contexts": _sql_term_contexts(),
+    "entity_walks": _sql_entity_walks(),
+    "entity_skipgrams": _sql_entity_skipgrams(),
 }

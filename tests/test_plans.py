@@ -554,6 +554,8 @@ def test_walk_family_plan_shapes(spark):
     from surfactant_spark.queries import (
         q_domain_graph,
         q_domain_metrics,
+        q_entity_skipgrams,
+        q_entity_walks,
         q_host_rank_delta,
         q_term_contexts,
     )
@@ -571,6 +573,8 @@ def test_walk_family_plan_shapes(spark):
         q_domain_metrics,
         q_host_rank_delta,
         q_term_contexts,
+        q_entity_walks,
+        q_entity_skipgrams,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
