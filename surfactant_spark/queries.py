@@ -4888,6 +4888,43 @@ GROUP BY doc_id, snippet
 """
 
 
+# ---------------------------------------------------------------------------
+# WARC sink round trip — sources/warc.py:write_warc
+# ---------------------------------------------------------------------------
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC export read back (sources/warc.py:write_warc -> read_warc):
+    the pages fixture is written as content-addressed WARC members and
+    re-ingested; the oracle reads the ORIGINAL parquet — equality
+    proves the crawl-format sink is lossless for (url, ts, html).
+    Staged once under the fixture dir with an _OK marker (the
+    sbom_roundtrip discipline)."""
+    from .fixtures import fixture_dir
+    from .sources.warc import read_warc, write_warc
+
+    out = os.path.join(fixture_dir(), f"warc_export_n{WEB_PAGES_N}")
+    marker = os.path.join(out, "_OK")
+    if not os.path.exists(marker):
+        write_warc(_read_web_pages(spark), out).count()
+        with open(marker, "w"):
+            pass
+    pages = read_warc(spark, out)
+    return pages.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        F.sha2("html", 256).alias("html_sha"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
+def _sql_warc_roundtrip(path: str) -> str:
+    return f"""
+SELECT url, CAST(warc_ts AS BIGINT) AS warc_epoch,
+       sha256(decode(html)) AS html_sha,
+       CAST(octet_length(html) AS BIGINT) AS n_bytes
+FROM read_parquet('{path}')
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -5016,6 +5053,7 @@ QUERIES = {
     "term_contexts": q_term_contexts,
     "entity_walks": q_entity_walks,
     "entity_skipgrams": q_entity_skipgrams,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 
@@ -5175,4 +5213,5 @@ ORACLE_SQL = {
     "term_contexts": _sql_term_contexts(),
     "entity_walks": _sql_entity_walks(),
     "entity_skipgrams": _sql_entity_skipgrams(),
+    "warc_roundtrip": _sql_warc_roundtrip(_web_pages_file()),
 }

@@ -129,3 +129,78 @@ def read_pages_csv(spark: SparkSession, path: str) -> DataFrame:
             "lang",
         )
     )
+
+
+def build_warc_member(
+    rows: List[Tuple[str, int, bytes]], gzip_member: bool = True
+) -> bytes:
+    """Pure: [(url, epoch_s, html)] -> one WARC member's bytes
+    (response records with a minimal HTTP/1.1 200 header, the shape
+    ``parse_warc_bytes`` reads back losslessly). Shared by the writer
+    tasks and the round-trip tests."""
+    import datetime
+
+    parts = []
+    for url, epoch, html in rows:
+        iso = datetime.datetime.fromtimestamp(
+            int(epoch), datetime.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        http = b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n" % len(html)
+        payload = http + bytes(html)
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {iso}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("utf-8")
+        parts.append(hdr + payload + b"\r\n\r\n")
+    member = b"".join(parts)
+    return gzip.compress(member, 6) if gzip_member else member
+
+
+def write_warc(
+    pages: DataFrame, out_dir: str, gzip_members: bool = True
+) -> DataFrame:
+    """WARC sink: write the pages table as a directory of WARC members
+    (one per Arrow batch, Common Crawl's export unit) and return the
+    (member, n_records) manifest. The crawl-format twin of
+    ``read_warc`` — an engine that ingests WARC should also emit it
+    (re-sharding, corpus hand-off to WARC-native tools).
+
+    Each executor task serializes its batch with the pure builder and
+    writes ONE member named by its content hash — deterministic,
+    retry-idempotent (a re-run of the same batch overwrites the same
+    bytes), and collision-free, the same marker-free idempotence the
+    parquet snapshot store uses. At cluster scale ``out_dir`` is an
+    object-store prefix; no driver-side collection anywhere."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                epoch = (
+                    int(ts.timestamp())
+                    if isinstance(ts, pd.Timestamp)
+                    else int(ts)
+                )
+                rows.append((url, epoch, bytes(html)))
+            member = build_warc_member(rows, gzip_member=gzip_members)
+            name = hashlib.sha256(member).hexdigest()[:16] + ext
+            path = os.path.join(out_dir, name)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(member)
+            os.replace(tmp, path)
+            yield pd.DataFrame({"member": [name], "n_records": [len(rows)]})
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        _write, "member string, n_records long"
+    )

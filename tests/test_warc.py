@@ -82,3 +82,45 @@ def test_jsonl_and_csv_pages_round_trip(spark, tmp_path):
     )
     got = read_pages_csv(spark, str(tmp_path / "pages.csv")).collect()[0]
     assert got.url == "u/2" and bytes(got.html) == html and got.lang == "de"
+
+
+def test_build_warc_member_round_trips_pure():
+    from surfactant_spark.sources.warc import build_warc_member, parse_warc_bytes
+
+    rows = [
+        ("https://a.com/1", 1700000000, b"<html>one</html>"),
+        ("https://b.org/2", 1700000060, b"<html>two \xe2\x9c\x93</html>"),
+    ]
+    for gz in (True, False):
+        member = build_warc_member(rows, gzip_member=gz)
+        got = parse_warc_bytes(member)
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in rows]
+        assert got[0][1] == "2023-11-14T22:13:20Z"
+
+
+def test_write_warc_read_warc_distributed(spark, tmp_path):
+    import pandas as pd
+
+    from surfactant_spark.sources.warc import read_warc, write_warc
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", 1700000000, b"<html>a</html>"),
+            ("https://a.com/2", 1700000001, b"<html>b</html>"),
+            ("https://b.org/3", 1700000002, b"<html>c</html>"),
+        ],
+        "url string, warc_ts long, html binary",
+    )
+    out = str(tmp_path / "warc")
+    manifest = write_warc(pages, out).collect()
+    assert sum(r.n_records for r in manifest) == 3
+    # content-addressed names: re-running writes the SAME members
+    again = write_warc(pages, out).collect()
+    assert sorted(r.member for r in again) == sorted(r.member for r in manifest)
+    back = read_warc(spark, out).select("url", "warc_ts", "html").collect()
+    got = sorted((r.url, int(pd.Timestamp(r.warc_ts).timestamp()), bytes(r.html)) for r in back)
+    assert got == [
+        ("https://a.com/1", 1700000000, b"<html>a</html>"),
+        ("https://a.com/2", 1700000001, b"<html>b</html>"),
+        ("https://b.org/3", 1700000002, b"<html>c</html>"),
+    ]
