@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "bpe_merges",
     "val_oov",
     "embedding_quant",
+    "vocab_coverage",
+    "kg_twohop",
 ]
 
 
