@@ -916,3 +916,43 @@ def line_dedup(
             ).alias("text_clean"),
         )
     )
+
+
+def dedup_fold(
+    state: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold a newly ingested batch into a standing exact-dedup table:
+    only the DELTA pays the sha+agg shuffle; the standing state merges
+    through one equi join on the content hash (at cluster scale the
+    state table is bucketed by content_sha256, so its side of the join
+    never reshuffles — the incremental-ingest shape of the 100 TB
+    dedup story, operators/incremental.py's IVM discipline applied to
+    A1/J5).
+
+    The merge is exact without ANY ordering precondition: canonical_id
+    is the least of the two sides (Spark's least() skips nulls) and
+    duplicate counts add, so fold(state, delta) == dedup_exact(full)
+    for any split of the corpus — the fold-equals-rebuild identity is
+    the oracle."""
+    d = dedup_exact(delta_docs, id_col, text_col)
+    s = state.select(
+        "content_sha256",
+        F.col("canonical_id").alias("_s_id"),
+        F.col("n_dups").alias("_s_n"),
+    )
+    dd = d.select(
+        "content_sha256",
+        F.col("canonical_id").alias("_d_id"),
+        F.col("n_dups").alias("_d_n"),
+    )
+    z = F.lit(0).cast("long")
+    return s.join(dd, "content_sha256", "full_outer").select(
+        "content_sha256",
+        F.least("_s_id", "_d_id").alias("canonical_id"),
+        (F.coalesce("_s_n", z) + F.coalesce("_d_n", z))
+        .cast("long")
+        .alias("n_dups"),
+    )

@@ -4925,6 +4925,26 @@ FROM read_parquet('{path}')
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental exact dedup — operators/dedup.py:dedup_fold
+# ---------------------------------------------------------------------------
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-equals-full-rebuild for exact dedup: build the dedup table
+    on the first half of the corpus, fold the second half in as an
+    ingest batch (only the delta pays the sha shuffle), surface the
+    merged table. The oracle is the UNSPLIT dedup_exact SQL — identity
+    with the rebuild IS the IVM correctness claim, and unlike the KG
+    fold this one needs no append-only precondition (least/add merge).
+    Split derived from parquet stats (the kg_incremental discipline)."""
+    from .operators.dedup import dedup_exact, dedup_fold
+
+    docs = _read(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi) + 1) // 2
+    state = dedup_exact(docs.where(F.col("doc_id") < split))
+    return dedup_fold(state, docs.where(F.col("doc_id") >= split))
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -5054,6 +5074,7 @@ QUERIES = {
     "entity_walks": q_entity_walks,
     "entity_skipgrams": q_entity_skipgrams,
     "warc_roundtrip": q_warc_roundtrip,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
@@ -5214,4 +5235,6 @@ ORACLE_SQL = {
     "entity_walks": _sql_entity_walks(),
     "entity_skipgrams": _sql_entity_skipgrams(),
     "warc_roundtrip": _sql_warc_roundtrip(_web_pages_file()),
+    # fold == full rebuild: the oracle is the UNSPLIT dedup_exact SQL
+    "dedup_incremental": SQL_DEDUP_EXACT,
 }

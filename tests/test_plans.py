@@ -552,6 +552,7 @@ def test_walk_family_plan_shapes(spark):
     )
 
     from surfactant_spark.queries import (
+        q_dedup_incremental,
         q_domain_graph,
         q_domain_metrics,
         q_entity_skipgrams,
@@ -575,6 +576,7 @@ def test_walk_family_plan_shapes(spark):
         q_term_contexts,
         q_entity_walks,
         q_entity_skipgrams,
+        q_dedup_incremental,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

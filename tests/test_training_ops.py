@@ -1306,3 +1306,30 @@ def test_term_contexts_every_snippet_contains_term(spark):
         first = toks.index(KWIC_TERM) if KWIC_TERM in toks else 0
         assert first <= 3
         assert r.n >= 1
+
+
+def test_dedup_fold_equals_rebuild_any_split(spark):
+    from surfactant_spark.operators.dedup import dedup_exact, dedup_fold
+
+    rows = [
+        (1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"),
+        (5, "bbb"), (6, "aaa"), (7, "ddd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.content_sha256, r.canonical_id, r.n_dups)
+        for r in dedup_exact(docs).collect()
+    )
+    # ANY split must fold to the rebuild — including interleaved ids
+    for pred in (
+        docs.doc_id < 4,
+        docs.doc_id % 2 == 0,   # interleaved: no append-only order
+        docs.doc_id < 1,        # empty state
+        docs.doc_id < 100,      # empty delta
+    ):
+        state = dedup_exact(docs.where(pred))
+        got = sorted(
+            (r.content_sha256, r.canonical_id, r.n_dups)
+            for r in dedup_fold(state, docs.where(~pred)).collect()
+        )
+        assert got == want
