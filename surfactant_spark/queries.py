@@ -472,10 +472,12 @@ def _sql_stop(lang_words) -> str:
     )
 
 
-def _sql_text_analysis() -> str:
-    from .operators.textops import _STOP, TOKEN_REGEX
+def _sql_quality_expr() -> str:
+    """The quality_score_col replay (shared by text_analysis and the
+    host_quality rollup)."""
+    from .operators.textops import _STOP
 
-    s_en, s_de, s_fr, s_es = (_sql_stop(_STOP[lang]) for lang in ("en", "de", "fr", "es"))
+    s_en = _sql_stop(_STOP["en"])
     toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
     n_toks = f"len({toks})"
     alpha = "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text)"
@@ -487,6 +489,16 @@ def _sql_text_analysis() -> str:
         f"0.35 * {len_score} + 0.3 * {alpha} + 0.2 * least({stop_ratio} * 4, 1.0)"
         f" + 0.15 * {wl_score}"
     )
+    return (
+        f"CASE WHEN len(text) = 0 OR {n_toks} = 0 THEN 0.0"
+        f" ELSE round({score}, 6) END"
+    )
+
+
+def _sql_text_analysis() -> str:
+    from .operators.textops import _STOP, TOKEN_REGEX
+
+    s_en, s_de, s_fr, s_es = (_sql_stop(_STOP[lang]) for lang in ("en", "de", "fr", "es"))
     best = f"greatest({s_en}, {s_de}, {s_fr}, {s_es})"
     lang_pred = f"""CASE WHEN {best} <= 0 THEN 'und'
          WHEN {s_en} = {best} THEN 'en'
@@ -498,8 +510,7 @@ def _sql_text_analysis() -> str:
 SELECT doc_id,
        {lang_pred} AS lang_pred,
        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_tokens,
-       CASE WHEN len(text) = 0 OR {n_toks} = 0 THEN 0.0
-            ELSE round({score}, 6) END AS quality,
+       {_sql_quality_expr()} AS quality,
        {fingerprint} AS fingerprint
 FROM documents
 """
@@ -4945,6 +4956,58 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_fold(state, docs.where(F.col("doc_id") >= split))
 
 
+# ---------------------------------------------------------------------------
+# per-host quality rollup
+# ---------------------------------------------------------------------------
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality prior: the per-page composite quality score
+    (textops.quality_score_col) rolled up per host in exact integer
+    micro-units — a host's mean page quality is what crawl-budget and
+    recrawl-priority systems consume (a host of thin spam never earns
+    deep crawling). The per-page score is one row-local IEEE
+    expression, identical in both engines; summing its micro-unit
+    rounding keeps the aggregate order-independent (float sums would
+    never hash-match), and ONE final division yields the mean."""
+    from .operators.textops import quality_score_col
+
+    pages = _read_web_pages(spark)
+    per = pages.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.round(quality_score_col(F.col("text")) * 1_000_000)
+        .cast("long")
+        .alias("q_micro"),
+    )
+    return (
+        per.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("q_micro").cast("long").alias("sum_quality_micro"),
+        )
+        .withColumn(
+            "mean_quality",
+            F.round(
+                F.col("sum_quality_micro").cast("double")
+                / (F.col("n_pages") * F.lit(1_000_000.0)),
+                6,
+            ),
+        )
+    )
+
+
+def _sql_host_quality(path: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         CAST(round(({_sql_quality_expr()}) * 1000000) AS BIGINT) AS q_micro
+  FROM read_parquet('{path}'))
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(q_micro) AS BIGINT) AS sum_quality_micro,
+       round(CAST(SUM(q_micro) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+         AS mean_quality
+FROM p GROUP BY host
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -5075,6 +5138,7 @@ QUERIES = {
     "entity_skipgrams": q_entity_skipgrams,
     "warc_roundtrip": q_warc_roundtrip,
     "dedup_incremental": q_dedup_incremental,
+    "host_quality": q_host_quality,
 }
 
 
@@ -5237,4 +5301,5 @@ ORACLE_SQL = {
     "warc_roundtrip": _sql_warc_roundtrip(_web_pages_file()),
     # fold == full rebuild: the oracle is the UNSPLIT dedup_exact SQL
     "dedup_incremental": SQL_DEDUP_EXACT,
+    "host_quality": _sql_host_quality(_web_pages_file()),
 }

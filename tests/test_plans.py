@@ -557,6 +557,7 @@ def test_walk_family_plan_shapes(spark):
         q_domain_metrics,
         q_entity_skipgrams,
         q_entity_walks,
+        q_host_quality,
         q_host_rank_delta,
         q_term_contexts,
     )
@@ -577,6 +578,7 @@ def test_walk_family_plan_shapes(spark):
         q_entity_walks,
         q_entity_skipgrams,
         q_dedup_incremental,
+        q_host_quality,
     ):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
