@@ -156,7 +156,16 @@ def build_warc_member(
         ).encode("utf-8")
         parts.append(hdr + payload + b"\r\n\r\n")
     member = b"".join(parts)
-    return gzip.compress(member, 6) if gzip_member else member
+    if not gzip_member:
+        return member
+    # mtime=0: gzip headers embed a timestamp by default, which would
+    # make byte-identical content hash to different member names on
+    # every run — deterministic compression is what makes the
+    # content-addressed names retry-idempotent
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+        gz.write(member)
+    return buf.getvalue()
 
 
 def write_warc(
