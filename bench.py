@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "embedding_quant",
     "vocab_coverage",
     "kg_twohop",
+    "lm_score",
+    "containment",
 ]
 
 

@@ -845,6 +845,99 @@ def redact_pii(
     )
 
 
+def lm_bits(
+    docs: DataFrame,
+    weights: dict = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "lm:v1",
+    train_label: str = "train",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    score every document's cross-entropy under a unigram LM trained on
+    the corpus's own train split, so downstream curation can keep the
+    head/middle of the perplexity distribution and drop the tail. The
+    split comes from the same growth-stable :func:`hash_split` ranges
+    the corpus_sample product ships — the scorer describes the REAL
+    training distribution, and heldout docs are scored by a model that
+    never saw them.
+
+    The LM is power-of-two-binned add-one unigram: a token with train
+    count ``c`` costs ``B - b`` bits where ``b = floor(log2(c + 1))``
+    and ``B = floor(log2(T + V))`` (T = train token total, V = train
+    vocabulary size) — within 1 bit of true add-one unigram
+    cross-entropy, but every per-token cost is an EXACT integer
+    (``length(bin(x)) - 1``; no libm log whose last-ulp engine
+    differences would poison the oracle hash — the tfidf/collocations
+    precedent), so the per-doc sum is order-independent and the only
+    IEEE op is the final divide+round(6).
+
+    Returns (doc_id, split, n_tokens, n_oov, oov_frac, bits_per_token);
+    zero-token docs keep their split with null fractions.
+
+    Spark shape: ONE corpus-sized shuffle builds the (doc, split, tok,
+    cnt) table, localCheckpoint-ed because the train-count reduction
+    and the scoring probe both read it; train counts are a type-
+    cardinality table probed with a token-keyed equi join (AQE picks
+    broadcast vs shuffle); totals ride a 1-row broadcast. Nothing
+    corpus-sized ever sorts or collects.
+    """
+    from .dedup import tokenized
+
+    if weights is None:
+        weights = {"train": 0.9, "heldout": 0.1}
+    if train_label not in weights:
+        raise ValueError(f"weights must contain {train_label!r}")
+    lab = hash_split(docs.select(id_col, text_col), weights, id_col=id_col, salt=salt)
+    tok = tokenized(lab, text_col, keep=(id_col, "split"))
+    occ = (
+        tok.select(id_col, "split", F.explode("_toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy(id_col, "split", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tc = (
+        occ.where(F.col("split") == train_label)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    tot = tc.agg(
+        F.sum("c").cast("long").alias("t_total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    b_bits = F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1)) - 1
+    big_b = F.length(F.bin(F.col("t_total") + F.col("v_size"))) - 1
+    scored = (
+        occ.join(tc, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, "split")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.col("cnt") * (big_b - b_bits)).cast("long").alias("bits"),
+        )
+    )
+    return (
+        lab.select(id_col, "split")
+        .join(scored, [id_col, "split"], "left")
+        .select(
+            F.col(id_col),
+            F.col("split"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_frac"),
+            F.round(
+                F.col("bits").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("bits_per_token"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     min_count: int = 5,

@@ -753,3 +753,75 @@ def domain_metrics(pages: DataFrame, links: DataFrame | None = None) -> DataFram
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def entity_bursts(
+    pages: DataFrame,
+    bucket_s: int = 60,
+    min_mentions: int = 3,
+    links: DataFrame | None = None,
+) -> DataFrame:
+    """Trending-entity detection over the crawl timeline: for each
+    ``lib://`` mention target, how concentrated its page-mentions are
+    in its hottest crawl-time bucket. Burst = peak_n * n_buckets /
+    n_total — the same exact-integer lift family as comention_lift
+    (monotone in the peak-vs-uniform ratio; 1.0 = perfectly uniform,
+    n_buckets = everything in one window), so the one IEEE
+    multiply-divide replays bit-identically cross-engine, with no
+    mean/stddev float accumulation.
+
+    Returns (ent, n_total, n_buckets_present, peak_bucket, peak_n,
+    n_buckets, burst) for entities with >= ``min_mentions`` page-
+    mentions; peak ties break to the earliest bucket (min_by struct
+    ordering — deterministic).
+
+    Scale shape: mentions reduce to (ent, bucket) counts FIRST (one
+    shuffle keyed by entity+bucket, map-side combinable — hot entities
+    collapse per map task); the per-entity reduction then runs at
+    entity cardinality; the global bucket count is a driver literal
+    counted off the eager checkpoint (constant-key joins constant-fold
+    to BNLJ, which the plan guards forbid). The page-time join is the
+    same url-keyed equi join as host_graph_windows."""
+    if bucket_s < 1:
+        raise ValueError("bucket_s must be >= 1")
+    if min_mentions < 1:
+        raise ValueError("min_mentions must be >= 1")
+    if links is None:
+        links = extract_links(pages)
+    epoch = F.col("warc_ts").cast("long")
+    ts = pages.select(
+        "url", (epoch - F.pmod(epoch, F.lit(bucket_s))).alias("bucket_epoch")
+    )
+    ments = (
+        links.where(F.col("href").startswith("lib://"))
+        .select("url", F.expr("substring(href, 7)").alias("ent"))
+        .distinct()
+        .join(ts, "url")
+        .select("ent", "bucket_epoch")
+    )
+    per_bucket = (
+        ments.groupBy("ent", "bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # two consumers: per-entity agg + W
+    )
+    n_buckets = per_bucket.select(F.countDistinct("bucket_epoch")).first()[0]
+    per_ent = per_bucket.groupBy("ent").agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_present"),
+        F.min_by(
+            "bucket_epoch", F.struct((-F.col("n")).alias("nn"), F.col("bucket_epoch"))
+        ).alias("peak_bucket"),
+        F.max("n").cast("long").alias("peak_n"),
+    )
+    return (
+        per_ent.where(F.col("n_total") >= min_mentions)
+        .withColumn("n_buckets", F.lit(n_buckets).cast("long"))
+        .withColumn(
+            "burst",
+            F.round(
+                (F.col("peak_n").cast("double") * F.col("n_buckets").cast("double"))
+                / F.col("n_total").cast("double"),
+                6,
+            ),
+        )
+    )

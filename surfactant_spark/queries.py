@@ -5008,6 +5008,158 @@ FROM p GROUP BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring — operators/textops.py
+# ---------------------------------------------------------------------------
+LM_MOD = 1_000_000
+LM_TRAIN_THR = 900_000  # hash_split({"train": .9, "heldout": .1}) boundary
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a unigram LM trained on the
+    corpus's own hash-split train slice (CCNet's perplexity-filter
+    shape, Wenzek et al. 2020) — the LM is power-of-two-binned so
+    every per-token bit-cost is an exact integer (length(bin(c+1))-1;
+    no libm log on the oracle surface) and the per-doc sum is
+    order-independent."""
+    from .operators.textops import lm_bits
+
+    return lm_bits(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lm_score() -> str:
+    pb = _H.format(expr="'lm:v1:' || CAST(doc_id AS VARCHAR)") + f" % {LM_MOD}"
+    return rf"""
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN {pb} < {LM_TRAIN_THR} THEN 'train' ELSE 'heldout' END AS split,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+occ AS (
+  SELECT doc_id, split, u.tok AS tok, COUNT(*) AS cnt
+  FROM lab, UNNEST(toks) AS u(tok) WHERE u.tok <> ''
+  GROUP BY doc_id, split, u.tok),
+tc AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c FROM occ
+       WHERE split = 'train' GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total,
+               CAST(COUNT(*) AS BIGINT) AS v_size FROM tc),
+sc AS (
+  SELECT o.doc_id,
+         CAST(SUM(o.cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN tc.c IS NULL THEN o.cnt ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(SUM(o.cnt * ((length(bin(t.t_total + t.v_size)) - 1)
+                           - (length(bin(COALESCE(tc.c, 0) + 1)) - 1)))
+              AS BIGINT) AS bits
+  FROM occ o LEFT JOIN tc ON o.tok = tc.tok, tot t
+  GROUP BY o.doc_id)
+SELECT lab.doc_id, lab.split,
+       COALESCE(sc.n_tokens, 0) AS n_tokens,
+       COALESCE(sc.n_oov, 0) AS n_oov,
+       round(CAST(sc.n_oov AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+         AS oov_frac,
+       round(CAST(sc.bits AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+         AS bits_per_token
+FROM (SELECT DISTINCT doc_id, split FROM lab) lab
+LEFT JOIN sc ON lab.doc_id = sc.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# asymmetric shingle-containment near-dup — operators/dedup.py
+# ---------------------------------------------------------------------------
+CONT_THRESHOLD = 0.6
+CONT_MAX_BUCKET = 64
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/inclusion detection: |A∩B|/|A| shingle containment —
+    the asymmetric near-dup family Jaccard-estimating MinHash bands
+    structurally under-sample (a short doc pasted into a long one)."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"),
+        threshold=CONT_THRESHOLD,
+        max_bucket=CONT_MAX_BUCKET,
+    )
+
+
+SQL_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([{_H.format(expr='s')} % 2147483647
+                        for s in {SQL_SHINGLES_FROM_TOKS}]) AS sh
+  FROM ({SQL_TOKS_SUBSELECT})),
+ex AS (SELECT doc_id, u.g AS g FROM sh, UNNEST(sh.sh) AS u(g)),
+w AS (SELECT g FROM ex GROUP BY g
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {CONT_MAX_BUCKET}),
+kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN w USING (g)),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+v AS (SELECT c.id1, c.id2,
+             CAST(len(sa.sh) AS BIGINT) AS n_sh1,
+             CAST(len(sb.sh) AS BIGINT) AS n_sh2,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common
+      FROM cand c JOIN sh sa ON c.id1 = sa.doc_id
+                  JOIN sh sb ON c.id2 = sb.doc_id),
+r AS (SELECT *, round(n_common / n_sh1, 6) AS containment1,
+                round(n_common / n_sh2, 6) AS containment2 FROM v)
+SELECT id1, id2, n_sh1, n_sh2, n_common, containment1, containment2,
+       CASE WHEN containment1 >= containment2 THEN id1 ELSE id2 END
+         AS contained_id
+FROM r WHERE greatest(containment1, containment2) >= {CONT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# trending-entity burst detection — operators/webgraph.py
+# ---------------------------------------------------------------------------
+EB_BUCKET_S = 60
+EB_MIN_MENTIONS = 3
+
+
+def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention concentration of each lib:// entity in its hottest
+    crawl-time bucket — exact-integer lift (peak * n_buckets / total),
+    the trend-detection complement of kg_diff's WHAT-changed and
+    host_graph_windows' WHEN-keyed link evolution."""
+    from .operators.webgraph import entity_bursts
+
+    return entity_bursts(
+        _read_web_pages(spark),
+        bucket_s=EB_BUCKET_S,
+        min_mentions=EB_MIN_MENTIONS,
+    )
+
+
+def _sql_entity_bursts(path: str) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+m AS (SELECT DISTINCT url, substr(href, 7) AS ent FROM links
+      WHERE href LIKE 'lib://%'),
+ts AS (SELECT url, CAST(warc_ts AS BIGINT)
+                   - CAST(warc_ts AS BIGINT) % {EB_BUCKET_S} AS bucket_epoch
+       FROM read_parquet('{path}')),
+pb AS (SELECT m.ent, ts.bucket_epoch, COUNT(*) AS n
+       FROM m JOIN ts ON m.url = ts.url GROUP BY m.ent, ts.bucket_epoch),
+w AS (SELECT CAST(COUNT(DISTINCT bucket_epoch) AS BIGINT) AS n_buckets FROM pb),
+pk AS (SELECT ent, bucket_epoch AS peak_bucket, CAST(n AS BIGINT) AS peak_n,
+              row_number() OVER (PARTITION BY ent
+                                 ORDER BY n DESC, bucket_epoch ASC) AS rn
+       FROM pb),
+pe AS (SELECT ent, CAST(SUM(n) AS BIGINT) AS n_total,
+              CAST(COUNT(*) AS BIGINT) AS n_buckets_present
+       FROM pb GROUP BY ent)
+SELECT pe.ent, pe.n_total, pe.n_buckets_present, pk.peak_bucket, pk.peak_n,
+       w.n_buckets,
+       round(CAST(pk.peak_n AS DOUBLE) * CAST(w.n_buckets AS DOUBLE)
+             / CAST(pe.n_total AS DOUBLE), 6) AS burst
+FROM pe JOIN pk ON pe.ent = pk.ent AND pk.rn = 1, w
+WHERE pe.n_total >= {EB_MIN_MENTIONS}
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -5139,6 +5291,9 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "dedup_incremental": q_dedup_incremental,
     "host_quality": q_host_quality,
+    "lm_score": q_lm_score,
+    "containment": q_containment,
+    "entity_bursts": q_entity_bursts,
 }
 
 
@@ -5157,6 +5312,9 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "lm_score": _sql_lm_score(),
+    "containment": SQL_CONTAINMENT,
+    "entity_bursts": _sql_entity_bursts(_web_pages_file()),
     "embedding_quant": _sql_embedding_quant(),
     "val_oov": _sql_val_oov(),
     "host_boilerplate": _sql_host_boilerplate(_fixture_file("boiler_pages")),

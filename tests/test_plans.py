@@ -584,3 +584,26 @@ def test_walk_family_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_lm_containment_bursts_plan_shapes(spark):
+    """lm_score's vocabulary totals ride a deliberate 1-ROW broadcast
+    cross join (the host_hits/collocations exception — the alternative
+    is a global window through one task); everything else, and the
+    whole containment / entity_bursts plans, must stay equi-join-only
+    with no Python."""
+    from surfactant_spark.queries import (
+        q_containment,
+        q_entity_bursts,
+        q_lm_score,
+    )
+
+    for q in (q_containment, q_entity_bursts):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+
+    plan = _plan(q_lm_score(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

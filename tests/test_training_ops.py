@@ -1333,3 +1333,99 @@ def test_dedup_fold_equals_rebuild_any_split(spark):
             for r in dedup_fold(state, docs.where(~pred)).collect()
         )
         assert got == want
+
+
+def test_lm_bits_matches_python_replay(spark):
+    import hashlib
+    from collections import Counter
+
+    from surfactant_spark.operators.textops import lm_bits
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a completely different sentence here"),
+        (4, "the the the the"),
+        (5, "zzz unseen tokens qqq www"),
+        (6, ""),  # zero-token doc keeps its split with null fractions
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_bits(docs).collect()}
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(f"lm:v1:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000
+
+    split = {i: ("train" if bucket(i) < 900_000 else "heldout") for i, _ in rows}
+    train_counts = Counter()
+    for i, t in rows:
+        if split[i] == "train":
+            train_counts.update(w for w in t.strip().lower().split() if w)
+    T, V = sum(train_counts.values()), len(train_counts)
+    B = (T + V).bit_length() - 1
+    for i, t in rows:
+        toks = [w for w in t.strip().lower().split() if w]
+        r = got[i]
+        assert r.split == split[i]
+        assert r.n_tokens == len(toks)
+        if not toks:
+            assert r.oov_frac is None and r.bits_per_token is None
+            continue
+        n_oov = sum(1 for w in toks if w not in train_counts)
+        bits = sum(B - ((train_counts.get(w, 0) + 1).bit_length() - 1) for w in toks)
+        assert r.n_oov == n_oov
+        assert r.oov_frac == round(n_oov / len(toks), 6)
+        assert r.bits_per_token == round(bits / len(toks), 6)
+    # a doc of pure unseen tokens must cost strictly more than one of
+    # corpus-frequent tokens — the filter's discriminative claim
+    if split[5] is not None and got[4].bits_per_token is not None:
+        assert got[5].bits_per_token > got[4].bits_per_token
+
+
+def test_lm_bits_validates_weights(spark):
+    from surfactant_spark.operators.textops import lm_bits
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="train"):
+        lm_bits(docs, weights={"a": 0.5, "b": 0.5})
+
+
+def test_containment_finds_subset_jaccard_misses(spark):
+    from surfactant_spark.operators.dedup import (
+        containment_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, small),
+        (2, small + " " + filler),  # 1 is fully contained in 2
+        (3, "unrelated words entirely " + " ".join(f"q{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id1, r.id2): r for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment1 == 1.0  # every shingle of 1 appears in 2
+    assert r.contained_id == 1
+    assert r.n_common == r.n_sh1 < r.n_sh2
+    # Jaccard at the same bar misses the pair — the asymmetric case
+    jac = dedup_ngram_jaccard(
+        docs, threshold=0.9, allow_full_cartesian=True
+    ).collect()
+    assert not any(p.id1 == 1 and p.id2 == 2 for p in jac)
+
+
+def test_containment_width_cap_drops_boilerplate_shingles(spark):
+    from surfactant_spark.operators.dedup import containment_pairs
+
+    # every doc shares one boilerplate sentence; with max_bucket below
+    # the corpus size that shingle can't generate candidates, and the
+    # docs share nothing else -> no pairs
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"u{i} v{i} {boiler}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(docs, threshold=0.1, max_bucket=5).count() == 0
+    # raising the cap re-admits them
+    assert containment_pairs(docs, threshold=0.1, max_bucket=64).count() > 0

@@ -655,3 +655,38 @@ def test_host_rank_delta_consistent_with_host_rank(spark):
     for r in delta.values():
         assert r.rank_delta == r.rank_full - r.rank_early
         assert r.rank_early >= 0
+
+
+def test_entity_bursts_hand_computed(spark):
+    import pytest
+
+    from surfactant_spark.operators.webgraph import entity_bursts
+
+    def page(url, ts, *ents):
+        html = "".join(f'<a href="lib://{e}">{e}</a>' for e in ents)
+        return (url, ts, html.encode("utf-8"))
+
+    # buckets (60s): 0, 60, 120 -> n_buckets = 3
+    rows = [
+        page("https://a.org/1", 0, "spike", "steady"),
+        page("https://a.org/2", 10, "spike", "steady"),
+        page("https://a.org/3", 65, "spike", "steady"),
+        page("https://a.org/4", 125, "steady"),
+        page("https://a.org/5", 130, "rare"),  # below min_mentions
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts long, html binary")
+    got = {r.ent: r for r in entity_bursts(pages, bucket_s=60, min_mentions=3).collect()}
+    assert set(got) == {"spike", "steady"}
+    s = got["spike"]  # 2 mentions in bucket 0, 1 in bucket 60
+    assert (s.n_total, s.n_buckets_present, s.peak_bucket, s.peak_n, s.n_buckets) == (
+        3, 2, 0, 2, 3,
+    )
+    assert s.burst == round(2 * 3 / 3, 6)
+    t = got["steady"]  # buckets 0:2, 60:1, 120:1 -> peak is bucket 0
+    assert (t.n_total, t.n_buckets_present, t.peak_bucket, t.peak_n) == (4, 3, 0, 2)
+    assert t.burst == round(2 * 3 / 4, 6)
+
+    with pytest.raises(ValueError, match="bucket_s"):
+        entity_bursts(pages, bucket_s=0)
+    with pytest.raises(ValueError, match="min_mentions"):
+        entity_bursts(pages, min_mentions=0)
