@@ -5160,6 +5160,76 @@ WHERE pe.n_total >= {EB_MIN_MENTIONS}
 """
 
 
+# ---------------------------------------------------------------------------
+# OLAP super-aggregates: ROLLUP subtotals + pivot matrix (native Spark
+# rollup()/pivot() operators — the warehouse-report surface)
+# ---------------------------------------------------------------------------
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region -> nation revenue with subtotal and grand-total rows in
+    ONE pass — Spark's native ``rollup()`` + ``grouping_id()`` (the
+    GROUP BY ROLLUP super-aggregate): Catalyst plans the whole lattice
+    as a single Expand + hash aggregate, so the report never re-scans
+    the fact table per level. Revenue sums in DECIMAL(18,2) — exact,
+    order-independent (the revenue_by_nation discipline); gid = 0
+    detail, 1 per-region subtotal, 3 grand total."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    j = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(_D)).cast("double"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-per-language pivot matrix keyed by source — Spark's
+    native ``pivot()`` with an EXPLICIT value list (an implicit pivot
+    runs a distinct-values collect job and its column set would drift
+    with the corpus; the fixed list keeps the schema stable and the
+    plan single-pass). One hash aggregate; absent cells coalesce to
+    exact-integer zeros."""
+    docs = _read(spark, sf_dir, "documents")
+    p = docs.groupBy("source").pivot("lang", list(PIVOT_LANGS)).count()
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in PIVOT_LANGS
+        ],
+    )
+
+
+SQL_LANG_PIVOT = "SELECT source, " + ", ".join(
+    f"CAST(COUNT(*) FILTER (WHERE lang = '{lg}') AS BIGINT) AS n_{lg}"
+    for lg in PIVOT_LANGS
+) + " FROM documents GROUP BY source"
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -5294,6 +5364,8 @@ QUERIES = {
     "lm_score": q_lm_score,
     "containment": q_containment,
     "entity_bursts": q_entity_bursts,
+    "revenue_rollup": q_revenue_rollup,
+    "lang_pivot": q_lang_pivot,
 }
 
 
@@ -5315,6 +5387,8 @@ ORACLE_SQL = {
     "lm_score": _sql_lm_score(),
     "containment": SQL_CONTAINMENT,
     "entity_bursts": _sql_entity_bursts(_web_pages_file()),
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "lang_pivot": SQL_LANG_PIVOT,
     "embedding_quant": _sql_embedding_quant(),
     "val_oov": _sql_val_oov(),
     "host_boilerplate": _sql_host_boilerplate(_fixture_file("boiler_pages")),

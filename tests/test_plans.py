@@ -607,3 +607,45 @@ def test_lm_containment_bursts_plan_shapes(spark):
     plan = _plan(q_lm_score(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rollup_and_pivot_plan_and_lattice(spark):
+    """revenue_rollup must plan the whole subtotal lattice as ONE
+    Expand + hash aggregate over a single fact scan (never one scan
+    per level), with the dimension joins broadcast; the collected
+    lattice must be internally consistent (details sum to subtotals
+    sum to the grand total). lang_pivot must stay a single hash
+    aggregate with no distinct-values collect job."""
+    from surfactant_spark.queries import q_lang_pivot, q_revenue_rollup
+
+    df = q_revenue_rollup(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    import re as _re
+
+    # orders + 3 dims, each scanned ONCE (formatted explain prints one
+    # "(n) Scan parquet" details block per physical scan node)
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+    rows = df.collect()
+    details = [r for r in rows if r.gid == 0]
+    subtotals = {r.r_name: r for r in rows if r.gid == 1}
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(r.n_orders for r in details) > 0
+    assert grand[0].revenue == round(sum(r.revenue for r in details), 2)
+    for region, sub in subtotals.items():
+        mine = [r for r in details if r.r_name == region]
+        assert sub.n_orders == sum(r.n_orders for r in mine)
+
+    pv = q_lang_pivot(spark, SF_DIR)
+    plan = _plan(pv)
+    assert "BatchEvalPython" not in plan
+    assert "Expand" not in plan  # explicit value list: plain pivot agg
+    one = pv.collect()
+    total = sum(sum(r[c] for c in pv.columns if c != "source") for r in one)
+    from surfactant_spark.queries import _read
+
+    assert total == _read(spark, SF_DIR, "documents").count()
