@@ -5230,6 +5230,27 @@ SQL_LANG_PIVOT = "SELECT source, " + ", ".join(
 ) + " FROM documents GROUP BY source"
 
 
+def q_lang_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot matrix melted back to long form — Spark's native
+    ``unpivot`` (one Expand node, no join, no shuffle beyond the
+    pivot's own aggregate): wide->long is how a warehouse report
+    re-enters a relational pipeline, and zero cells survive the round
+    trip (a plain groupBy(source, lang) would drop them)."""
+    p = q_lang_pivot(spark, sf_dir)
+    return p.unpivot(
+        "source", [f"n_{lg}" for lg in PIVOT_LANGS], "lang", "n_docs"
+    ).withColumn("lang", F.expr("substring(lang, 3)"))
+
+
+SQL_LANG_UNPIVOT = (
+    f"WITH p AS ({SQL_LANG_PIVOT}) "
+    + " UNION ALL ".join(
+        f"SELECT source, '{lg}' AS lang, n_{lg} AS n_docs FROM p"
+        for lg in PIVOT_LANGS
+    )
+)
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "embedding_quant": q_embedding_quant,
@@ -5366,6 +5387,7 @@ QUERIES = {
     "entity_bursts": q_entity_bursts,
     "revenue_rollup": q_revenue_rollup,
     "lang_pivot": q_lang_pivot,
+    "lang_unpivot": q_lang_unpivot,
 }
 
 
@@ -5389,6 +5411,7 @@ ORACLE_SQL = {
     "entity_bursts": _sql_entity_bursts(_web_pages_file()),
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "lang_pivot": SQL_LANG_PIVOT,
+    "lang_unpivot": SQL_LANG_UNPIVOT,
     "embedding_quant": _sql_embedding_quant(),
     "val_oov": _sql_val_oov(),
     "host_boilerplate": _sql_host_boilerplate(_fixture_file("boiler_pages")),

@@ -649,3 +649,22 @@ def test_rollup_and_pivot_plan_and_lattice(spark):
     from surfactant_spark.queries import _read
 
     assert total == _read(spark, SF_DIR, "documents").count()
+
+
+def test_lang_unpivot_round_trip(spark):
+    """unpivot must be a single Expand (no join, no Python) and the
+    melted rows must reproduce the pivot matrix cell-for-cell,
+    including zero cells a plain groupBy would drop."""
+    from surfactant_spark.queries import PIVOT_LANGS, q_lang_pivot, q_lang_unpivot
+
+    df = q_lang_unpivot(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+    wide = {r.source: r for r in q_lang_pivot(spark, SF_DIR).collect()}
+    long_rows = df.collect()
+    assert len(long_rows) == len(wide) * len(PIVOT_LANGS)
+    for r in long_rows:
+        assert wide[r.source][f"n_{r.lang}"] == r.n_docs
