@@ -960,3 +960,75 @@ def twohop_paths(
         F.count(F.lit(1)).alias("n_mids"),
         F.sum("_w").cast("long").alias("ra_micro"),
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    wedge_cap: int = 100_000,
+    und: DataFrame | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the UNDIRECTED simple graph of
+    ``edges`` (Adamic & Adar 2003): for every non-adjacent node pair
+    sharing at least one common neighbor, score the pair by how RARE
+    their shared company is — each common neighbor z contributes
+    1/log2(deg z), so a co-citation through a two-link host says far
+    more than one through a portal. The missing-link ranking crawl
+    scheduling and KG completion consume.
+
+    Returns (a, b, n_common, aa_micro, aa_score) with a < b and the
+    pair NOT already an edge. The weight is quantized to exact integer
+    micro-units ``1e6 div floor(log2(deg))`` (floor(log2) is the
+    integer bit length, ``length(bin(deg)) - 1`` — the lm_bits trick),
+    so the per-pair sum is order-independent and replays bit-for-bit
+    in the SQL twin; the only IEEE op is the final display divide.
+    A common neighbor has degree >= 2 by construction, so the bit
+    length is never zero.
+
+    Scale shape: the wedge join is keyed by the common neighbor, where
+    fan-out is deg^2 — a portal hub would concentrate millions of
+    pairs into one key (the twohop_paths blowup class). Neighbors with
+    ``deg * (deg - 1) > wedge_cap`` are EXCLUDED up front
+    (deterministic, mirrored in the oracle): a hub every host touches
+    carries ~zero Adamic-Adar weight anyway — it is the stopword of
+    link prediction. Degree agg and pair agg both combine map-side;
+    the adjacency never sorts or collects."""
+    if wedge_cap < 1:
+        raise ValueError(f"wedge_cap must be >= 1, got {wedge_cap}")
+    if und is None:
+        und = undirected_simple(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    via = deg.where(
+        (F.col("degree") >= 2)
+        & (F.col("degree") * (F.col("degree") - 1) <= F.lit(wedge_cap))
+    ).select(
+        F.col("id").alias("mid"),
+        F.expr("div(1000000, length(bin(degree)) - 1)").alias("_w"),
+    )
+    adj = und.select(F.col("a").alias("mid"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("mid"), F.col("a").alias("nbr"))
+    )
+    lo = adj.join(via, "mid").select("mid", F.col("nbr").alias("a"), "_w")
+    hi = adj.select("mid", F.col("nbr").alias("b"))
+    pairs = (
+        lo.join(hi, "mid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("_w").cast("long").alias("aa_micro"),
+        )
+    )
+    return pairs.join(und, ["a", "b"], "left_anti").select(
+        "a",
+        "b",
+        "n_common",
+        "aa_micro",
+        F.round(F.col("aa_micro").cast("double") / 1e6, 6).alias("aa_score"),
+    )

@@ -3263,6 +3263,62 @@ FROM deg LEFT JOIN per ON deg.id = per.id
 
 
 # ---------------------------------------------------------------------------
+# Adamic-Adar link prediction — operators/graphrank.py over the host graph
+# ---------------------------------------------------------------------------
+AA_WEDGE_CAP = 100_000
+
+
+def q_host_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar missing-link scores over the undirected host graph:
+    which non-adjacent host pairs share rare company? The ranking a
+    crawl scheduler or KG-completion stage consumes (kg_twohop scores
+    directed entity paths; this scores the crawl's own host topology).
+    Exact-integer micro-unit weights (1e6 div bit-length of the common
+    neighbor's degree) so the pair sums replay bit-for-bit; hub
+    neighbors past the wedge cap excluded deterministically in both
+    engines."""
+    from .operators.graphrank import adamic_adar
+    from .operators.webgraph import host_graph
+
+    edges = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return adamic_adar(edges, wedge_cap=AA_WEDGE_CAP).select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        "n_common",
+        "aa_micro",
+        "aa_score",
+    )
+
+
+def _sql_host_adamic(path: str, wedge_cap: int = AA_WEDGE_CAP) -> str:
+    """Oracle replays the quantized weights exactly: DuckDB's
+    length(bin(x)) - 1 equals Spark's for positive BIGINTs (the
+    lm_score precedent), `//` is div, and the anti-join is NOT EXISTS
+    so the SQL stays plain ANSI."""
+    return f"""
+WITH hg AS ({_sql_host_graph(path)}),
+raw AS (SELECT src_host AS x, dst_host AS y FROM hg WHERE src_host <> dst_host),
+und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw),
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+via AS (SELECT id AS mid, 1000000 // (length(bin(degree)) - 1) AS w
+        FROM deg WHERE degree >= 2 AND degree * (degree - 1) <= {wedge_cap}),
+adj AS (SELECT a AS mid, b AS nbr FROM und
+        UNION ALL SELECT b AS mid, a AS nbr FROM und),
+pr AS (SELECT l.nbr AS a, r.nbr AS b, COUNT(*) AS n_common,
+              CAST(SUM(v.w) AS BIGINT) AS aa_micro
+       FROM adj l JOIN via v ON l.mid = v.mid JOIN adj r ON v.mid = r.mid
+       WHERE l.nbr < r.nbr GROUP BY l.nbr, r.nbr)
+SELECT pr.a AS host_a, pr.b AS host_b, pr.n_common, pr.aa_micro,
+       round(CAST(pr.aa_micro AS DOUBLE) / 1e6, 6) AS aa_score
+FROM pr
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = pr.a AND und.b = pr.b)
+"""
+
+
+# ---------------------------------------------------------------------------
 # collocation mining — operators/textops.py
 # ---------------------------------------------------------------------------
 COLLOC_MIN = 5
@@ -5253,6 +5309,7 @@ SQL_LANG_UNPIVOT = (
 
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
+    "host_adamic": q_host_adamic,
     "embedding_quant": q_embedding_quant,
     "val_oov": q_val_oov,
     "host_boilerplate": q_host_boilerplate,
@@ -5406,6 +5463,7 @@ def _web_pages_file() -> str:
     return _fixture_file(f"web_pages_n{WEB_PAGES_N}")
 
 ORACLE_SQL = {
+    "host_adamic": _sql_host_adamic(_web_pages_file()),
     "lm_score": _sql_lm_score(),
     "containment": SQL_CONTAINMENT,
     "entity_bursts": _sql_entity_bursts(_web_pages_file()),

@@ -1002,3 +1002,76 @@ def test_twohop_matches_python_reference_and_cap(spark):
     assert ("p", "p") not in _py_twohop(edges, 100)
     with pytest.raises(ValueError):
         twohop_paths(e, fanout_cap=0)
+
+
+def _py_adamic(edges, wedge_cap=100_000):
+    """Independent pure-Python Adamic-Adar with the quantized weights."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    out = {}
+    for z, ns in nbrs.items():
+        d = deg[z]
+        if d < 2 or d * (d - 1) > wedge_cap:
+            continue
+        w = 1_000_000 // (d.bit_length() - 1)
+        ns = sorted(ns)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                if (a, b) in und:
+                    continue
+                n, m = out.get((a, b), (0, 0))
+                out[(a, b)] = (n + 1, m + w)
+    return {k: (n, m, round(m / 1e6, 6)) for k, (n, m) in out.items()}
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    from surfactant_spark.operators.graphrank import adamic_adar
+
+    # hub h touches everything; a-b share {c, h}; c's degree is 3
+    edges = [
+        ("a", "c"), ("b", "c"), ("c", "d"),
+        ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e"),
+        ("d", "e"), ("e", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.n_common, r.aa_micro, r.aa_score)
+        for r in adamic_adar(df).collect()
+    }
+    want = _py_adamic(edges)
+    assert got == want
+    # an adjacent pair never appears even when it shares neighbors
+    assert ("a", "c") not in got and ("d", "e") not in got
+    # a-b's two vias: c (deg 4 -> bitlen 2) and h (deg 5 -> bitlen 2),
+    # 500000 micro-units each
+    assert got[("a", "b")] == (2, 1_000_000, 1.0)
+
+
+def test_adamic_adar_wedge_cap_drops_hub(spark):
+    from surfactant_spark.operators.graphrank import adamic_adar
+
+    edges = [("h", x) for x in "abcd"] + [("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # cap 6 excludes h (deg 4 -> 12 > 6); only a/b (deg 2 -> 2 <= 6)
+    # remain as via nodes, and they have no non-adjacent wedges
+    got = {(r.a, r.b): r.n_common for r in adamic_adar(df, wedge_cap=6).collect()}
+    assert got == _py_adamic(edges, wedge_cap=6) == {}
+    full = {
+        (r.a, r.b): (r.n_common, r.aa_micro)
+        for r in adamic_adar(df).collect()
+    }
+    assert full == {k: v[:2] for k, v in _py_adamic(edges).items()}
+    assert full[("c", "d")] == (1, 500_000)
+    with pytest.raises(ValueError):
+        adamic_adar(df, wedge_cap=0)
+
+
+def test_adamic_adar_empty_and_selfloop(spark):
+    from surfactant_spark.operators.graphrank import adamic_adar
+
+    df = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert adamic_adar(df).count() == 0

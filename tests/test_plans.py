@@ -353,8 +353,10 @@ def test_round5_late_queries_plan_shapes(spark):
         q_event_funnel,
     )
 
+    from surfactant_spark.queries import q_host_adamic
+
     for q in (q_event_asof, q_kg_khop, q_host_triangles, q_event_funnel,
-              q_crawl_frontier, q_corpus_pack):
+              q_crawl_frontier, q_corpus_pack, q_host_adamic):
         plan = _plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
