@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "kg_twohop",
     "lm_score",
     "containment",
+    "host_adamic",
+    "semdedup",
 ]
 
 

@@ -425,3 +425,108 @@ def quantize_embeddings(
         )
         .alias("mean_err"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+    max_cluster: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering the embedding space, then pruning near-duplicate pairs
+    INSIDE each cluster — the clustering is what makes pairwise cosine
+    tractable at web scale (quadratic only within a cluster, never
+    across the corpus). Within a duplicate pair the paper keeps the
+    item with the LOWEST cosine to its centroid (the most "peripheral"
+    exemplar preserves diversity); ties break on lowest id.
+
+    Returns one row per input vector: (vec_id, cluster, centroid_sim,
+    keep, kept_id, pair_cos). ``keep=false`` means some same-cluster
+    neighbor y with round(cos(x, y), 6) >= threshold beats x on
+    (centroid_sim, id) ordering; kept_id/pair_cos name the winning
+    neighbor (the minimum such y) so the drop decision is auditable.
+    Kept rows carry nulls there.
+
+    Determinism: cluster assignment and centroid_sim come from
+    kmeans_assign's bit-exact replayable recurrence; pair cosines are
+    round(·, 6); the "beats" relation is a total order on
+    (centroid_sim, id). Bit-for-bit replay in the SQL twin.
+
+    Scale shape: the pair scan is ONE self-join keyed on cluster — at
+    web scale k grows with N (SemDeDup uses ~10^5 clusters for LAION)
+    so cluster width stays bounded; clusters wider than ``max_cluster``
+    are excluded from the pair scan deterministically (their members
+    are all kept, flagged by the audit discipline the dedup families
+    use via EMB_MAX_BUCKET) rather than allowed to go quadratic. The
+    winning-neighbor pick is a min_by aggregation (map-side combining),
+    not a window over the pair fan-out."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_cluster < 1:
+        raise ValueError(f"max_cluster must be >= 1, got {max_cluster}")
+    assigned = kmeans_assign(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # one materialization of the assignment feeds FOUR consumers (width
+    # audit, both pair-scan sides, the final left join): localCheckpoint
+    # truncates the iterative kmeans lineage so the assign subplan is
+    # computed once, not once per branch (the canon.py CC discipline)
+    pts = (
+        assigned.join(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            assigned[id_col] == F.col("_id"),
+        )
+        .select(F.col(id_col), "cluster", "sim", "_v")
+        .localCheckpoint(eager=True)
+    )
+    ok = (
+        pts.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_cluster)
+        .select("cluster")
+    )
+    scan = pts.join(ok, "cluster")
+    x = scan.select(
+        "cluster",
+        F.col(id_col).alias("_xid"),
+        F.col("sim").alias("_xsim"),
+        F.col("_v").alias("_xv"),
+    )
+    y = scan.select(
+        "cluster",
+        F.col(id_col).alias("_yid"),
+        F.col("sim").alias("_ysim"),
+        F.col("_v").alias("_yv"),
+    )
+    beats = (
+        x.join(y, "cluster")
+        .where(F.col("_xid") != F.col("_yid"))
+        .where(
+            (F.col("_ysim") < F.col("_xsim"))
+            | ((F.col("_ysim") == F.col("_xsim")) & (F.col("_yid") < F.col("_xid")))
+        )
+        .withColumn("_c", F.round(cosine_col(F.col("_xv"), F.col("_yv")), 6))
+        .where(F.col("_c") >= threshold)
+        .groupBy("_xid")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_yid").alias("kept_id"), F.col("_c").alias("pair_cos")
+                ),
+                F.struct("_ysim", "_yid"),
+            ).alias("_win")
+        )
+        .select("_xid", F.col("_win.kept_id"), F.col("_win.pair_cos"))
+    )
+    return pts.join(beats, pts[id_col] == beats["_xid"], "left").select(
+        F.col(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("sim").alias("centroid_sim"),
+        F.col("_xid").isNull().alias("keep"),
+        "kept_id",
+        "pair_cos",
+    )

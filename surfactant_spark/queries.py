@@ -4082,6 +4082,65 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, sim FROM (
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — operators/similarity.semdedup over the embeddings table
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.4
+# Scale-sane width guard (SemDeDup keeps clusters small by growing k with N);
+# deliberately NOT binding on the 500-vector fixture — the cap branch is
+# exercised by tests/test_training_ops.py on synthetic clusters instead of
+# tuning a constant to this fixture's width distribution.
+SEMDEDUP_MAX_CLUSTER = 10_000
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop verdicts: k-means the
+    embedding space (the bit-exact kmeans_assign recurrence), then
+    inside each cluster drop any vector beaten by a >= 0.4-cosine
+    neighbor with lower centroid similarity (the paper keeps the most
+    peripheral exemplar). One row per vector with the winning neighbor
+    named, so the curation decision is auditable row-by-row."""
+    from .operators.similarity import semdedup
+
+    return semdedup(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+        max_cluster=SEMDEDUP_MAX_CLUSTER,
+    )
+
+
+def _sql_semdedup() -> str:
+    """Oracle replays the full pipeline: the unrolled kmeans twin as a
+    derived table, the same width guard, the same (centroid_sim, id)
+    "beats" total order, ROW_NUMBER standing in for Spark's min_by
+    over the identical struct ordering."""
+    cos = SQL_COSINE.format(a="x.embedding", b="y.embedding")
+    return f"""
+WITH km AS (SELECT * FROM ({_sql_kmeans()}) _t),
+pts AS (SELECT km.vec_id, km.cluster, km.sim, e.embedding
+        FROM km JOIN embeddings e ON km.vec_id = e.vec_id),
+ok AS (SELECT cluster FROM pts GROUP BY cluster
+       HAVING count(*) <= {SEMDEDUP_MAX_CLUSTER}),
+scan AS (SELECT p.* FROM pts p JOIN ok ON p.cluster = ok.cluster),
+pairs AS (
+  SELECT x.vec_id AS xid, y.vec_id AS yid, y.sim AS ysim,
+         round({cos}, 6) AS c
+  FROM scan x JOIN scan y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+    AND round({cos}, 6) >= {SEMDEDUP_THRESHOLD}),
+beat AS (SELECT xid, kept_id, pair_cos FROM (
+  SELECT xid, yid AS kept_id, c AS pair_cos,
+         ROW_NUMBER() OVER (PARTITION BY xid ORDER BY ysim, yid) AS r
+  FROM pairs) WHERE r = 1)
+SELECT p.vec_id, CAST(p.cluster AS INT) AS cluster, p.sim AS centroid_sim,
+       b.xid IS NULL AS keep, b.kept_id, b.pair_cos
+FROM pts p LEFT JOIN beat b ON p.vec_id = b.xid
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 # Registry order is load-bearing: the external correctness gate records only the
@@ -5445,6 +5504,7 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "lang_pivot": q_lang_pivot,
     "lang_unpivot": q_lang_unpivot,
+    "semdedup": q_semdedup,
 }
 
 
@@ -5615,4 +5675,5 @@ ORACLE_SQL = {
     # fold == full rebuild: the oracle is the UNSPLIT dedup_exact SQL
     "dedup_incremental": SQL_DEDUP_EXACT,
     "host_quality": _sql_host_quality(_web_pages_file()),
+    "semdedup": _sql_semdedup(),
 }

@@ -465,6 +465,21 @@ def test_kmeans_plan_shape(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_semdedup_plan_shape(spark):
+    """semdedup materializes the kmeans assignment ONCE (eager
+    localCheckpoint — the assign subplan must not be recomputed per
+    consumer branch), so its visible plan holds no centroid BNLJ at
+    all; the pair scan MUST be an equi join keyed on cluster — any
+    nested-loop or cartesian means the quadratic pair work escaped the
+    cluster blocking. No Python anywhere."""
+    from surfactant_spark.queries import q_semdedup
+
+    plan = _plan(q_semdedup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_line_dedup_and_redact_pii_plan_shapes(spark):
     """line_dedup: one combinable (line -> count+min-struct) agg, an
     equi join back on the line key, one per-url reconstruction agg —

@@ -1429,3 +1429,107 @@ def test_containment_width_cap_drops_boilerplate_shingles(spark):
     assert containment_pairs(docs, threshold=0.1, max_bucket=5).count() == 0
     # raising the cap re-admits them
     assert containment_pairs(docs, threshold=0.1, max_bucket=64).count() > 0
+
+
+def _py_semdedup(vecs, assigned, threshold, max_cluster=10_000):
+    """Pure-Python replay of the SemDeDup drop rule given a trusted
+    cluster assignment (kmeans_assign has its own hand-computed tests):
+    x drops iff some same-cluster y with round6(cos) >= threshold beats
+    it on (centroid_sim, id); the winner is the minimum such y."""
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    width = Counter(c for c, _ in assigned.values())
+    out = {}
+    for xid, (xc, xsim) in assigned.items():
+        best = None
+        if width[xc] <= max_cluster:
+            for yid, (yc, ysim) in assigned.items():
+                if yid == xid or yc != xc:
+                    continue
+                if not (ysim < xsim or (ysim == xsim and yid < xid)):
+                    continue
+                c = _round6_half_up(cos(vecs[xid], vecs[yid]))
+                if c < threshold:
+                    continue
+                if best is None or (ysim, yid) < best[:2]:
+                    best = (ysim, yid, c)
+        if best is None:
+            out[xid] = (xc, xsim, True, None, None)
+        else:
+            out[xid] = (xc, xsim, False, best[1], best[2])
+    return out
+
+
+def _semdedup_case(spark, rows, threshold, **kw):
+    from surfactant_spark.operators.similarity import kmeans_assign, semdedup
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in kmeans_assign(df, k=kw.get("k", 2), iters=kw.get("iters", 1)).collect()
+    }
+    got = {
+        r.vec_id: (r.cluster, r.centroid_sim, r.keep, r.kept_id, r.pair_cos)
+        for r in semdedup(df, threshold=threshold, **kw).collect()
+    }
+    want = _py_semdedup(dict(rows), assigned, threshold,
+                        kw.get("max_cluster", 10_000))
+    assert got == want
+    return got
+
+
+def test_semdedup_matches_python_replay(spark):
+    # two well-separated directions; near-dups inside each
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),   # near 1
+        (4, [0.1, 0.9, 0.0]),   # near 2
+        (5, [0.95, 0.05, 0.0]), # near 1 and 3
+        (6, [0.0, 0.0, 1.0]),   # orthogonal to its own cluster's dups
+    ]
+    got = _semdedup_case(spark, rows, threshold=0.95, k=2, iters=1)
+    # at least one drop happened and every drop names a kept neighbor
+    drops = {i: v for i, v in got.items() if not v[2]}
+    assert drops
+    for i, (cl, _, _, kept_id, pc) in drops.items():
+        assert got[kept_id][0] == cl and got[kept_id][1] <= got[i][1]
+        assert pc >= 0.95
+    # keepers carry nulls
+    assert all(v[3] is None and v[4] is None for v in got.values() if v[2])
+
+
+def test_semdedup_cluster_cap_excludes_wide_clusters(spark):
+    from surfactant_spark.operators.similarity import semdedup
+
+    # one tight bundle of 4 near-identical vectors + 1 seed elsewhere
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])] + [
+        (10 + i, [0.0, 1.0, 0.001 * i]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = semdedup(df, k=2, iters=1, threshold=0.9)
+    assert full.where("NOT keep").count() > 0
+    # cap below the wide cluster's width -> its pair scan is skipped
+    capped = _semdedup_case(spark, rows, threshold=0.9, k=2, iters=1,
+                            max_cluster=2)
+    assert all(v[2] for v in capped.values())
+
+
+def test_semdedup_validates_params(spark):
+    from surfactant_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        semdedup(df, threshold=1.5)
+    with pytest.raises(ValueError):
+        semdedup(df, max_cluster=0)
+    # single vector: trivially kept
+    got = semdedup(df, k=1, iters=0).collect()
+    assert len(got) == 1 and got[0].keep
