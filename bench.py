@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "containment",
     "host_adamic",
     "semdedup",
+    "domain_mixture",
 ]
 
 

@@ -999,3 +999,56 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def mixture_weights(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Temperature-based mixture weights per corpus source — the
+    rebalancing step multilingual / multi-domain LM training uses so
+    head sources don't drown the tail (exponentiated sampling,
+    p_s ∝ n_s^alpha, XLM-R-style; here alpha = 1/2 so the exponent is
+    IEEE sqrt — CORRECTLY ROUNDED by the 754 standard in every engine,
+    unlike pow/log which would put libm divergence on the oracle
+    surface).
+
+    Returns one row per source: (source, n_docs, n_tokens, w_sqrt,
+    raw_micro, mix_micro, p_mix) where w_sqrt = floor(sqrt(n_tokens))
+    (exact integer both engines), raw_micro / mix_micro are the
+    proportional vs temperature-flattened shares in exact integer
+    micro-units (1e6 * x div total), and p_mix is the one IEEE divide
+    for display. A source with zero tokens gets weight zero, not a
+    crash; an empty corpus returns an empty frame.
+
+    Scale shape: ONE map-side-combinable agg over the corpus keyed on
+    the source (the only shuffle), then a 1-row broadcast of the two
+    integer denominators — the collocations discipline. The output is
+    dimension-sized (one row per source)."""
+    per = docs.groupBy(F.col(by).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "w_sqrt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("_tot_tokens"),
+        F.sum("w_sqrt").cast("long").alias("_tot_w"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_sqrt",
+        F.when(F.col("_tot_tokens") == 0, F.lit(0))
+        .otherwise(F.expr("div(1000000 * n_tokens, _tot_tokens)"))
+        .cast("long")
+        .alias("raw_micro"),
+        F.when(F.col("_tot_w") == 0, F.lit(0))
+        .otherwise(F.expr("div(1000000 * w_sqrt, _tot_w)"))
+        .cast("long")
+        .alias("mix_micro"),
+        F.when(F.col("_tot_w") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("w_sqrt").cast("double") / F.col("_tot_w").cast("double"), 6)
+        )
+        .alias("p_mix"),
+    )

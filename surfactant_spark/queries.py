@@ -3319,6 +3319,46 @@ WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = pr.a AND und.b = pr.b)
 
 
 # ---------------------------------------------------------------------------
+# temperature mixture weights — operators/textops.py
+# ---------------------------------------------------------------------------
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature sampling weights (p_s ∝ sqrt(n_tokens),
+    the alpha=1/2 exponentiated-sampling rebalance multilingual /
+    multi-domain LM training uses): exact integer token counts, exact
+    floor-sqrt weights, micro-unit integer shares; one source-keyed
+    agg + a 1-row broadcast of the denominators."""
+    from .operators.textops import mixture_weights
+
+    return mixture_weights(_read(spark, sf_dir, "documents"))
+
+
+def _sql_domain_mixture() -> str:
+    from .operators.textops import TOKEN_REGEX
+
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT per.*,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      FROM per),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+               CAST(SUM(w_sqrt) AS BIGINT) AS tw FROM w)
+SELECT source, n_docs, n_tokens, w_sqrt,
+       CASE WHEN tt = 0 THEN 0
+            ELSE (1000000 * n_tokens) // tt END AS raw_micro,
+       CASE WHEN tw = 0 THEN 0
+            ELSE (1000000 * w_sqrt) // tw END AS mix_micro,
+       CASE WHEN tw = 0 THEN 0.0
+            ELSE round(CAST(w_sqrt AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+            END AS p_mix
+FROM w, tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # collocation mining — operators/textops.py
 # ---------------------------------------------------------------------------
 COLLOC_MIN = 5
@@ -5505,6 +5545,7 @@ QUERIES = {
     "lang_pivot": q_lang_pivot,
     "lang_unpivot": q_lang_unpivot,
     "semdedup": q_semdedup,
+    "domain_mixture": q_domain_mixture,
 }
 
 
@@ -5676,4 +5717,5 @@ ORACLE_SQL = {
     "dedup_incremental": SQL_DEDUP_EXACT,
     "host_quality": _sql_host_quality(_web_pages_file()),
     "semdedup": _sql_semdedup(),
+    "domain_mixture": _sql_domain_mixture(),
 }

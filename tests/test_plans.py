@@ -362,9 +362,12 @@ def test_round5_late_queries_plan_shapes(spark):
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
 
-    # host_hits / collocations: the 1-row corpus-total (or rescale
-    # factor) broadcast cross join is the deliberate exception
-    for q in (q_host_hits, q_collocations):
+    # host_hits / collocations / domain_mixture: the 1-row corpus-total
+    # (or rescale factor) broadcast cross join is the deliberate
+    # exception
+    from surfactant_spark.queries import q_domain_mixture
+
+    for q in (q_host_hits, q_collocations, q_domain_mixture):
         plan = _plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__

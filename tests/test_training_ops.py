@@ -1533,3 +1533,60 @@ def test_semdedup_validates_params(spark):
     # single vector: trivially kept
     got = semdedup(df, k=1, iters=0).collect()
     assert len(got) == 1 and got[0].keep
+
+
+def _py_mixture(rows):
+    import math
+
+    per = {}
+    from surfactant_spark.operators.textops import TOKEN_REGEX
+
+    for _id, text, src in rows:
+        n = len(re.findall(TOKEN_REGEX, text))
+        d, t = per.get(src, (0, 0))
+        per[src] = (d + 1, t + n)
+    tw = sum(math.isqrt(t) for _, t in per.values())
+    tt = sum(t for _, t in per.values())
+    out = {}
+    for src, (d, t) in per.items():
+        w = math.isqrt(t)
+        out[src] = (
+            d, t, w,
+            (1_000_000 * t) // tt if tt else 0,
+            (1_000_000 * w) // tw if tw else 0,
+            _round6_half_up(w / tw) if tw else 0.0,
+        )
+    return out
+
+
+def test_mixture_weights_matches_python(spark):
+    from surfactant_spark.operators.textops import mixture_weights
+
+    # head source with ~100 tokens, mid with 4, tail with 1, empty src
+    rows = (
+        [(i, "tok " * 20, "head") for i in range(5)]
+        + [(100, "a b c d", "mid")]
+        + [(200, "solo", "tail")]
+        + [(300, "", "void")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.w_sqrt, r.raw_micro, r.mix_micro, r.p_mix)
+        for r in mixture_weights(df).collect()
+    }
+    assert got == _py_mixture(rows)
+    # temperature flattens: the head's mixture share drops below its
+    # raw share, the tail's rises above
+    assert got["head"][4] < got["head"][3]
+    assert got["tail"][4] > got["tail"][3]
+    # zero-token source gets weight zero, not a crash
+    assert got["void"][2] == 0 and got["void"][4] == 0
+    # weight order follows token order
+    assert got["head"][2] > got["mid"][2] > got["tail"][2]
+
+
+def test_mixture_weights_empty_corpus(spark):
+    from surfactant_spark.operators.textops import mixture_weights
+
+    df = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert mixture_weights(df).count() == 0
