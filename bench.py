@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "host_adamic",
     "semdedup",
     "domain_mixture",
+    "zipf_spectrum",
 ]
 
 

@@ -1052,3 +1052,66 @@ def mixture_weights(docs: DataFrame, by: str = "source") -> DataFrame:
         )
         .alias("p_mix"),
     )
+
+
+def freq_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf frequency spectrum of the corpus vocabulary: how many
+    types (distinct whitespace tokens) fall in each power-of-two
+    occurrence octave, and how much of the corpus's token mass that
+    octave carries. The distribution-shape readout corpus curation
+    watches — a healthy natural-language crawl shows the straight-ish
+    Zipf line across octaves; boilerplate floods the head octaves and
+    spam/code inflates the hapax tail — without ever ranking the full
+    vocabulary (a global top-K sort over 10^8 types is exactly what
+    this avoids).
+
+    Returns one row per occupied octave: (freq_bits, min_n, max_n,
+    n_terms, n_occ, cum_terms, cum_occ, occ_micro) where freq_bits =
+    bit length of the type's occurrence count (octave k covers counts
+    [2^(k-1), 2^k)), cum_* accumulate from the MOST frequent octave
+    down ("the top j octaves cover cum_occ tokens" — the head-mass
+    curve), and occ_micro is the octave's exact integer micro-share of
+    all occurrences. All integers; no IEEE arithmetic at all.
+
+    Scale shape: one corpus-sized type-count shuffle (map-side
+    combining), then an octave-keyed agg — the output is AT MOST ~64
+    rows, so the cumulative window and the 1-row denominator broadcast
+    both run at constant cardinality."""
+    from pyspark.sql import Window
+
+    from .dedup import tokenized
+
+    types = (
+        tokenized(docs.select(text_col), text_col)
+        .select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spec = (
+        types.select(F.length(F.bin(F.col("n"))).cast("int").alias("freq_bits"), "n")
+        .groupBy("freq_bits")
+        .agg(
+            F.min("n").cast("long").alias("min_n"),
+            F.max("n").cast("long").alias("max_n"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("n").cast("long").alias("n_occ"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = spec.agg(F.sum("n_occ").cast("long").alias("_tocc"))
+    w = Window.orderBy(F.desc("freq_bits")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .select(
+            "freq_bits",
+            "min_n",
+            "max_n",
+            "n_terms",
+            "n_occ",
+            F.sum("n_terms").over(w).cast("long").alias("cum_terms"),
+            F.sum("n_occ").over(w).cast("long").alias("cum_occ"),
+            F.expr("div(1000000 * n_occ, _tocc)").cast("long").alias("occ_micro"),
+        )
+    )

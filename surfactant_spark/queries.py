@@ -3319,6 +3319,38 @@ WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = pr.a AND und.b = pr.b)
 
 
 # ---------------------------------------------------------------------------
+# Zipf frequency spectrum — operators/textops.py
+# ---------------------------------------------------------------------------
+def q_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum in power-of-two occurrence
+    octaves (the Zipf-shape health check corpus curation watches),
+    with head-down cumulative mass — exact integers end to end, no
+    global vocabulary rank sort."""
+    from .operators.textops import freq_spectrum
+
+    return freq_spectrum(_read(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF_SPECTRUM = r"""
+WITH d AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+t AS (SELECT u.tok AS tok, COUNT(*) AS n
+      FROM d, UNNEST(toks) AS u(tok) GROUP BY 1),
+spec AS (
+  SELECT CAST(length(bin(n)) AS INT) AS freq_bits,
+         CAST(MIN(n) AS BIGINT) AS min_n, CAST(MAX(n) AS BIGINT) AS max_n,
+         COUNT(*) AS n_terms, CAST(SUM(n) AS BIGINT) AS n_occ
+  FROM t GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS tocc FROM spec)
+SELECT freq_bits, min_n, max_n, n_terms, n_occ,
+       CAST(SUM(n_terms) OVER (ORDER BY freq_bits DESC) AS BIGINT) AS cum_terms,
+       CAST(SUM(n_occ) OVER (ORDER BY freq_bits DESC) AS BIGINT) AS cum_occ,
+       (1000000 * n_occ) // tocc AS occ_micro
+FROM spec, tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # temperature mixture weights — operators/textops.py
 # ---------------------------------------------------------------------------
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5546,6 +5578,7 @@ QUERIES = {
     "lang_unpivot": q_lang_unpivot,
     "semdedup": q_semdedup,
     "domain_mixture": q_domain_mixture,
+    "zipf_spectrum": q_zipf_spectrum,
 }
 
 
@@ -5718,4 +5751,5 @@ ORACLE_SQL = {
     "host_quality": _sql_host_quality(_web_pages_file()),
     "semdedup": _sql_semdedup(),
     "domain_mixture": _sql_domain_mixture(),
+    "zipf_spectrum": SQL_ZIPF_SPECTRUM,
 }

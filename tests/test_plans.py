@@ -365,9 +365,9 @@ def test_round5_late_queries_plan_shapes(spark):
     # host_hits / collocations / domain_mixture: the 1-row corpus-total
     # (or rescale factor) broadcast cross join is the deliberate
     # exception
-    from surfactant_spark.queries import q_domain_mixture
+    from surfactant_spark.queries import q_domain_mixture, q_zipf_spectrum
 
-    for q in (q_host_hits, q_collocations, q_domain_mixture):
+    for q in (q_host_hits, q_collocations, q_domain_mixture, q_zipf_spectrum):
         plan = _plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__

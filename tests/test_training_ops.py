@@ -1590,3 +1590,64 @@ def test_mixture_weights_empty_corpus(spark):
 
     df = spark.createDataFrame([], "doc_id long, text string, source string")
     assert mixture_weights(df).count() == 0
+
+
+def _py_spectrum(texts):
+    cnt = Counter()
+    for t in texts:
+        cnt.update(re.split(r"\s+", t.strip().lower()))
+    spec = {}
+    for n in cnt.values():
+        b = n.bit_length()
+        mn, mx, terms, occ = spec.get(b, (None, None, 0, 0))
+        spec[b] = (
+            n if mn is None else min(mn, n),
+            n if mx is None else max(mx, n),
+            terms + 1,
+            occ + n,
+        )
+    tocc = sum(v[3] for v in spec.values())
+    out, ct, co = {}, 0, 0
+    for b in sorted(spec, reverse=True):
+        mn, mx, terms, occ = spec[b]
+        ct += terms
+        co += occ
+        out[b] = (mn, mx, terms, occ, ct, co, (1_000_000 * occ) // tocc)
+    return out
+
+
+def test_freq_spectrum_matches_python(spark):
+    from surfactant_spark.operators.textops import freq_spectrum
+
+    texts = [
+        "the the the the cat",   # 'the' x5 -> octave 3; cat x1
+        "the cat sat on a mat",  # cat total 2 -> octave 2
+        "a b c d e f g",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r.freq_bits: (r.min_n, r.max_n, r.n_terms, r.n_occ,
+                      r.cum_terms, r.cum_occ, r.occ_micro)
+        for r in freq_spectrum(df).collect()
+    }
+    assert got == _py_spectrum(texts)
+    # 'the' (5 occurrences) sits alone in octave 3: counts [4, 8)
+    assert got[3][:4] == (5, 5, 1, 5)
+    # cumulative mass is monotone down the octaves and ends at N
+    assert got[min(got)][5] == sum(v[3] for v in got.values())
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_st)
+def test_freq_spectrum_matches_python_property(spark, texts):
+    from surfactant_spark.operators.textops import freq_spectrum
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r.freq_bits: (r.min_n, r.max_n, r.n_terms, r.n_occ,
+                      r.cum_terms, r.cum_occ, r.occ_micro)
+        for r in freq_spectrum(df).collect()
+    }
+    assert got == _py_spectrum(texts)
