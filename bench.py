@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "semdedup",
     "domain_mixture",
     "zipf_spectrum",
+    "train_shards",
 ]
 
 

@@ -3319,6 +3319,56 @@ WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = pr.a AND und.b = pr.b)
 
 
 # ---------------------------------------------------------------------------
+# training-shard sink — sources/writers.py
+# ---------------------------------------------------------------------------
+TRAIN_SHARDS_N = 8
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed training-shard export read back as a manifest:
+    the corpus is written as TRAIN_SHARDS_N partitioned parquet shards
+    (portable salted-md5 assignment — same doc, same shard, any
+    engine), then the manifest (docs / tokens / id range / exact
+    order-independent content fingerprint per shard) is computed from
+    the WRITTEN files. The oracle aggregates the ORIGINAL table —
+    equality proves the sink lossless and the assignment replayable
+    (the warc/sbom_roundtrip discipline). Staged once per sf under the
+    fixture dir with an _OK marker."""
+    from .fixtures import fixture_dir
+    from .sources.writers import shard_manifest, write_train_shards
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(fixture_dir(), f"train_shards_{tag}_n{TRAIN_SHARDS_N}")
+    marker = out + "_OK"
+    if not os.path.exists(marker):
+        write_train_shards(
+            _read(spark, sf_dir, "documents"), out, n_shards=TRAIN_SHARDS_N
+        )
+        with open(marker, "w"):
+            pass
+    return shard_manifest(spark, out)
+
+
+def _sql_train_shards(n_shards: int = TRAIN_SHARDS_N) -> str:
+    from .operators.textops import TOKEN_REGEX
+
+    hid = _H.format(expr="'shard:v1:' || CAST(doc_id AS VARCHAR)")
+    htx = _H.format(expr="text")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, CAST({hid} % {n_shards} AS INT) AS shard
+  FROM documents)
+SELECT shard, count(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+         AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(SUM({htx} % 1000000000) AS BIGINT) AS content_sum
+FROM s GROUP BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf frequency spectrum — operators/textops.py
 # ---------------------------------------------------------------------------
 def q_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5579,6 +5629,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "domain_mixture": q_domain_mixture,
     "zipf_spectrum": q_zipf_spectrum,
+    "train_shards": q_train_shards,
 }
 
 
@@ -5752,4 +5803,5 @@ ORACLE_SQL = {
     "semdedup": _sql_semdedup(),
     "domain_mixture": _sql_domain_mixture(),
     "zipf_spectrum": SQL_ZIPF_SPECTRUM,
+    "train_shards": _sql_train_shards(),
 }

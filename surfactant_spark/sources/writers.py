@@ -107,3 +107,68 @@ def cyclonedx_like_export(nodes: DataFrame, edges: DataFrame):
         .dropDuplicates()
     )
     return components, dependencies
+
+
+def write_train_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Training-shard export: the corpus hash-bucketed into ``n_shards``
+    stable shards (the final sink of a data-curation pipeline — each
+    shard is one training-reader unit). Assignment is the portable
+    md5 bucket of the SALTED id ('shard:v1:' prefix, the hash_split
+    discipline) so the same document lands in the same shard in any
+    engine, any run, any cluster size — never a round-robin or a
+    Spark-internal hash that a re-run could reshuffle.
+
+    One repartition ON THE SHARD KEY feeds partitionBy, so each shard
+    directory is written by exactly one task (no small-file explosion:
+    without the repartition every task writes every shard dir). At 100
+    TB raise n_shards, not file count per shard."""
+    from ..operators.dedup import portable_hash64_col
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    staged = docs.withColumn(
+        "shard",
+        F.pmod(
+            portable_hash64_col(
+                F.concat(F.lit("shard:v1:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    staged.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out_dir)
+
+
+def shard_manifest(
+    spark, out_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Read a write_train_shards export back and compute its manifest:
+    per shard (shard, n_docs, n_tokens, min_doc, max_doc, content_sum)
+    where content_sum is an order-independent exact integer content
+    fingerprint (sum of each doc's md5 bucket mod 1e9 — bounded far
+    below int64 overflow at any shard size). Equality of the manifest
+    against the same aggregation over the ORIGINAL table proves the
+    sink is lossless and the assignment deterministic — the
+    warc/sbom_roundtrip discipline for the shard sink."""
+    from ..operators.dedup import portable_hash64_col
+    from ..operators.textops import token_count_col
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.min(id_col).cast("long").alias("min_doc"),
+        F.max(id_col).cast("long").alias("max_doc"),
+        F.sum(
+            F.pmod(portable_hash64_col(F.col(text_col)), F.lit(1_000_000_000))
+        )
+        .cast("long")
+        .alias("content_sum"),
+    )

@@ -2,6 +2,7 @@
 CyTRICS JSON round-trip (S6-S10), hash-collision audit (A5), plus a
 hypothesis property test for connected components."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -236,3 +237,39 @@ def test_cc_matches_union_find_property(spark, edge_ids):
             parent[rb] = ra
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_train_shards_roundtrip_and_determinism(spark, tmp_path):
+    """The shard sink is lossless (every doc comes back exactly once),
+    the assignment is the portable salted-md5 bucket (python replay),
+    each shard dir holds ONE data file (the repartition-before-
+    partitionBy contract), and a second export is byte-stable."""
+    import hashlib
+
+    from surfactant_spark.sources.writers import shard_manifest, write_train_shards
+
+    rows = [(i, f"doc {i} body " + "tok " * (i % 7)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_train_shards(docs, out, n_shards=4)
+
+    back = spark.read.parquet(out)
+    got = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    def py_shard(i):
+        h = int(hashlib.md5(f"shard:v1:{i}".encode()).hexdigest()[:15], 16)
+        return h % 4
+    assert got == {(i, py_shard(i)) for i, _ in rows}
+
+    import glob
+    for d in glob.glob(out + "/shard=*"):
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    m1 = {tuple(r) for r in shard_manifest(spark, out).collect()}
+    write_train_shards(docs, out, n_shards=4)
+    m2 = {tuple(r) for r in shard_manifest(spark, out).collect()}
+    assert m1 == m2
+    assert sum(r[1] for r in m1) == 40
+
+    with pytest.raises(ValueError):
+        write_train_shards(docs, out, n_shards=0)
