@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "domain_mixture",
     "zipf_spectrum",
     "train_shards",
+    "bpe_encode",
 ]
 
 

@@ -636,9 +636,21 @@ def bpe_merges(
     as BPE requires). Words containing the separator are excluded
     up front (mirrored in the SQL twin), which keeps the packing
     injective."""
+    merges, _ = _bpe_train(docs, n_merges, text_col)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_a string, sym_b string, merged string,"
+        " n_occurrences long",
+    )
+
+
+def _bpe_train(docs: DataFrame, n_merges: int, text_col: str):
+    """The shared greedy loop: returns (merge list, final packed
+    vocabulary) so training (bpe_merges) and vocabulary segmentation
+    (bpe_encode) replay the identical recurrence."""
     ss = BPE_SEP + BPE_SEP
     cur = bpe_vocab(docs, text_col).localCheckpoint(eager=True)
-    spark = cur.sparkSession
 
     merges = []
     for rank in range(n_merges):
@@ -656,11 +668,37 @@ def bpe_merges(
                 F.lit(BPE_SEP + a + b + BPE_SEP),
             ).alias("seq"),
         ).localCheckpoint(eager=True)
+    return merges, cur
 
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, sym_a string, sym_b string, merged string,"
-        " n_occurrences long",
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the bpe_merges loop:
+    segment every vocabulary word under the learned merge table and
+    report its subword pieces. Returns (word, cnt, n_pieces, pieces)
+    with pieces comma-joined in sequence order (the driver
+    canonicalizer cannot sort arrays — the inverted_index trade).
+    The per-word piece count times cnt is the corpus's post-BPE token
+    count, the number LM training actually budgets by — computing it
+    from the merge table alone would re-implement the fuse semantics;
+    computing it from the trainer's final vocabulary state gets it by
+    construction and keeps the oracle a pure replay.
+
+    Applying the merges to UNSEEN text is the same chained
+    left-to-right replace over a packed vocabulary (nothing here is
+    training-data-specific): encode the new corpus's bpe_vocab with
+    the SAME replace chain in merge_rank order. Scale shape is
+    bpe_merges': everything corpus-sized happens in the one vocab
+    build; the merge applications are vocab-sized JVM projections."""
+    _, cur = _bpe_train(docs, n_merges, text_col)
+    ss = BPE_SEP + BPE_SEP
+    pieces = F.filter(F.split("seq", ss), lambda s: s != "")
+    return cur.select(
+        F.replace(F.col("seq"), F.lit(BPE_SEP), F.lit("")).alias("word"),
+        F.col("cnt"),
+        F.size(pieces).cast("int").alias("n_pieces"),
+        F.array_join(pieces, ",").alias("pieces"),
     )
 
 

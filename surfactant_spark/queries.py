@@ -4087,6 +4087,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_read(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: the corpus vocabulary segmented under the
+    learned merge table — per word its subword pieces and piece count
+    (cnt * n_pieces summed is the post-BPE token budget LM training
+    plans against)."""
+    from .operators.textops import bpe_encode
+
+    return bpe_encode(_read(spark, sf_dir, "documents"), n_merges=BPE_N_MERGES)
+
+
 def _sql_bpe_merges(n_merges: int = BPE_N_MERGES) -> str:
     """Unrolled DuckDB replay of q_bpe_merges: one (symbols, pair
     counts, top-1, replace) CTE block per merge step; the step's
@@ -4098,6 +4108,38 @@ def _sql_bpe_merges(n_merges: int = BPE_N_MERGES) -> str:
     MATERIALIZED: without it DuckDB inlines each of the four scalar
     subqueries' whole upstream chain, exponentiating the corpus scan
     (observed as an fd-exhaustion blowup at 8 steps)."""
+    ctes = _bpe_cte_chain(n_merges)
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,"
+        f" n AS n_occurrences FROM t{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def _sql_bpe_encode(n_merges: int = BPE_N_MERGES) -> str:
+    """q_bpe_encode's twin: the SAME unrolled trainer chain, selecting
+    the FINAL vocabulary state w{n} instead of the merge table — the
+    word is the sequence with separators stripped, the pieces are its
+    doubled-separator splits in order."""
+    sep = "chr(31)"
+    ss = f"{sep} || {sep}"
+    ctes = _bpe_cte_chain(n_merges)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT replace(seq, {sep}, '') AS word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(len(list_filter(string_split(seq, {ss}), x -> x <> '')) AS INT)
+         AS n_pieces,
+       array_to_string(list_filter(string_split(seq, {ss}), x -> x <> ''), ',')
+         AS pieces
+FROM w{n_merges}
+"""
+    )
+
+
+def _bpe_cte_chain(n_merges: int) -> list:
     sep = "chr(31)"
     ss = f"{sep} || {sep}"
     ctes = [
@@ -4127,12 +4169,7 @@ w{i + 1} AS MATERIALIZED (SELECT cnt, replace(seq,
           || COALESCE((SELECT b FROM t{i}), '') || {sep}) AS seq
   FROM w{i})"""
         )
-    finals = "\nUNION ALL ".join(
-        f"SELECT {i} AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,"
-        f" n AS n_occurrences FROM t{i}"
-        for i in range(n_merges)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    return ctes
 
 
 # ---------------------------------------------------------------------------
@@ -5630,6 +5667,7 @@ QUERIES = {
     "domain_mixture": q_domain_mixture,
     "zipf_spectrum": q_zipf_spectrum,
     "train_shards": q_train_shards,
+    "bpe_encode": q_bpe_encode,
 }
 
 
@@ -5804,4 +5842,5 @@ ORACLE_SQL = {
     "domain_mixture": _sql_domain_mixture(),
     "zipf_spectrum": SQL_ZIPF_SPECTRUM,
     "train_shards": _sql_train_shards(),
+    "bpe_encode": _sql_bpe_encode(),
 }

@@ -838,7 +838,7 @@ def _py_bpe(texts, n_merges):
                     i += 1
             new[w] = tuple(out)
         seqs = new
-    return merges
+    return merges, seqs, wc
 
 
 @settings(max_examples=6, deadline=None)
@@ -864,7 +864,7 @@ def test_bpe_merges_match_python_reference(spark, texts, n_merges):
         list(enumerate(texts)), "doc_id long, text string"
     )
     got = [tuple(r) for r in bpe_merges(docs, n_merges=n_merges).collect()]
-    assert got == _py_bpe(texts, n_merges)
+    assert got == _py_bpe(texts, n_merges)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -1651,3 +1651,50 @@ def test_freq_spectrum_matches_python_property(spark, texts):
         for r in freq_spectrum(df).collect()
     }
     assert got == _py_spectrum(texts)
+
+
+def test_bpe_encode_hand_computed(spark):
+    from surfactant_spark.operators.textops import bpe_encode
+
+    # Sennrich's canonical corpus shape: after 2 merges over
+    # {low x3, lower x2}, 'lo' then 'low' fuse
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower")], "doc_id long, text string"
+    )
+    got = {
+        r.word: (r.cnt, r.n_pieces, r.pieces)
+        for r in bpe_encode(docs, n_merges=2).collect()
+    }
+    assert got == {
+        "low": (3, 1, "low"),
+        "lower": (2, 3, "low,e,r"),
+    }
+    # post-BPE corpus token budget: 3*1 + 2*3
+    assert sum(c * n for c, n, _ in got.values()) == 9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bpe_encode_matches_python_reference(spark, texts, n_merges):
+    from surfactant_spark.operators.textops import bpe_encode
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.word: (r.cnt, r.n_pieces, r.pieces)
+        for r in bpe_encode(docs, n_merges=n_merges).collect()
+    }
+    _, seqs, wc = _py_bpe(texts, n_merges)
+    assert got == {w: (wc[w], len(s), ",".join(s)) for w, s in seqs.items()}
