@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "zipf_spectrum",
     "train_shards",
     "bpe_encode",
+    "mirror_pairs",
 ]
 
 

@@ -825,3 +825,79 @@ def entity_bursts(
             ),
         )
     )
+
+
+def mirror_pairs(
+    pages: DataFrame,
+    min_shared: int = 2,
+    max_hosts_per_sha: int = 64,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-host mirror PAIR identification — host_dup_rates says how
+    much of a host is mirrored somewhere; this names WHO mirrors whom,
+    the pair list a crawl scheduler consumes to fetch one replica of a
+    mirror network instead of all of them. For every host pair sharing
+    at least ``min_shared`` exact content hashes: (host_a, host_b,
+    n_shared, n_a, n_b, jaccard) with host_a < host_b, n_a/n_b the
+    hosts' distinct content counts, and jaccard the exact-integer
+    intersection over union rounded once.
+
+    Scale shape: the candidate generator is a self-join keyed ON THE
+    CONTENT HASH of the distinct (host, sha) table, so fan-out per key
+    is the number of hosts serving that exact document squared. A
+    universally-mirrored blob (an empty page, a license file) would go
+    quadratic in hosts — shas on more than ``max_hosts_per_sha`` hosts
+    are EXCLUDED deterministically (mirrored in the oracle): content
+    that ubiquitous identifies no specific mirror relationship, the
+    containment/boilerplate cap discipline. Pair agg and both count
+    aggs combine map-side; per-host counts join back at host-dimension
+    cardinality."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_hosts_per_sha < 2:
+        raise ValueError(
+            f"max_hosts_per_sha must be >= 2, got {max_hosts_per_sha}"
+        )
+    hs = (
+        pages.select(
+            F.regexp_extract(url_col, _URL_HOST, 1).alias("host"),
+            F.sha2(F.col(text_col), 256).alias("sha"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = hs.groupBy("host").agg(F.count(F.lit(1)).alias("n_distinct"))
+    ok = (
+        hs.groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .where((F.col("_nh") >= 2) & (F.col("_nh") <= max_hosts_per_sha))
+        .select("sha")
+    )
+    scan = hs.join(ok, "sha")
+    pairs = (
+        scan.select("sha", F.col("host").alias("host_a"))
+        .join(scan.select("sha", F.col("host").alias("host_b")), "sha")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(counts.select(F.col("host").alias("host_a"),
+                                 F.col("n_distinct").alias("n_a")), "host_a")
+        .join(counts.select(F.col("host").alias("host_b"),
+                            F.col("n_distinct").alias("n_b")), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

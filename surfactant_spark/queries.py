@@ -4926,6 +4926,52 @@ FROM per JOIN sh USING (sha) GROUP BY host
 """
 
 
+MIRROR_MIN_SHARED = 2
+MIRROR_MAX_HOSTS = 64
+
+
+def q_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror pairs (operators/webgraph.py:mirror_pairs):
+    which host pairs serve the same exact documents — the fetch-one-
+    replica list host_dup_rates' per-host mass can't provide. Hash-
+    keyed candidate join with the ubiquitous-content cap, exact
+    integer intersections, one IEEE Jaccard divide."""
+    from .operators.webgraph import mirror_pairs
+
+    return mirror_pairs(
+        _read_web_pages(spark),
+        min_shared=MIRROR_MIN_SHARED,
+        max_hosts_per_sha=MIRROR_MAX_HOSTS,
+    )
+
+
+def _sql_mirror_pairs(
+    path: str,
+    min_shared: int = MIRROR_MIN_SHARED,
+    max_hosts: int = MIRROR_MAX_HOSTS,
+) -> str:
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         sha256(text) AS sha
+  FROM read_parquet('{path}')),
+cnt AS (SELECT host, COUNT(*) AS n_distinct FROM hs GROUP BY host),
+ok AS (SELECT sha FROM hs GROUP BY sha
+       HAVING COUNT(*) BETWEEN 2 AND {max_hosts}),
+scan AS (SELECT hs.* FROM hs JOIN ok USING (sha)),
+pairs AS (
+  SELECT x.host AS host_a, y.host AS host_b, COUNT(*) AS n_shared
+  FROM scan x JOIN scan y ON x.sha = y.sha AND x.host < y.host
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared})
+SELECT host_a, host_b, n_shared, a.n_distinct AS n_a, b.n_distinct AS n_b,
+       round(CAST(n_shared AS DOUBLE)
+             / CAST(a.n_distinct + b.n_distinct - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM pairs JOIN cnt a ON pairs.host_a = a.host
+           JOIN cnt b ON pairs.host_b = b.host
+"""
+
+
 def q_page_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page markup/spam features (operators/webgraph.py:
     page_markup_stats): link/script/iframe counts + text-to-html
@@ -5668,6 +5714,7 @@ QUERIES = {
     "zipf_spectrum": q_zipf_spectrum,
     "train_shards": q_train_shards,
     "bpe_encode": q_bpe_encode,
+    "mirror_pairs": q_mirror_pairs,
 }
 
 
@@ -5843,4 +5890,5 @@ ORACLE_SQL = {
     "zipf_spectrum": SQL_ZIPF_SPECTRUM,
     "train_shards": _sql_train_shards(),
     "bpe_encode": _sql_bpe_encode(),
+    "mirror_pairs": _sql_mirror_pairs(_web_pages_file()),
 }

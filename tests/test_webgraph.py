@@ -690,3 +690,62 @@ def test_entity_bursts_hand_computed(spark):
         entity_bursts(pages, bucket_s=0)
     with pytest.raises(ValueError, match="min_mentions"):
         entity_bursts(pages, min_mentions=0)
+
+
+def test_mirror_pairs_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import mirror_pairs
+
+    rows = [
+        # a.com and b.org share texts t1, t2; b also has its own
+        ("http://a.com/1", "t1"), ("http://a.com/2", "t2"),
+        ("http://a.com/3", "only-a"),
+        ("http://b.org/1", "t1"), ("http://b.org/2", "t2"),
+        ("http://b.org/3", "only-b"),
+        # c.net shares just t1 with both -> below min_shared=2
+        ("http://c.net/1", "t1"),
+        # duplicate urls of the same text on one host count once
+        ("http://a.com/4", "t1"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.host_a, r.host_b): (r.n_shared, r.n_a, r.n_b, r.jaccard)
+        for r in mirror_pairs(pages, min_shared=2).collect()
+    }
+    # only (a.com, b.org) clears the bar; jaccard = 2 / (3 + 3 - 2)
+    assert got == {("a.com", "b.org"): (2, 3, 3, 0.5)}
+    # min_shared=1 admits the single-shared c.net pairs
+    all_pairs = {
+        (r.host_a, r.host_b)
+        for r in mirror_pairs(pages, min_shared=1).collect()
+    }
+    assert all_pairs == {
+        ("a.com", "b.org"), ("a.com", "c.net"), ("b.org", "c.net")
+    }
+
+
+def test_mirror_pairs_ubiquity_cap_and_guards(spark):
+    import pytest
+
+    from surfactant_spark.operators.webgraph import mirror_pairs
+
+    # one text served by 5 hosts; cap 4 excludes it entirely
+    rows = [(f"http://h{i}.com/x", "boiler") for i in range(5)] + [
+        ("http://h0.com/y", "pair"), ("http://h1.com/y2", "pair"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    capped = {
+        (r.host_a, r.host_b): r.n_shared
+        for r in mirror_pairs(pages, min_shared=1, max_hosts_per_sha=4).collect()
+    }
+    assert capped == {("h0.com", "h1.com"): 1}
+    # raising the cap re-admits the 5-host blob: C(5,2) pairs + the
+    # h0/h1 pair gains a second shared hash
+    full = {
+        (r.host_a, r.host_b): r.n_shared
+        for r in mirror_pairs(pages, min_shared=1, max_hosts_per_sha=64).collect()
+    }
+    assert len(full) == 10 and full[("h0.com", "h1.com")] == 2
+    with pytest.raises(ValueError):
+        mirror_pairs(pages, min_shared=0)
+    with pytest.raises(ValueError):
+        mirror_pairs(pages, max_hosts_per_sha=1)
