@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "train_shards",
     "bpe_encode",
     "mirror_pairs",
+    "edge_recency",
 ]
 
 

@@ -901,3 +901,64 @@ def mirror_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def edge_recency(
+    pages: DataFrame,
+    horizon_s: int = 120,
+    links: DataFrame | None = None,
+) -> DataFrame:
+    """Temporal validity of KG mention edges over the crawl timeline —
+    the maintenance signal incremental KG folding (kg_incremental /
+    kg_diff say WHAT changed) needs to decide what to RE-CRAWL: per
+    (src_host, ent) mention edge its first/last sighting, sighting
+    count, staleness against the corpus's newest observation, and an
+    ``active`` flag (stale edges are re-fetch candidates; an edge no
+    crawl window has seen for a long horizon is presumed retracted —
+    the first_seen/last_seen interval model temporal knowledge graphs
+    use).
+
+    Returns (src_host, ent, n_sightings, first_seen, last_seen,
+    staleness_s, active): epochs as exact integer seconds; a page
+    sights an edge once regardless of repeated anchors.
+
+    Scale shape: one distinct over (host, ent, url) mentions (map-side
+    combinable), the page-time equi join on url, one (host, ent) agg;
+    the corpus max timestamp is a driver literal off the eager
+    checkpoint (constant-key joins constant-fold to BNLJ — the
+    entity_bursts discipline)."""
+    if horizon_s < 0:
+        raise ValueError(f"horizon_s must be >= 0, got {horizon_s}")
+    if links is None:
+        links = extract_links(pages)
+    ts = pages.select("url", F.col("warc_ts").cast("long").alias("_ep"))
+    ments = (
+        links.where(F.col("href").startswith("lib://"))
+        .select(
+            F.regexp_extract("url", _URL_HOST, 1).alias("src_host"),
+            F.expr("substring(href, 7)").alias("ent"),
+            "url",
+        )
+        .distinct()
+        .join(ts, "url")
+    )
+    per = (
+        ments.groupBy("src_host", "ent")
+        .agg(
+            F.count(F.lit(1)).alias("n_sightings"),
+            F.min("_ep").cast("long").alias("first_seen"),
+            F.max("_ep").cast("long").alias("last_seen"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = per.agg(F.max("last_seen")).first()
+    max_ts = int(row[0]) if row[0] is not None else 0
+    return per.select(
+        "src_host",
+        "ent",
+        "n_sightings",
+        "first_seen",
+        "last_seen",
+        (F.lit(max_ts) - F.col("last_seen")).cast("long").alias("staleness_s"),
+        ((F.lit(max_ts) - F.col("last_seen")) <= F.lit(horizon_s)).alias("active"),
+    )

@@ -5453,6 +5453,40 @@ def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDGE_RECENCY_HORIZON_S = 120
+
+
+def q_edge_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal validity intervals for mention edges
+    (operators/webgraph.py:edge_recency): first/last sighting,
+    staleness vs the corpus's newest observation, active-vs-recrawl
+    flag — the temporal-KG complement of kg_diff."""
+    from .operators.webgraph import edge_recency
+
+    return edge_recency(
+        _read_web_pages(spark), horizon_s=EDGE_RECENCY_HORIZON_S
+    )
+
+
+def _sql_edge_recency(path: str, horizon_s: int = EDGE_RECENCY_HORIZON_S) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+m AS (SELECT DISTINCT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS src_host,
+             substr(href, 7) AS ent, url
+      FROM links WHERE href LIKE 'lib://%'),
+t AS (SELECT url, CAST(warc_ts AS BIGINT) AS ep FROM read_parquet('{path}')),
+per AS (SELECT m.src_host, m.ent, COUNT(*) AS n_sightings,
+               CAST(MIN(t.ep) AS BIGINT) AS first_seen,
+               CAST(MAX(t.ep) AS BIGINT) AS last_seen
+        FROM m JOIN t ON m.url = t.url GROUP BY 1, 2),
+mx AS (SELECT MAX(last_seen) AS max_ts FROM per)
+SELECT src_host, ent, n_sightings, first_seen, last_seen,
+       CAST(mx.max_ts - last_seen AS BIGINT) AS staleness_s,
+       (mx.max_ts - last_seen) <= {horizon_s} AS active
+FROM per, mx
+"""
+
+
 def _sql_entity_bursts(path: str) -> str:
     return f"""
 WITH {_SQL_LINKS.format(path=path)},
@@ -5715,6 +5749,7 @@ QUERIES = {
     "train_shards": q_train_shards,
     "bpe_encode": q_bpe_encode,
     "mirror_pairs": q_mirror_pairs,
+    "edge_recency": q_edge_recency,
 }
 
 
@@ -5891,4 +5926,5 @@ ORACLE_SQL = {
     "train_shards": _sql_train_shards(),
     "bpe_encode": _sql_bpe_encode(),
     "mirror_pairs": _sql_mirror_pairs(_web_pages_file()),
+    "edge_recency": _sql_edge_recency(_web_pages_file()),
 }

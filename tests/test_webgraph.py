@@ -749,3 +749,50 @@ def test_mirror_pairs_ubiquity_cap_and_guards(spark):
         mirror_pairs(pages, min_shared=0)
     with pytest.raises(ValueError):
         mirror_pairs(pages, max_hosts_per_sha=1)
+
+
+def test_edge_recency_hand_computed(spark):
+    import datetime as dt
+
+    import pytest
+
+    from surfactant_spark.operators.webgraph import edge_recency
+
+    def ts(s):
+        return dt.datetime(
+            2024, 1, 1, tzinfo=dt.timezone.utc
+        ) + dt.timedelta(seconds=s)
+
+    a = '<a href="lib://zlib">z</a>'
+    b = '<a href="lib://ssl">s</a>'
+    rows = [
+        # zlib sighted on a.com at t=0 and t=100 (two pages)
+        ("http://a.com/1", ts(0), (a).encode()),
+        ("http://a.com/2", ts(100), (a + a).encode()),  # dup anchor: one sighting
+        # ssl last sighted at t=10 -> stale at horizon 50 (max_ts=100)
+        ("http://a.com/3", ts(10), b.encode()),
+        # no mentions at all
+        ("http://b.org/x", ts(100), b"<p>none</p>"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    got = {
+        (r.src_host, r.ent): (
+            r.n_sightings, r.first_seen, r.last_seen, r.staleness_s, r.active
+        )
+        for r in edge_recency(pages, horizon_s=50).collect()
+    }
+    e0 = 1704067200  # 2024-01-01T00:00:00Z
+    assert got == {
+        ("a.com", "zlib"): (2, e0, e0 + 100, 0, True),
+        ("a.com", "ssl"): (1, e0 + 10, e0 + 10, 90, False),
+    }
+    # horizon 0: only edges seen at the corpus max instant stay active
+    act = {
+        (r.src_host, r.ent): r.active
+        for r in edge_recency(pages, horizon_s=0).collect()
+    }
+    assert act == {("a.com", "zlib"): True, ("a.com", "ssl"): False}
+    with pytest.raises(ValueError):
+        edge_recency(pages, horizon_s=-1)
