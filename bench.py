@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "mirror_pairs",
     "edge_recency",
+    "curation_verdict",
 ]
 
 

@@ -3641,6 +3641,80 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# end-to-end curation verdict — composition of the pipeline stages
+# ---------------------------------------------------------------------------
+CV_MOD = 1_000_000
+
+
+def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision a curation pipeline actually ships, per document:
+    exact-dup loser → Gopher-rule quality drop → SemDeDup semantic
+    drop → sqrt-temperature source sampling, in that order, with the
+    FIRST failing stage recorded as the verdict (the quality_filter
+    audit-column discipline extended to the whole pipeline). Sampling
+    is a deterministic Bernoulli: accept iff the doc's salted-md5
+    bucket falls below its source's acceptance rate min(1, mix/raw) in
+    exact integer micro-units — head sources downsample toward the
+    temperature target, tail sources keep everything. Every stage is
+    an already-verified operator; this query is their join, so the
+    oracle replays the full composition bit-for-bit."""
+    from .operators.curate import curation_verdict
+
+    qf = q_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep"), "drop_reason"
+    )
+    return curation_verdict(
+        _read(spark, sf_dir, "documents"),
+        _emb(spark, sf_dir),
+        qf,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+        max_cluster=SEMDEDUP_MAX_CLUSTER,
+    )
+
+
+def _sql_curation_verdict() -> str:
+    bucket = _H.format(expr="'curate:v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ds AS (SELECT doc_id, source, sha256(text) AS sha FROM documents),
+de AS (SELECT sha256(text) AS sha, MIN(doc_id) AS canonical_id
+       FROM documents GROUP BY 1),
+qf AS (SELECT * FROM ({_sql_quality_filter()}) _qf),
+sd AS (SELECT * FROM ({_sql_semdedup()}) _sd),
+mx AS (SELECT * FROM ({_sql_domain_mixture()}) _mx),
+rate AS (SELECT source,
+                CASE WHEN raw_micro <= 0 THEN {CV_MOD}
+                     ELSE LEAST({CV_MOD}, ({CV_MOD} * mix_micro) // raw_micro)
+                END AS accept_micro
+         FROM mx),
+b AS (SELECT doc_id, {bucket} % {CV_MOD} AS sample_bucket FROM documents),
+j AS (SELECT ds.doc_id, ds.source,
+             ds.doc_id <> de.canonical_id AS exact_dup,
+             qf.keep AS quality_keep, qf.drop_reason,
+             COALESCE(sd.keep, TRUE) AS sem_keep,
+             rate.accept_micro, b.sample_bucket
+      FROM ds JOIN de USING (sha)
+              JOIN qf ON ds.doc_id = qf.doc_id
+              LEFT JOIN sd ON ds.doc_id = sd.vec_id
+              JOIN rate ON ds.source = rate.source
+              JOIN b ON ds.doc_id = b.doc_id),
+v AS (SELECT *,
+             CASE WHEN exact_dup THEN 'exact_dup'
+                  WHEN NOT quality_keep THEN 'quality:' || drop_reason
+                  WHEN NOT sem_keep THEN 'semantic_dup'
+                  WHEN sample_bucket >= accept_micro THEN 'not_sampled'
+             END AS verdict
+      FROM j)
+SELECT doc_id, source, exact_dup, quality_keep, sem_keep,
+       CAST(accept_micro AS BIGINT) AS accept_micro,
+       CAST(sample_bucket AS BIGINT) AS sample_bucket,
+       verdict IS NULL AS keep, verdict
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
 # sequence packing — operators/textops.py
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 4096
@@ -5750,6 +5824,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "mirror_pairs": q_mirror_pairs,
     "edge_recency": q_edge_recency,
+    "curation_verdict": q_curation_verdict,
 }
 
 
@@ -5927,4 +6002,5 @@ ORACLE_SQL = {
     "bpe_encode": _sql_bpe_encode(),
     "mirror_pairs": _sql_mirror_pairs(_web_pages_file()),
     "edge_recency": _sql_edge_recency(_web_pages_file()),
+    "curation_verdict": _sql_curation_verdict(),
 }

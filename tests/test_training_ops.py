@@ -1698,3 +1698,54 @@ def test_bpe_encode_matches_python_reference(spark, texts, n_merges):
     }
     _, seqs, wc = _py_bpe(texts, n_merges)
     assert got == {w: (wc[w], len(s), ",".join(s)) for w, s in seqs.items()}
+
+
+def test_curation_verdict_stage_precedence(spark):
+    """A doc failing several stages reports only the FIRST: exact_dup
+    beats quality beats semantic beats sampling; docs without an
+    embedding row pass the semantic stage."""
+    import hashlib
+
+    from surfactant_spark.operators.curate import CV_MOD, curation_verdict
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "s"),
+            (2, "same text", "s"),      # exact dup of 1 (and low quality)
+            (3, "unique low", "s"),     # quality drop
+            (4, "unique ok a", "s"),
+            (5, "unique ok b", "s"),
+            (6, "unique ok c", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    quality = spark.createDataFrame(
+        [(1, True, None), (2, False, "too_short"), (3, False, "low_quality"),
+         (4, True, None), (5, True, None), (6, True, None)],
+        "doc_id long, quality_keep boolean, drop_reason string",
+    )
+    # embeddings: 4 and 5 near-identical -> one is a semantic dup;
+    # docs 1-3, 6 have no embedding -> semantic stage passes
+    emb = spark.createDataFrame(
+        [(4, [1.0, 0.0]), (5, [0.999, 0.01]), (6, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.doc_id: r
+        for r in curation_verdict(
+            docs, emb, quality, k=2, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert got[2].verdict == "exact_dup"          # dup beats its quality fail
+    assert got[2].exact_dup and not got[2].quality_keep
+    assert got[3].verdict == "quality:low_quality"
+    # exactly one of 4/5 is the semantic dup, the other survives to
+    # sampling (single source => accept_micro == CV_MOD => sampled)
+    sem = {i for i in (4, 5) if got[i].verdict == "semantic_dup"}
+    assert len(sem) == 1
+    for i in {1, 6} | ({4, 5} - sem):
+        assert got[i].verdict is None and got[i].keep, i
+        assert got[i].accept_micro == CV_MOD
+        # deterministic replayable bucket
+        h = int(hashlib.md5(f"curate:v1:{i}".encode()).hexdigest()[:15], 16)
+        assert got[i].sample_bucket == h % CV_MOD
