@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "mirror_pairs",
     "edge_recency",
     "curation_verdict",
+    "corpus_cube",
 ]
 
 

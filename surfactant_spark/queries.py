@@ -5595,6 +5595,37 @@ WHERE pe.n_total >= {EB_MIN_MENTIONS}
 PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source × lang CUBE of the documents corpus — the full
+    super-aggregate lattice (detail, per-source, per-lang, grand
+    total) in ONE pass via Spark's native ``cube()`` + grouping_id:
+    Catalyst plans one Expand + hash aggregate, never re-scanning the
+    corpus per level (the revenue_rollup discipline with the crossed
+    dimension rollup can't express). Exact integer counts and token
+    sums; gid = 0 detail, 1 per-source, 2 per-lang, 3 grand total."""
+    from .operators.textops import token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.cube("source", "lang").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def _sql_corpus_cube() -> str:
+    from .operators.textops import TOKEN_REGEX
+
+    return f"""
+SELECT source, lang,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+         AS n_tokens
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Region -> nation revenue with subtotal and grand-total rows in
     ONE pass — Spark's native ``rollup()`` + ``grouping_id()`` (the
@@ -5825,6 +5856,7 @@ QUERIES = {
     "mirror_pairs": q_mirror_pairs,
     "edge_recency": q_edge_recency,
     "curation_verdict": q_curation_verdict,
+    "corpus_cube": q_corpus_cube,
 }
 
 
@@ -6003,4 +6035,5 @@ ORACLE_SQL = {
     "mirror_pairs": _sql_mirror_pairs(_web_pages_file()),
     "edge_recency": _sql_edge_recency(_web_pages_file()),
     "curation_verdict": _sql_curation_verdict(),
+    "corpus_cube": _sql_corpus_cube(),
 }

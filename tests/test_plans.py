@@ -688,3 +688,33 @@ def test_lang_unpivot_round_trip(spark):
     assert len(long_rows) == len(wide) * len(PIVOT_LANGS)
     for r in long_rows:
         assert wide[r.source][f"n_{r.lang}"] == r.n_docs
+
+
+def test_corpus_cube_plan_and_lattice(spark):
+    """corpus_cube must plan the full source×lang lattice as ONE
+    Expand + hash aggregate over a single corpus scan; the four
+    grouping levels must be internally consistent (details sum to
+    both marginals and to the grand total)."""
+    import re as _re
+
+    from surfactant_spark.queries import q_corpus_cube
+
+    df = q_corpus_cube(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1
+    assert "BatchEvalPython" not in plan
+
+    rows = df.collect()
+    det = [r for r in rows if r.gid == 0]
+    by_src = {r.source: r for r in rows if r.gid == 1}
+    by_lang = {r.lang: r for r in rows if r.gid == 2}
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    for axis, margin in (("source", by_src), ("lang", by_lang)):
+        for key, m in margin.items():
+            mine = [r for r in det if getattr(r, axis) == key]
+            assert m.n_docs == sum(r.n_docs for r in mine), (axis, key)
+            assert m.n_tokens == sum(r.n_tokens for r in mine), (axis, key)
+    assert grand[0].n_docs == sum(r.n_docs for r in det) > 0
+    assert grand[0].n_tokens == sum(r.n_tokens for r in det)
