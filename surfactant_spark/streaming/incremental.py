@@ -493,3 +493,141 @@ def stream_url_seen(
     return spark.read.parquet(
         os.path.join(state_dir, f"v{max(committed)}", "words")
     )
+
+
+def stream_edge_recency(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 4,
+    retain: int = 2,
+):
+    """Checkpoint-resumable streaming fold of the temporal edge-recency
+    state (the streaming twin of `operators.webgraph.edge_recency`):
+    each micro-batch of crawled pages contributes its (src_host, ent)
+    mention sightings, and the standing state keeps per edge the
+    additive sighting count plus the min/max observation epochs — a
+    commutative semigroup, so fold order cannot change the result and
+    fold == full rebuild EXACTLY (asserted by the tests against the
+    batch operator on the unioned corpus; assumes each page-url arrives
+    in one batch, the append-only crawl-snapshot contract the kg fold
+    already documents). State layout is the url_seen discipline: each
+    version dir holds the WHOLE (edge-dimension-sized) state, versions
+    are marker-committed with metrics-before-marker, replays
+    short-circuit on the marker, ``retain`` bounds kept versions.
+    Returns the latest committed state (None when nothing committed);
+    read staleness/active off it with `edge_recency_from_state`."""
+    import os
+    import shutil
+    import time
+
+    from ..operators.webgraph import _URL_HOST, extract_links
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(vdir, "_OK")):
+            return
+        t0 = time.time()
+        s = batch_df.sparkSession
+        committed = _state_version_dirs(state_dir)
+        if committed and max(committed) >= batch_id:
+            return
+        ts = batch_df.select("url", F.col("warc_ts").cast("long").alias("_ep"))
+        cur = (
+            extract_links(batch_df)
+            .where(F.col("href").startswith("lib://"))
+            .select(
+                F.regexp_extract("url", _URL_HOST, 1).alias("src_host"),
+                F.expr("substring(href, 7)").alias("ent"),
+                "url",
+            )
+            .distinct()
+            .join(ts, "url")
+            .groupBy("src_host", "ent")
+            .agg(
+                F.count(F.lit(1)).alias("n_sightings"),
+                F.min("_ep").cast("long").alias("first_seen"),
+                F.max("_ep").cast("long").alias("last_seen"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_batch = cur.count()
+        prior = [v for v in committed if v < batch_id]
+        if prior:
+            prev = s.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}", "edges")
+            )
+            merged = (
+                prev.unionByName(cur)
+                .groupBy("src_host", "ent")
+                .agg(
+                    F.sum("n_sightings").cast("long").alias("n_sightings"),
+                    F.min("first_seen").cast("long").alias("first_seen"),
+                    F.max("last_seen").cast("long").alias("last_seen"),
+                )
+            )
+            n_prev = prev.count()
+        else:
+            merged = cur
+            n_prev = 0
+        merged.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
+        n_total = s.read.parquet(os.path.join(vdir, "edges")).count()
+        s.createDataFrame(
+            [
+                (
+                    batch_id,
+                    n_batch,
+                    n_total,
+                    n_total - n_prev,
+                    int((time.time() - t0) * 1000),
+                )
+            ],
+            "batch_id long, n_batch_edges long, n_total_edges long,"
+            " n_new_edges long, wall_ms long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "metrics", f"d{batch_id}")
+        )
+        _mark_ok(vdir)
+        if retain and retain > 0:
+            done = _state_version_dirs(state_dir)
+            for v in sorted(done)[:-retain]:
+                os.remove(os.path.join(done[v], "_OK"))
+                shutil.rmtree(done[v], ignore_errors=True)
+
+    q = (
+        stream_pages(spark, pages_path, max_files_per_trigger)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = _state_version_dirs(state_dir)
+    if not committed:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_dir, f"v{max(committed)}", "edges")
+    )
+
+
+def edge_recency_from_state(state: "DataFrame", horizon_s: int = 120):
+    """Staleness/active readout over a folded edge-recency state —
+    identical column contract to the batch operator, so fold-then-read
+    equals rebuild (the corpus max observation is a driver literal off
+    the dimension-sized state, the same discipline as the batch op)."""
+    if horizon_s < 0:
+        raise ValueError(f"horizon_s must be >= 0, got {horizon_s}")
+    row = state.agg(F.max("last_seen")).first()
+    max_ts = int(row[0]) if row[0] is not None else 0
+    return state.select(
+        "src_host",
+        "ent",
+        "n_sightings",
+        "first_seen",
+        "last_seen",
+        (F.lit(max_ts) - F.col("last_seen")).cast("long").alias("staleness_s"),
+        ((F.lit(max_ts) - F.col("last_seen")) <= F.lit(horizon_s)).alias(
+            "active"
+        ),
+    )

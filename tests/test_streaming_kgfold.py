@@ -330,3 +330,58 @@ def test_stream_url_seen_folds_and_counts_repeats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="geometry"):
         stream_url_seen(spark, src, state, str(tmp_path / "ckpt4"), m_words=64)
+
+
+def _web_pages_df(spark, lo, hi):
+    """Slices of ONE fixed synthetic web corpus (same rationale as
+    _pages: the generator is not prefix-stable across n)."""
+    import pandas as pd
+
+    from surfactant_spark.fixtures import synth_web_pages
+    from surfactant_spark.schema import PAGES
+
+    d = synth_web_pages(120)
+    pdf = pd.DataFrame(d).iloc[lo:hi].copy()
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], unit="s", utc=True)
+    return spark.createDataFrame(pdf, PAGES)
+
+
+def test_stream_edge_recency_fold_equals_rebuild(spark, tmp_path):
+    from surfactant_spark.operators.webgraph import edge_recency
+    from surfactant_spark.streaming.incremental import (
+        edge_recency_from_state,
+        read_fold_metrics,
+        stream_edge_recency,
+    )
+
+    src = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    _web_pages_df(spark, 0, 70).coalesce(1).write.mode("append").parquet(src)
+    st = stream_edge_recency(spark, src, state, ckpt)
+    want = edge_recency(_web_pages_df(spark, 0, 70), horizon_s=60)
+    assert rows(edge_recency_from_state(st, 60)) == rows(want)
+
+    # second batch folds in; state must equal the one-shot rebuild
+    _web_pages_df(spark, 70, 120).coalesce(1).write.mode("append").parquet(src)
+    st = stream_edge_recency(spark, src, state, ckpt)
+    want = edge_recency(_web_pages_df(spark, 0, 120), horizon_s=60)
+    assert rows(edge_recency_from_state(st, 60)) == rows(want)
+
+    m = {r.batch_id: r for r in read_fold_metrics(spark, state).collect()}
+    assert set(m) == {0, 1}
+    assert m[1].n_total_edges >= m[1].n_new_edges >= 0
+    assert m[0].n_new_edges == m[0].n_total_edges
+
+    # replay with a fresh checkpoint: markers short-circuit, state same
+    st2 = stream_edge_recency(spark, src, state, str(tmp_path / "ckpt2"))
+    assert rows(st2) == rows(st)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        edge_recency_from_state(st, horizon_s=-1)
