@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "edge_recency",
     "curation_verdict",
     "corpus_cube",
+    "quality_calibration",
 ]
 
 

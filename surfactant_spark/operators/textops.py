@@ -966,6 +966,7 @@ def lm_bits(
             F.col("split"),
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("bits", F.lit(0)).cast("long").alias("bits"),
             F.round(
                 F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
             ).alias("oov_frac"),
@@ -1151,5 +1152,58 @@ def freq_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("n_terms").over(w).cast("long").alias("cum_terms"),
             F.sum("n_occ").over(w).cast("long").alias("cum_occ"),
             F.expr("div(1000000 * n_occ, _tocc)").cast("long").alias("occ_micro"),
+        )
+    )
+
+
+def quality_lm_calibration(docs: DataFrame) -> DataFrame:
+    """Cross-signal quality calibration: does the cheap heuristic
+    quality score AGREE with the independent CCNet-style LM signal?
+    Documents are bucketed by quality micro-decile (fixed [k/10,
+    (k+1)/10) bins on the round-6 score — exact integer micro-units,
+    no data-dependent quantile pass) and each bucket reports its exact
+    total LM bit cost, token mass, and OOV mass. A healthy corpus
+    shows bits_per_token falling as the heuristic decile rises; a flat
+    profile means the heuristic threshold is not doing what the
+    perplexity filter would — the validation step run before trusting
+    either signal to gate a 100 TB corpus.
+
+    Returns (q_bucket, n_docs, n_tokens, n_oov, bits, bits_per_token,
+    oov_micro) for occupied buckets 0..9. Shape: the two ingredient
+    passes (analyze_documents projection; lm_bits' train/score split)
+    join once on the doc key, then ONE 10-ary bucket agg — all
+    combinable, output constant-cardinality."""
+    ta = analyze_documents(docs).select("doc_id", "quality")
+    lm = lm_bits(docs).select("doc_id", "n_tokens", "n_oov", "bits")
+    q_micro = F.round(F.col("quality") * F.lit(1_000_000.0), 0).cast("long")
+    bucket = F.least(F.lit(9).cast("long"), F.expr("div(_qm, 100000)"))
+    return (
+        ta.join(lm, "doc_id")
+        .withColumn("_qm", q_micro)
+        .groupBy(bucket.cast("int").alias("q_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_oov").cast("long").alias("n_oov"),
+            F.sum("bits").cast("long").alias("bits"),
+        )
+        .select(
+            "q_bucket",
+            "n_docs",
+            "n_tokens",
+            "n_oov",
+            "bits",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("bits").cast("double") / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("bits_per_token"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("div(1000000 * n_oov, n_tokens)"))
+            .cast("long")
+            .alias("oov_micro"),
         )
     )

@@ -5450,6 +5450,7 @@ sc AS (
 SELECT lab.doc_id, lab.split,
        COALESCE(sc.n_tokens, 0) AS n_tokens,
        COALESCE(sc.n_oov, 0) AS n_oov,
+       COALESCE(sc.bits, 0) AS bits,
        round(CAST(sc.n_oov AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
          AS oov_frac,
        round(CAST(sc.bits AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
@@ -5525,6 +5526,39 @@ def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_s=EB_BUCKET_S,
         min_mentions=EB_MIN_MENTIONS,
     )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-quality vs LM-perplexity calibration
+    (operators/textops.py:quality_lm_calibration): per quality decile
+    the exact LM bit cost and OOV mass — the cross-check run before
+    trusting either signal to gate a corpus."""
+    from .operators.textops import quality_lm_calibration
+
+    return quality_lm_calibration(_read(spark, sf_dir, "documents"))
+
+
+def _sql_quality_calibration() -> str:
+    return f"""
+WITH ta AS (SELECT doc_id, quality FROM ({_sql_text_analysis()}) _ta),
+lm AS (SELECT doc_id, n_tokens, n_oov, bits FROM ({_sql_lm_score()}) _lm),
+j AS (SELECT ta.doc_id, ta.quality, lm.n_tokens, lm.n_oov, lm.bits,
+             CAST(round(ta.quality * 1000000.0, 0) AS BIGINT) AS qm
+      FROM ta JOIN lm ON ta.doc_id = lm.doc_id),
+b AS (SELECT CAST(LEAST(9, qm // 100000) AS INT) AS q_bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+             CAST(SUM(bits) AS BIGINT) AS bits
+      FROM j GROUP BY 1)
+SELECT q_bucket, n_docs, n_tokens, n_oov, bits,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(CAST(bits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            END AS bits_per_token,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (1000000 * n_oov) // n_tokens END AS oov_micro
+FROM b
+"""
 
 
 EDGE_RECENCY_HORIZON_S = 120
@@ -5857,6 +5891,7 @@ QUERIES = {
     "edge_recency": q_edge_recency,
     "curation_verdict": q_curation_verdict,
     "corpus_cube": q_corpus_cube,
+    "quality_calibration": q_quality_calibration,
 }
 
 
@@ -6036,4 +6071,5 @@ ORACLE_SQL = {
     "edge_recency": _sql_edge_recency(_web_pages_file()),
     "curation_verdict": _sql_curation_verdict(),
     "corpus_cube": _sql_corpus_cube(),
+    "quality_calibration": _sql_quality_calibration(),
 }

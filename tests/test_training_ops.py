@@ -1374,6 +1374,7 @@ def test_lm_bits_matches_python_replay(spark):
         n_oov = sum(1 for w in toks if w not in train_counts)
         bits = sum(B - ((train_counts.get(w, 0) + 1).bit_length() - 1) for w in toks)
         assert r.n_oov == n_oov
+        assert r.bits == bits
         assert r.oov_frac == round(n_oov / len(toks), 6)
         assert r.bits_per_token == round(bits / len(toks), 6)
     # a doc of pure unseen tokens must cost strictly more than one of
@@ -1749,3 +1750,46 @@ def test_curation_verdict_stage_precedence(spark):
         # deterministic replayable bucket
         h = int(hashlib.md5(f"curate:v1:{i}".encode()).hexdigest()[:15], 16)
         assert got[i].sample_bucket == h % CV_MOD
+
+
+def test_quality_lm_calibration_consistent_with_components(spark):
+    """Bucket totals must equal the per-doc join of the two component
+    operators, buckets stay in 0..9, and the micro-decile binning is
+    the exact integer rule."""
+    from surfactant_spark.operators.textops import (
+        analyze_documents,
+        lm_bits,
+        quality_lm_calibration,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too"),
+        (2, "zz qq ww ee rr"),
+        (3, "a perfectly ordinary english sentence with many common words"),
+        (4, ""),
+        (5, "the the the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.q_bucket: r for r in quality_lm_calibration(docs).collect()}
+    ta = {r.doc_id: r.quality for r in analyze_documents(docs).collect()}
+    lm = {r.doc_id: r for r in lm_bits(docs).collect()}
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for i, q in ta.items():
+        b = min(9, int(round(q * 1_000_000)) // 100_000)
+        w = want[b]
+        w[0] += 1
+        w[1] += lm[i].n_tokens
+        w[2] += lm[i].n_oov
+        w[3] += lm[i].bits
+    assert set(got) == set(want)
+    for b, (nd, nt, no, bits) in want.items():
+        r = got[b]
+        assert (r.n_docs, r.n_tokens, r.n_oov, r.bits) == (nd, nt, no, bits)
+        if nt:
+            assert r.bits_per_token == round(bits / nt, 6)
+            assert r.oov_micro == (1_000_000 * no) // nt
+        else:
+            assert r.bits_per_token == 0.0 and r.oov_micro == 0
+        assert 0 <= b <= 9
