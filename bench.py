@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "curation_verdict",
     "corpus_cube",
     "quality_calibration",
+    "page_rank",
 ]
 
 

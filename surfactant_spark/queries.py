@@ -2795,6 +2795,43 @@ def _sql_host_rank(path: str) -> str:
     )
 
 
+def q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level PageRank — the same generic integer recurrence as
+    host_rank but at PAGE granularity (the graph a crawler's
+    per-URL scheduling actually ranks; the host rollup loses
+    within-site structure). Edges are absolute http(s) targets with
+    per-(src,dst) multiplicities; the page graph's cardinality is
+    pages-not-hosts, which is exactly what pagerank_auto's
+    driver/distributed dispatch exists for."""
+    from .operators.graphrank import pagerank_auto
+    from .operators.webgraph import extract_links
+
+    links = extract_links(_read_web_pages(spark))
+    edges = (
+        links.select(
+            "url", F.regexp_replace("href", r"^bundle://", "").alias("tgt")
+        )
+        .where(F.col("tgt").rlike(r"^https?://"))
+        .groupBy(F.col("url").alias("src"), F.col("tgt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_auto(edges, iters=PAGERANK_ITERS, weight_col="w")
+    return ranks.select(F.col("id").alias("url"), "rank")
+
+
+def _sql_page_rank(path: str) -> str:
+    inner = (
+        f"WITH {_SQL_LINKS.format(path=path)}\n"
+        "SELECT url AS src, regexp_replace(href, '^bundle://', '') AS dst"
+        " FROM links"
+    )
+    return _sql_pagerank_unrolled(
+        f"""SELECT src, dst, COUNT(*) AS w FROM ({inner}) _t
+WHERE regexp_matches(dst, '^https?://') GROUP BY src, dst""",
+        "url",
+    )
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site clusters: connected components over the (undirected) host
     link graph with component sizes — the component-statistics product
@@ -5892,6 +5929,7 @@ QUERIES = {
     "curation_verdict": q_curation_verdict,
     "corpus_cube": q_corpus_cube,
     "quality_calibration": q_quality_calibration,
+    "page_rank": q_page_rank,
 }
 
 
@@ -6072,4 +6110,5 @@ ORACLE_SQL = {
     "curation_verdict": _sql_curation_verdict(),
     "corpus_cube": _sql_corpus_cube(),
     "quality_calibration": _sql_quality_calibration(),
+    "page_rank": _sql_page_rank(_web_pages_file()),
 }
