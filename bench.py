@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "corpus_cube",
     "quality_calibration",
     "page_rank",
+    "anchor_priors",
 ]
 
 

@@ -962,3 +962,46 @@ def edge_recency(
         (F.lit(max_ts) - F.col("last_seen")).cast("long").alias("staleness_s"),
         ((F.lit(max_ts) - F.col("last_seen")) <= F.lit(horizon_s)).alias("active"),
     )
+
+
+def anchor_priors(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
+    """Entity-linking anchor PRIOR per surface form — the transpose of
+    anchor_stats: for each anchor TEXT, how its occurrences distribute
+    over link targets, and which target wins. P(target | anchor) is
+    the classic disambiguation prior (Wikipedia-anchor-style commonness
+    baseline): 'jaguar' resolving to the car page 70% of the time IS
+    the baseline an entity linker must beat. Returns (anchor, n_uses,
+    n_targets, top_href, top_n, prior_micro, ambiguous): exact counts,
+    the winning target by (count desc, href asc) — a min_by over the
+    struct order, never a per-anchor sort — and the prior as an exact
+    integer micro-share; ``ambiguous`` marks surface forms with more
+    than one observed target (the rows a linker actually works on).
+
+    Scale shape: the (anchor, href) agg combines map-side (hot
+    boilerplate anchors like 'home' collapse per map task); the
+    per-anchor reduction runs at surface-form cardinality — a
+    dimension table relative to the corpus."""
+    if links is None:
+        links = extract_links(pages)
+    links = links.where((F.col("href") != "") & (F.col("anchor") != ""))
+    per = links.groupBy("anchor", "href").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("anchor")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_uses"),
+            F.count(F.lit(1)).alias("n_targets"),
+            F.min_by(
+                F.struct(F.col("href").alias("top_href"), F.col("cnt").alias("top_n")),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("href")),
+            ).alias("_w"),
+        )
+        .select(
+            "anchor",
+            "n_uses",
+            "n_targets",
+            F.col("_w.top_href"),
+            F.col("_w.top_n").cast("long").alias("top_n"),
+            F.expr("div(1000000 * _w.top_n, n_uses)").cast("long").alias("prior_micro"),
+            (F.col("n_targets") > 1).alias("ambiguous"),
+        )
+    )

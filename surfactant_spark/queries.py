@@ -2795,6 +2795,35 @@ def _sql_host_rank(path: str) -> str:
     )
 
 
+def q_anchor_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(target | anchor text) disambiguation priors
+    (operators/webgraph.py:anchor_priors) — the commonness baseline an
+    entity linker must beat, exact micro-shares, min_by winner."""
+    from .operators.webgraph import anchor_priors
+
+    return anchor_priors(_read_web_pages(spark))
+
+
+def _sql_anchor_priors(path: str) -> str:
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+per AS (SELECT anchor, href, COUNT(*) AS cnt FROM links
+        WHERE href <> '' AND anchor <> '' GROUP BY 1, 2),
+w AS (SELECT anchor, href AS top_href, cnt AS top_n,
+             ROW_NUMBER() OVER (PARTITION BY anchor
+                                ORDER BY cnt DESC, href ASC) AS rn
+      FROM per),
+pa AS (SELECT anchor, CAST(SUM(cnt) AS BIGINT) AS n_uses,
+              COUNT(*) AS n_targets
+       FROM per GROUP BY anchor)
+SELECT pa.anchor, pa.n_uses, pa.n_targets, w.top_href,
+       CAST(w.top_n AS BIGINT) AS top_n,
+       (1000000 * w.top_n) // pa.n_uses AS prior_micro,
+       pa.n_targets > 1 AS ambiguous
+FROM pa JOIN w ON pa.anchor = w.anchor AND w.rn = 1
+"""
+
+
 def q_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level PageRank — the same generic integer recurrence as
     host_rank but at PAGE granularity (the graph a crawler's
@@ -5930,6 +5959,7 @@ QUERIES = {
     "corpus_cube": q_corpus_cube,
     "quality_calibration": q_quality_calibration,
     "page_rank": q_page_rank,
+    "anchor_priors": q_anchor_priors,
 }
 
 
@@ -6111,4 +6141,5 @@ ORACLE_SQL = {
     "corpus_cube": _sql_corpus_cube(),
     "quality_calibration": _sql_quality_calibration(),
     "page_rank": _sql_page_rank(_web_pages_file()),
+    "anchor_priors": _sql_anchor_priors(_web_pages_file()),
 }

@@ -796,3 +796,39 @@ def test_edge_recency_hand_computed(spark):
     assert act == {("a.com", "zlib"): True, ("a.com", "ssl"): False}
     with pytest.raises(ValueError):
         edge_recency(pages, horizon_s=-1)
+
+
+def test_anchor_priors_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import anchor_priors
+
+    def page(url, *hrefs_anchors):
+        html = "".join(
+            f'<a href="{h}">{a}</a>' for h, a in hrefs_anchors
+        ).encode()
+        return (url, html)
+
+    rows = [
+        # 'jaguar' -> car 3x, animal 1x ; 'home' -> one target only
+        page("http://a.com/1", ("http://car.com/", "jaguar"),
+             ("http://a.com/", "home")),
+        page("http://b.com/1", ("http://car.com/", "jaguar"),
+             ("http://zoo.org/", "jaguar")),
+        page("http://c.com/1", ("http://car.com/", "jaguar"),
+             ("", "empty-href-ignored")),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        r.anchor: (r.n_uses, r.n_targets, r.top_href, r.top_n,
+                   r.prior_micro, r.ambiguous)
+        for r in anchor_priors(pages).collect()
+    }
+    assert got["jaguar"] == (4, 2, "http://car.com/", 3, 750000, True)
+    assert got["home"] == (1, 1, "http://a.com/", 1, 1000000, False)
+    assert "empty-href-ignored" not in got
+    # count tie breaks to lexicographically smallest href
+    tie = spark.createDataFrame(
+        [page("http://t.com/1", ("http://b.com/", "x"), ("http://a.com/", "x"))],
+        "url string, html binary",
+    )
+    r = anchor_priors(tie).collect()[0]
+    assert (r.top_href, r.top_n, r.prior_micro) == ("http://a.com/", 1, 500000)
