@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "page_rank",
     "anchor_priors",
+    "politeness_audit",
 ]
 
 

@@ -1005,3 +1005,59 @@ def anchor_priors(pages: DataFrame, links: DataFrame | None = None) -> DataFrame
             (F.col("n_targets") > 1).alias("ambiguous"),
         )
     )
+
+
+def politeness_audit(
+    pages: DataFrame,
+    min_delay_s: int = 5,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Crawl politeness audit: which hosts did the crawler hit FASTER
+    than the declared minimum delay, and how often — the compliance
+    readout a crawl operator publishes next to host_fetch_intervals'
+    rate estimates (intervals say what the crawler DID; this says
+    where that violated policy). Returns (host, n_gaps, n_violations,
+    min_gap_s, viol_micro, flagged) for hosts with at least one
+    inter-fetch gap: exact integer gap counts, the violation share in
+    exact micro-units, ``flagged`` when any gap ran under
+    ``min_delay_s``.
+
+    Shape: the same per-host lag window as host_fetch_intervals (a hot
+    host sorts only its own fetches), then ONE combinable agg — no
+    quantile pass, no join."""
+    from pyspark.sql import Window
+
+    if min_delay_s < 0:
+        raise ValueError(f"min_delay_s must be >= 0, got {min_delay_s}")
+    f = pages.select(
+        F.regexp_extract(F.col(url_col), _URL_HOST, 1).alias("host"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(url_col).alias("u"),
+    )
+    w = Window.partitionBy("host").orderBy("ts", "u")
+    gaps = f.select(
+        "host", (F.col("ts") - F.lag("ts").over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(
+                F.when(F.col("gap_s") < min_delay_s, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_violations"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+        )
+        .select(
+            "host",
+            "n_gaps",
+            "n_violations",
+            "min_gap_s",
+            F.expr("div(1000000 * n_violations, n_gaps)")
+            .cast("long")
+            .alias("viol_micro"),
+            (F.col("n_violations") > 0).alias("flagged"),
+        )
+    )

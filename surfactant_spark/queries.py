@@ -4753,6 +4753,46 @@ WHERE agg.n_total >= {min_anchors}
 """
 
 
+POLITENESS_MIN_DELAY_S = 2
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which hosts the crawler hit faster than the declared minimum
+    delay, and how often (operators/webgraph.py:politeness_audit) —
+    the compliance readout next to host_intervals' rate estimates.
+    Exact integer counts, exact micro-unit violation share."""
+    from .operators.webgraph import politeness_audit
+
+    return politeness_audit(
+        _read_web_pages(spark), min_delay_s=POLITENESS_MIN_DELAY_S
+    )
+
+
+def _sql_politeness_audit(
+    path: str, min_delay_s: int = POLITENESS_MIN_DELAY_S
+) -> str:
+    return f"""
+WITH f AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         CAST(warc_ts AS BIGINT) AS ts, url
+  FROM read_parquet('{path}')),
+g AS (
+  SELECT host,
+         ts - LAG(ts) OVER (PARTITION BY host ORDER BY ts, url) AS gap_s
+  FROM f),
+gg AS (SELECT host, gap_s FROM g WHERE gap_s IS NOT NULL),
+a AS (SELECT host, COUNT(*) AS n_gaps,
+             CAST(SUM(CASE WHEN gap_s < {min_delay_s} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations,
+             CAST(MIN(gap_s) AS BIGINT) AS min_gap_s
+      FROM gg GROUP BY host)
+SELECT host, n_gaps, n_violations, min_gap_s,
+       (1000000 * n_violations) // n_gaps AS viol_micro,
+       n_violations > 0 AS flagged
+FROM a
+"""
+
+
 def q_host_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host fetch history: count, first/last fetch epoch, median
     inter-fetch gap (exact rank median over a per-host gap histogram) —
@@ -5960,6 +6000,7 @@ QUERIES = {
     "quality_calibration": q_quality_calibration,
     "page_rank": q_page_rank,
     "anchor_priors": q_anchor_priors,
+    "politeness_audit": q_politeness_audit,
 }
 
 
@@ -6142,4 +6183,5 @@ ORACLE_SQL = {
     "quality_calibration": _sql_quality_calibration(),
     "page_rank": _sql_page_rank(_web_pages_file()),
     "anchor_priors": _sql_anchor_priors(_web_pages_file()),
+    "politeness_audit": _sql_politeness_audit(_web_pages_file()),
 }

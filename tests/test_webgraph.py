@@ -832,3 +832,45 @@ def test_anchor_priors_hand_computed(spark):
     )
     r = anchor_priors(tie).collect()[0]
     assert (r.top_href, r.top_n, r.prior_micro) == ("http://a.com/", 1, 500000)
+
+
+def test_politeness_audit_hand_computed(spark):
+    import datetime as dt
+
+    import pytest
+
+    from surfactant_spark.operators.webgraph import politeness_audit
+
+    def ts(s):
+        return dt.datetime(
+            2024, 1, 1, tzinfo=dt.timezone.utc
+        ) + dt.timedelta(seconds=s)
+
+    rows = [
+        # a.com fetched at 0, 1, 10 -> gaps [1, 9]: one violation at
+        # min_delay 5
+        ("http://a.com/1", ts(0)), ("http://a.com/2", ts(1)),
+        ("http://a.com/3", ts(10)),
+        # b.org fetched at 0, 20 -> gap [20]: clean
+        ("http://b.org/1", ts(0)), ("http://b.org/2", ts(20)),
+        # single fetch -> no gaps -> absent
+        ("http://c.net/1", ts(0)),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    got = {
+        r.host: (r.n_gaps, r.n_violations, r.min_gap_s, r.viol_micro, r.flagged)
+        for r in politeness_audit(pages, min_delay_s=5).collect()
+    }
+    assert got == {
+        "a.com": (2, 1, 1, 500000, True),
+        "b.org": (1, 0, 20, 0, False),
+    }
+    # same-second fetches count as zero-gap violations at any delay > 0
+    burst = spark.createDataFrame(
+        [("http://d.io/1", ts(0)), ("http://d.io/2", ts(0))],
+        "url string, warc_ts timestamp",
+    )
+    r = politeness_audit(burst, min_delay_s=1).collect()[0]
+    assert (r.n_violations, r.min_gap_s, r.flagged) == (1, 0, True)
+    with pytest.raises(ValueError):
+        politeness_audit(pages, min_delay_s=-1)
