@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "page_rank",
     "anchor_priors",
     "politeness_audit",
+    "ann_recall",
 ]
 
 

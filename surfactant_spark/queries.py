@@ -621,6 +621,62 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(emb.where(F.col("vec_id") < N_QUERIES), emb, k=TOP_K, n_planes=LSH_PLANES)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of BOTH approximate ANN paths against the exact
+    brute-force ranking — the measurement that justifies shipping an
+    approximate index at 100 TB (an un-audited ANN is a silent recall
+    cliff). Per (method, query): the exact-top-k hits the method
+    retrieved and the recall as an exact integer micro-share. All
+    three rankings are individually bit-exact cross-engine with
+    deterministic tie-breaks, so the INTERSECTION is deterministic too
+    — the audit itself is hash-checkable, not a float estimate."""
+    exact = q_topk_bruteforce(spark, sf_dir).select("query_id", "match_id")
+    ks = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    parts = []
+    for method, qf in (("ivf", q_topk_ivf), ("lsh", q_topk_lsh)):
+        ap = qf(spark, sf_dir).select("query_id", "match_id")
+        hit = (
+            ap.join(exact, ["query_id", "match_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_h"))
+        )
+        parts.append(
+            ks.join(hit, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.col("_k").cast("long").alias("k"),
+                F.coalesce("_h", F.lit(0)).cast("long").alias("n_hit"),
+                F.expr("div(1000000 * coalesce(_h, 0), _k)")
+                .cast("long")
+                .alias("recall_micro"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH ex AS (SELECT query_id, match_id FROM ({SQL_TOPK_BRUTEFORCE}) _e),
+iv AS (SELECT query_id, match_id FROM ({_sql_topk_ivf()}) _i),
+ls AS (SELECT query_id, match_id FROM ({_sql_topk_lsh()}) _l),
+ks AS (SELECT query_id, COUNT(*) AS k FROM ex GROUP BY query_id),
+hi AS (
+  SELECT 'ivf' AS method, ex.query_id, COUNT(*) AS n_hit
+  FROM ex JOIN iv ON ex.query_id = iv.query_id AND ex.match_id = iv.match_id
+  GROUP BY ex.query_id
+  UNION ALL
+  SELECT 'lsh' AS method, ex.query_id, COUNT(*) AS n_hit
+  FROM ex JOIN ls ON ex.query_id = ls.query_id AND ex.match_id = ls.match_id
+  GROUP BY ex.query_id),
+m AS (SELECT 'ivf' AS method, query_id, k FROM ks
+      UNION ALL SELECT 'lsh' AS method, query_id, k FROM ks)
+SELECT m.method, m.query_id, CAST(m.k AS BIGINT) AS k,
+       CAST(COALESCE(hi.n_hit, 0) AS BIGINT) AS n_hit,
+       (1000000 * COALESCE(hi.n_hit, 0)) // m.k AS recall_micro
+FROM m LEFT JOIN hi ON m.method = hi.method AND m.query_id = hi.query_id
+"""
+
+
 def _sql_topk_lsh() -> str:
     """Exact DuckDB replay of the LSH path: the plane-sign literals are
     the same driver-precomputed ±1 arrays (similarity.plane_sign_literals),
@@ -6001,6 +6057,7 @@ QUERIES = {
     "page_rank": q_page_rank,
     "anchor_priors": q_anchor_priors,
     "politeness_audit": q_politeness_audit,
+    "ann_recall": q_ann_recall,
 }
 
 
@@ -6184,4 +6241,5 @@ ORACLE_SQL = {
     "page_rank": _sql_page_rank(_web_pages_file()),
     "anchor_priors": _sql_anchor_priors(_web_pages_file()),
     "politeness_audit": _sql_politeness_audit(_web_pages_file()),
+    "ann_recall": _sql_ann_recall(),
 }
