@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "anchor_priors",
     "politeness_audit",
     "ann_recall",
+    "mirror_networks",
 ]
 
 

@@ -5208,6 +5208,57 @@ FROM pairs JOIN cnt a ON pairs.host_a = a.host
 """
 
 
+def q_mirror_networks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror NETWORKS: connected components over the mirror-pair graph
+    (a mirror relation is transitive in practice — if A mirrors B and
+    B mirrors C they are one replica set), sized per network — the
+    fetch-one-per-network list a crawl scheduler actually consumes
+    (mirror_pairs names edges; this names the replica SETS). The pair
+    graph is host-dimension-sized, so the generic CC auto-dispatch
+    takes the driver union-find path at any realistic scale."""
+    from .operators.canon import connected_components_auto
+    from .operators.webgraph import mirror_pairs
+
+    mp = mirror_pairs(
+        _read_web_pages(spark),
+        min_shared=MIRROR_MIN_SHARED,
+        max_hosts_per_sha=MIRROR_MAX_HOSTS,
+    ).localCheckpoint(eager=True)
+    edges = mp.select(F.col("host_a").alias("src"), F.col("host_b").alias("dst"))
+    comp = connected_components_auto(edges, "src", "dst")
+    nodes = (
+        mp.select(F.col("host_a").alias("host"))
+        .unionByName(mp.select(F.col("host_b").alias("host")))
+        .distinct()
+    )
+    lab = nodes.join(comp.withColumnRenamed("id", "host"), "host", "left").select(
+        "host", F.coalesce("component", F.col("host")).alias("network")
+    )
+    sizes = lab.groupBy("network").agg(F.count(F.lit(1)).alias("network_size"))
+    return lab.join(sizes, "network").select("host", "network", "network_size")
+
+
+def _sql_mirror_networks(path: str) -> str:
+    return f"""
+WITH RECURSIVE mp AS (SELECT * FROM ({_sql_mirror_pairs(path)}) _mp),
+e AS (SELECT host_a AS a, host_b AS b FROM mp),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT host_a AS host FROM mp UNION ALL SELECT host_b FROM mp)),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS host, LEAST(MIN(b), a) AS network FROM reach GROUP BY a),
+lab AS (
+  SELECT n.host, COALESCE(c.network, n.host) AS network
+  FROM nodes n LEFT JOIN comp c USING (host)),
+sz AS (SELECT network, COUNT(*) AS network_size FROM lab GROUP BY network)
+SELECT l.host, l.network, s.network_size FROM lab l JOIN sz s USING (network)
+"""
+
+
 def q_page_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page markup/spam features (operators/webgraph.py:
     page_markup_stats): link/script/iframe counts + text-to-html
@@ -6058,6 +6109,7 @@ QUERIES = {
     "anchor_priors": q_anchor_priors,
     "politeness_audit": q_politeness_audit,
     "ann_recall": q_ann_recall,
+    "mirror_networks": q_mirror_networks,
 }
 
 
@@ -6242,4 +6294,5 @@ ORACLE_SQL = {
     "anchor_priors": _sql_anchor_priors(_web_pages_file()),
     "politeness_audit": _sql_politeness_audit(_web_pages_file()),
     "ann_recall": _sql_ann_recall(),
+    "mirror_networks": _sql_mirror_networks(_web_pages_file()),
 }
