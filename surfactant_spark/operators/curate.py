@@ -100,3 +100,121 @@ def curation_verdict(
         verdict.isNull().alias("keep"),
         verdict.alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_langs: tuple = ("en",),
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    salt: str = "dsir:v1",
+) -> DataFrame:
+    """Per-document importance weight for Data Selection via Importance
+    Resampling (Xie et al. 2023): score every raw document by how much
+    more likely its hashed n-gram bag is under the TARGET distribution
+    (here: the corpus slice whose ``lang_col`` is in ``target_langs``,
+    standing in for the paper's Wikipedia/books target) than under the
+    RAW distribution (the whole corpus). Downstream selection keeps the
+    highest-weight documents — the learned-from-data generalization of
+    hand-written quality rules.
+
+    Features are the paper's hashed n-grams: unigrams and adjacent
+    bigrams of the whitespace-tokenized lowercased text, bucketed by
+    the portable md5-prefix hash into ``n_buckets`` slots. Both bag
+    models are add-one-smoothed over the FIXED bucket space, binned to
+    powers of two exactly like :func:`textops.lm_bits`: a bucket with
+    count ``c`` under model X costs ``B_x - floor(log2(c + 1))`` bits,
+    ``B_x = floor(log2(T_x + n_buckets))``, so the per-document log
+    weight ``sum(cnt * (bits_raw - bits_target))`` is an EXACT integer
+    (positive = looks like the target) and the oracle surface carries
+    no libm log. Returns (doc_id, is_target, n_feats, weight_bits,
+    bits_per_feat); feature-free docs report 0/0/null.
+
+    Spark shape: ONE corpus-sized shuffle builds the (doc, bucket,
+    cnt) table, localCheckpoint-ed because the two bucket models and
+    the scoring probe all read it; each model is a <= ``n_buckets``-row
+    dimension joined back with an explicit broadcast, and the two
+    totals ride a 1-row broadcast. Nothing corpus-sized sorts,
+    collects, or joins non-equi — the lm_bits discipline with two
+    models instead of one.
+    """
+    from .dedup import tokenized
+
+    langs = [str(l) for l in target_langs]
+    tok = tokenized(
+        docs.withColumn("_is_t", F.col(lang_col).isin(langs)),
+        text_col,
+        keep=(id_col, "_is_t"),
+    )
+    toks = F.col("_toks")
+    k = F.size(toks)
+    bigrams = F.when(k < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    feats = F.concat(F.filter(toks, lambda t: t != ""), bigrams)
+    occ = (
+        tok.select(F.col(id_col), F.col("_is_t"), F.explode(feats).alias("g"))
+        .select(
+            id_col,
+            "_is_t",
+            F.pmod(
+                portable_hash64_col(F.concat(F.lit(salt + ":"), F.col("g"))),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+        .groupBy(id_col, "_is_t", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ct = (
+        occ.where(F.col("_is_t"))
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("c_t"))
+    )
+    cr = occ.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
+    tot = ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t")).crossJoin(
+        cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("t_r"))
+    )
+    bits_t = (F.length(F.bin(F.col("t_t") + n_buckets)) - 1) - (
+        F.length(F.bin(F.coalesce(F.col("c_t"), F.lit(0)) + 1)) - 1
+    )
+    bits_r = (F.length(F.bin(F.col("t_r") + n_buckets)) - 1) - (
+        F.length(F.bin(F.coalesce(F.col("c_r"), F.lit(0)) + 1)) - 1
+    )
+    scored = (
+        occ.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * (bits_r - bits_t)).cast("long").alias("weight_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.col(lang_col).isin(langs).alias("is_target"))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("is_target"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("weight_bits", F.lit(0)).cast("long").alias("weight_bits"),
+            F.round(
+                F.col("weight_bits").cast("double") / F.col("n_feats").cast("double"),
+                6,
+            ).alias("bits_per_feat"),
+        )
+    )

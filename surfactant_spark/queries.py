@@ -5957,6 +5957,69 @@ SQL_LANG_UNPIVOT = (
 )
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights — operators/curate.py
+# ---------------------------------------------------------------------------
+DSIR_TARGET_LANGS = ("en",)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every raw document
+    scored by how much more likely its hashed unigram+bigram bag is
+    under the target-language slice's feature distribution than under
+    the whole corpus's — exact-integer log weights via the lm_score
+    power-of-two binning, so the learned data-selection signal carries
+    no libm log on the oracle surface."""
+    from .operators.curate import dsir_weights
+
+    return dsir_weights(
+        _read(spark, sf_dir, "documents"), target_langs=DSIR_TARGET_LANGS
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from .operators.curate import DSIR_BUCKETS
+
+    nb = DSIR_BUCKETS
+    langs = ", ".join(f"'{lg}'" for lg in DSIR_TARGET_LANGS)
+    hb = _H.format(expr="'dsir:v1:' || f.g")
+    return rf"""
+WITH t AS (SELECT doc_id, lang IN ({langs}) AS is_t,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+f AS (
+  SELECT doc_id, is_t, u.tok AS g
+  FROM t, UNNEST(toks) AS u(tok) WHERE u.tok <> ''
+  UNION ALL
+  SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS g
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)),
+occ AS (SELECT doc_id, is_t, {hb} % {nb} AS b, COUNT(*) AS cnt
+        FROM f GROUP BY doc_id, is_t, b),
+ct AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS c_t FROM occ
+       WHERE is_t GROUP BY b),
+cr AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS c_r FROM occ GROUP BY b),
+tot AS (SELECT (SELECT COALESCE(CAST(SUM(c_t) AS BIGINT), 0) FROM ct) AS t_t,
+               (SELECT COALESCE(CAST(SUM(c_r) AS BIGINT), 0) FROM cr) AS t_r),
+sc AS (
+  SELECT o.doc_id,
+         CAST(SUM(o.cnt) AS BIGINT) AS n_feats,
+         CAST(SUM(o.cnt * (
+             ((length(bin(t.t_r + {nb})) - 1)
+              - (length(bin(COALESCE(cr.c_r, 0) + 1)) - 1))
+           - ((length(bin(t.t_t + {nb})) - 1)
+              - (length(bin(COALESCE(ct.c_t, 0) + 1)) - 1))
+         )) AS BIGINT) AS weight_bits
+  FROM occ o LEFT JOIN ct ON o.b = ct.b LEFT JOIN cr ON o.b = cr.b, tot t
+  GROUP BY o.doc_id)
+SELECT d.doc_id, d.lang IN ({langs}) AS is_target,
+       COALESCE(sc.n_feats, 0) AS n_feats,
+       COALESCE(sc.weight_bits, 0) AS weight_bits,
+       round(CAST(sc.weight_bits AS DOUBLE) / CAST(sc.n_feats AS DOUBLE), 6)
+         AS bits_per_feat
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 QUERIES = {
     # -- newest first: never driver-checked (round-5 late additions) --
     "host_adamic": q_host_adamic,
@@ -6110,6 +6173,7 @@ QUERIES = {
     "politeness_audit": q_politeness_audit,
     "ann_recall": q_ann_recall,
     "mirror_networks": q_mirror_networks,
+    "dsir_weights": q_dsir_weights,
 }
 
 
@@ -6295,4 +6359,5 @@ ORACLE_SQL = {
     "politeness_audit": _sql_politeness_audit(_web_pages_file()),
     "ann_recall": _sql_ann_recall(),
     "mirror_networks": _sql_mirror_networks(_web_pages_file()),
+    "dsir_weights": _sql_dsir_weights(),
 }

@@ -1793,3 +1793,127 @@ def test_quality_lm_calibration_consistent_with_components(spark):
         else:
             assert r.bits_per_token == 0.0 and r.oov_micro == 0
         assert 0 <= b <= 9
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights — operators/curate.py
+# ---------------------------------------------------------------------------
+def _py_dsir(rows, target_langs=("en",), n_buckets=64, salt="dsir:v1"):
+    """Pure-python third implementation: Counter-based hashed-ngram bag
+    models with the exact power-of-two bit costs."""
+    import hashlib
+    from collections import Counter
+
+    def bucket(g):
+        h = int(hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    def feats(t):
+        toks = [w for w in t.strip().lower().split() if w]
+        grams = list(toks) + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        return Counter(bucket(g) for g in grams)
+
+    c_t, c_r = Counter(), Counter()
+    per_doc = {}
+    for doc_id, lang, text in rows:
+        f = feats(text)
+        per_doc[doc_id] = (lang in target_langs, f)
+        c_r.update(f)
+        if lang in target_langs:
+            c_t.update(f)
+    t_t, t_r = sum(c_t.values()), sum(c_r.values())
+    b_t = (t_t + n_buckets).bit_length() - 1
+    b_r = (t_r + n_buckets).bit_length() - 1
+
+    def cost(c, big):
+        return big - ((c + 1).bit_length() - 1)
+
+    out = {}
+    for doc_id, (is_t, f) in per_doc.items():
+        n = sum(f.values())
+        w = sum(
+            cnt * (cost(c_r[b], b_r) - cost(c_t[b], b_t)) for b, cnt in f.items()
+        )
+        out[doc_id] = (is_t, n, w, round(w / n, 6) if n else None)
+    return out
+
+
+def test_dsir_weights_matches_python_replay(spark):
+    from surfactant_spark.operators.curate import dsir_weights
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat on the log"),
+        (3, "de", "der hund lief durch den wald"),
+        (4, "de", "die katze sass auf der matte"),
+        (5, "fr", "le chat est sur le tapis"),
+        (6, "en", ""),  # feature-free doc: 0 feats, null per-feat weight
+        (7, "zz", "the cat sat on the mat"),  # target-looking non-target doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: r for r in dsir_weights(docs, n_buckets=64).collect()
+    }
+    want = _py_dsir(rows, n_buckets=64)
+    assert set(got) == set(want)
+    for doc_id, (is_t, n, w, bpf) in want.items():
+        r = got[doc_id]
+        assert r.is_target == is_t, doc_id
+        assert r.n_feats == n, doc_id
+        assert r.weight_bits == w, doc_id
+        assert r.bits_per_feat == bpf, doc_id
+    # the discriminative claim: a doc written in the target distribution
+    # outranks same-length docs from other languages, REGARDLESS of its
+    # own lang tag (doc 7 shares doc 1's text and must share its weight)
+    assert got[7].weight_bits == got[1].weight_bits
+    assert got[7].bits_per_feat > got[3].bits_per_feat
+    assert got[7].bits_per_feat > got[5].bits_per_feat
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.lists(
+                st.text(alphabet="abcd", min_size=1, max_size=4),
+                min_size=0,
+                max_size=6,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dsir_weights_matches_python_property(spark, docs_spec):
+    from surfactant_spark.operators.curate import dsir_weights
+
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(docs_spec)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.is_target, r.n_feats, r.weight_bits, r.bits_per_feat)
+        for r in dsir_weights(docs, n_buckets=32).collect()
+    }
+    assert got == _py_dsir(rows, n_buckets=32)
+
+
+def test_dsir_weights_no_target_docs_degenerates_safely(spark):
+    """An empty target slice must not divide by zero or null out: the
+    target model is the pure add-one prior and every doc's weight is
+    still a well-defined integer."""
+    from surfactant_spark.operators.curate import dsir_weights
+
+    rows = [(1, "de", "der hund"), (2, "fr", "le chat")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in dsir_weights(docs, n_buckets=32).collect()}
+    want = _py_dsir(rows, n_buckets=32)
+    for doc_id, (is_t, n, w, bpf) in want.items():
+        r = got[doc_id]
+        assert (r.is_target, r.n_feats, r.weight_bits, r.bits_per_feat) == (
+            is_t,
+            n,
+            w,
+            bpf,
+        )
