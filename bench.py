@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "politeness_audit",
     "ann_recall",
     "mirror_networks",
+    "dsir_weights",
 ]
 
 
