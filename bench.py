@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ann_recall",
     "mirror_networks",
     "dsir_weights",
+    "cdx_index",
 ]
 
 

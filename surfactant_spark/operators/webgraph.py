@@ -1061,3 +1061,60 @@ def politeness_audit(
             (F.col("n_violations") > 0).alias("flagged"),
         )
     )
+
+
+def surt_key(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL — the
+    sort key Common Crawl's CDX index and the Wayback Machine file
+    their captures under: canonicalize (RFC 3986 §6, reusing
+    :func:`url_canonicalize`), drop userinfo and a leading ``www.``,
+    reverse the host labels comma-joined, keep a non-default port, and
+    append ``)`` plus the lowercased path+query — so every capture of
+    one site's subtree is one contiguous key range
+    (``org,example)/p/...``) and prefix range scans replace host joins.
+    Pure JVM string algebra, replayed verbatim in the DuckDB twin."""
+    canon = url_canonicalize(col)
+    auth = F.regexp_extract(canon, _URL_HOST, 1)
+    host = F.regexp_replace(auth, r"^.*@", "")
+    port = F.regexp_extract(host, r":([0-9]+)$", 1)
+    hostname = F.regexp_replace(
+        F.regexp_replace(host, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(hostname, r"\.")), ",")
+    rest = F.lower(F.regexp_replace(canon, r"^[a-z]+://[^/?#]+", ""))
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        rest,
+    )
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDX-style capture index over the crawl (Common Crawl's cdx-index
+    product): one row per captured page with its SURT sort key, the
+    original url, the capture timestamp, the sha-256 content digest of
+    the extracted text, and the text length — everything a lookup
+    service needs to answer "what captures exist under this prefix,
+    and which are distinct?".
+
+    Scale shape: a shuffle-free scan-side projection (hash + string
+    algebra, whole-stage codegen). The index FILES are produced by
+    range-repartitioning on ``surt`` and sorting within partitions at
+    write time (Spark's repartitionByRange + sortWithinPartitions —
+    each output shard is one contiguous key range, the layout prefix
+    scans want); the query surface returns the unsorted rows because
+    the driver compare is order-insensitive and range boundaries are
+    sample-dependent, not semantic."""
+    return pages.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("warc_ts"),
+        F.sha2(F.col(text_col), 256).alias("digest"),
+        F.length(text_col).cast("long").alias("text_len"),
+    )

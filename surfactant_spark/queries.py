@@ -5958,6 +5958,62 @@ SQL_LANG_UNPIVOT = (
 
 
 # ---------------------------------------------------------------------------
+# CDX capture index (SURT keys) — operators/webgraph.py
+# ---------------------------------------------------------------------------
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index with SURT sort keys (Common Crawl's
+    cdx-index product): canonical-url SURT + capture ts + sha-256 text
+    digest + length per page — a shuffle-free scan-side projection;
+    index shards range-partition on the key at write time."""
+    from .operators.webgraph import cdx_index
+
+    return cdx_index(_read_web_pages(spark))
+
+
+def _sql_cdx_index(path: str) -> str:
+    return rf"""
+WITH c1 AS (
+  SELECT url, warc_ts, text, regexp_replace(url, '#.*', '') AS u
+  FROM read_parquet('{path}')),
+c2 AS (
+  SELECT url, warc_ts, text,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1))
+           || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS u
+  FROM c1),
+c3 AS (
+  SELECT url, warc_ts, text,
+         regexp_replace(
+           regexp_replace(u, '^(https://[^/:?#]+):443([/?]|$)', '\1\2'),
+           '^(http://[^/:?#]+):80([/?]|$)', '\1\2') AS u
+  FROM c2),
+canon AS (
+  SELECT url, warc_ts, text,
+         CASE WHEN regexp_matches(u, '^[a-z][a-z0-9+.\-]*://[^/?#]+$')
+              THEN u || '/' ELSE u END AS cu
+  FROM c3),
+h AS (
+  SELECT url, warc_ts, text, cu,
+         regexp_replace(regexp_extract(cu, '^[a-z]+://([^/?#]+)', 1),
+                        '^.*@', '') AS host
+  FROM canon),
+p AS (
+  SELECT url, warc_ts, text, cu,
+         regexp_extract(host, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(host, ':[0-9]+$', ''),
+                        '^www\.', '') AS hostname
+  FROM h)
+SELECT array_to_string(list_reverse(string_split(hostname, '.')), ',')
+         || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+         || ')' || lower(regexp_replace(cu, '^[a-z]+://[^/?#]+', '')) AS surt,
+       url,
+       CAST(warc_ts AS BIGINT) AS warc_ts,
+       sha256(text) AS digest,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance-resampling weights — operators/curate.py
 # ---------------------------------------------------------------------------
 DSIR_TARGET_LANGS = ("en",)
@@ -6174,6 +6230,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "mirror_networks": q_mirror_networks,
     "dsir_weights": q_dsir_weights,
+    "cdx_index": q_cdx_index,
 }
 
 
@@ -6360,4 +6417,5 @@ ORACLE_SQL = {
     "ann_recall": _sql_ann_recall(),
     "mirror_networks": _sql_mirror_networks(_web_pages_file()),
     "dsir_weights": _sql_dsir_weights(),
+    "cdx_index": _sql_cdx_index(_web_pages_file()),
 }

@@ -874,3 +874,60 @@ def test_politeness_audit_hand_computed(spark):
     assert (r.n_violations, r.min_gap_s, r.flagged) == (1, 0, True)
     with pytest.raises(ValueError):
         politeness_audit(pages, min_delay_s=-1)
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX capture index
+# ---------------------------------------------------------------------------
+def test_surt_key_hand_computed(spark):
+    from surfactant_spark.operators.webgraph import surt_key
+
+    cases = [
+        # canonical simple page
+        ("https://example.org/p/1.html", "org,example)/p/1.html"),
+        # leading www. stripped, host labels reversed
+        ("https://www.news.example.com/a", "com,example,news)/a"),
+        # bare authority gets the root path (canonicalizer), UPPER host folds
+        ("HTTPS://Example.COM", "com,example)/"),
+        # default port dropped by the canonicalizer, fragment stripped
+        ("https://example.com:443/x#frag", "com,example)/x"),
+        # non-default port survives after the reversed host
+        ("https://example.com:8080/x", "com,example:8080)/x"),
+        # userinfo dropped from the key
+        ("https://alice@example.com/y", "com,example)/y"),
+        # query kept (lowercased) — distinct captures, distinct keys
+        ("https://example.com/s?Q=Mixed", "com,example)/s?q=mixed"),
+        # path-less URL with a query: host capture must not swallow '?'
+        ("https://example.com?x=1", "com,example)?x=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r.url: r.surt
+        for r in df.select("url", surt_key(F.col("url")).alias("surt")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_cdx_index_digest_and_plan(spark):
+    import hashlib
+
+    from surfactant_spark.operators.webgraph import cdx_index
+
+    rows = [
+        ("https://www.example.com/a", 100, "hello world"),
+        ("https://example.com/b", 200, ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    got = {r.url: r for r in cdx_index(df).collect()}
+    for u, ts, text in rows:
+        r = got[u]
+        assert r.warc_ts == ts
+        assert r.digest == hashlib.sha256(text.encode()).hexdigest()
+        assert r.text_len == len(text)
+    assert got["https://www.example.com/a"].surt == "com,example)/a"
+    # shuffle-free scan-side projection: no Exchange, no Python
+    plan = cdx_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
