@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "mirror_networks",
     "dsir_weights",
     "cdx_index",
+    "host_neighborhood",
 ]
 
 

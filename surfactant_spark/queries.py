@@ -6014,6 +6014,64 @@ FROM p
 
 
 # ---------------------------------------------------------------------------
+# exact neighborhood function / effective diameter — operators/graphrank.py
+# ---------------------------------------------------------------------------
+NBH_MAX_T = 6
+NBH_P90 = 0.9
+
+
+def q_host_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(t) of the directed host graph —
+    ordered pairs within distance t, the distance profile web-graph
+    reports publish (HyperBall's target, exact at host-dimension
+    cardinality) — with each radius's fraction of N(max_t) and the
+    effective-diameter >= 0.9 flag."""
+    from .operators.graphrank import neighborhood_function
+    from .operators.webgraph import host_graph
+
+    hg = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return neighborhood_function(hg, max_t=NBH_MAX_T, p90=NBH_P90)
+
+
+def _sql_host_neighborhood(
+    path: str, max_t: int = NBH_MAX_T, p90: float = NBH_P90
+) -> str:
+    steps = []
+    for i in range(2, max_t + 1):
+        steps.append(
+            f"n{i} AS (SELECT a.u AS u, e.t AS v, a.d + 1 AS d "
+            f"FROM a{i - 1} a JOIN eg e ON a.v = e.s WHERE a.u <> e.t),\n"
+            f"a{i} AS (SELECT u, v, MIN(d) AS d FROM "
+            f"(SELECT * FROM a{i - 1} UNION ALL SELECT * FROM n{i}) GROUP BY u, v)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+t0 AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt FROM links),
+ht AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS src_host,
+         regexp_extract(tgt, '^[a-z]+://([^/?#]+)', 1) AS dst_host
+  FROM t0 WHERE regexp_matches(tgt, '^https?://')),
+eg AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM ht
+       WHERE src_host <> dst_host
+         AND src_host IS NOT NULL AND dst_host IS NOT NULL),
+a1 AS (SELECT s AS u, t AS v, 1 AS d FROM eg),
+{chain},
+c AS (SELECT d, COUNT(*) AS n FROM a{max_t} GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS np FROM c)
+SELECT CAST(c.d AS BIGINT) AS t,
+       CAST(SUM(c.n) OVER (ORDER BY c.d) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(c.n) OVER (ORDER BY c.d) AS DOUBLE)
+             / CAST(tt.np AS DOUBLE), 6) AS frac,
+       round(CAST(SUM(c.n) OVER (ORDER BY c.d) AS DOUBLE)
+             / CAST(tt.np AS DOUBLE), 6) >= {p90} AS reaches_p90
+FROM c, tot tt
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance-resampling weights — operators/curate.py
 # ---------------------------------------------------------------------------
 DSIR_TARGET_LANGS = ("en",)
@@ -6231,6 +6289,7 @@ QUERIES = {
     "mirror_networks": q_mirror_networks,
     "dsir_weights": q_dsir_weights,
     "cdx_index": q_cdx_index,
+    "host_neighborhood": q_host_neighborhood,
 }
 
 
@@ -6418,4 +6477,5 @@ ORACLE_SQL = {
     "mirror_networks": _sql_mirror_networks(_web_pages_file()),
     "dsir_weights": _sql_dsir_weights(),
     "cdx_index": _sql_cdx_index(_web_pages_file()),
+    "host_neighborhood": _sql_host_neighborhood(_web_pages_file()),
 }

@@ -1075,3 +1075,90 @@ def test_adamic_adar_empty_and_selfloop(spark):
 
     df = spark.createDataFrame([("a", "a")], "src string, dst string")
     assert adamic_adar(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exact neighborhood function / effective diameter
+# ---------------------------------------------------------------------------
+def _py_neighborhood(edges, max_t, p90=0.9):
+    """Pure-python reference: all-pairs BFS over the directed simple
+    graph, histogram of shortest distances <= max_t, cumulative."""
+    from collections import Counter, deque
+
+    adj = {}
+    for a, b in edges:
+        if a != b and a is not None and b is not None:
+            adj.setdefault(a, set()).add(b)
+    nodes = set(adj) | {b for s in adj.values() for b in s}
+    dist_hist = Counter()
+    for s in nodes:
+        seen = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            if seen[x] >= max_t:
+                continue
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen[y] = seen[x] + 1
+                    dq.append(y)
+        for v, d in seen.items():
+            if v != s and d >= 1:
+                dist_hist[d] += 1
+    total = sum(dist_hist.values())
+    out, cum = {}, 0
+    for t in sorted(dist_hist):
+        cum += dist_hist[t]
+        frac = round(cum / total, 6)
+        out[t] = (cum, frac, frac >= p90)
+    return out
+
+
+def test_neighborhood_function_hand_path_graph(spark):
+    from surfactant_spark.operators.graphrank import neighborhood_function
+
+    # directed path 1->2->3->4->5: N(t) grows one diagonal per radius
+    edges = [(i, i + 1) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.t: (r.n_pairs, r.frac, r.reaches_p90)
+        for r in neighborhood_function(df, max_t=6).collect()
+    }
+    assert got == {
+        1: (4, 0.4, False),
+        2: (7, 0.7, False),
+        3: (9, 0.9, True),
+        4: (10, 1.0, True),
+    }
+
+
+def test_neighborhood_function_respects_direction_and_max_t(spark):
+    from surfactant_spark.operators.graphrank import neighborhood_function
+
+    # directed cycle of 4: every node reaches the other 3 (12 pairs),
+    # but only via forward edges; max_t=2 truncates the radius-3 tail
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.t: (r.n_pairs, r.frac)
+        for r in neighborhood_function(df, max_t=2).collect()
+    }
+    assert got == {1: (4, 0.5), 2: (8, 1.0)}
+    with pytest.raises(ValueError, match="max_t"):
+        neighborhood_function(df, max_t=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st, st.integers(min_value=1, max_value=4))
+def test_neighborhood_matches_python_reference(spark, edges, max_t):
+    from surfactant_spark.operators.graphrank import neighborhood_function
+
+    simple = {(a, b) for a, b in edges if a != b}
+    if not simple:
+        return
+    df = spark.createDataFrame(sorted(simple), "src long, dst long")
+    got = {
+        r.t: (r.n_pairs, r.frac, r.reaches_p90)
+        for r in neighborhood_function(df, max_t=max_t).collect()
+    }
+    assert got == _py_neighborhood(simple, max_t)
