@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "cdx_index",
     "host_neighborhood",
+    "robots_check",
 ]
 
 

@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5d"
+FIXTURE_VERSION = "r5e"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -465,6 +465,58 @@ def synth_pii_pages() -> Dict[str, list]:
         urls.append(f"https://pii.example.org/p/{i}")
         texts.append(" ".join(parts))
     return {"url": urls, "text": texts}
+
+
+def synth_robots() -> Dict[str, list]:
+    """Per-host robots.txt bodies for the rule engine
+    (`operators/robots.py`): hosts match the web-pages corpus so
+    robots_check exercises real page urls. Bodies cover the parse
+    edges: comments, blank lines, stacked User-agent lines, mixed-case
+    directives, named-agent vs '*' group selection, Allow/Disallow
+    precedence at equal and different specificity, trailing-* and $
+    rules, the skipped interior-wildcard subset, empty Disallow
+    (allow-all idiom), Crawl-delay, and a group for an unrelated agent
+    that must NOT leak into ccbot's scope."""
+    bodies = {
+        # '*' group only: prefix disallow + more-specific allow + delay
+        "site0.example.org": (
+            "# robots for site0\n"
+            "User-agent: *\n"
+            "Disallow: /p/1\n"
+            "Allow: /p/10\n"
+            "Crawl-delay: 2\n"
+        ),
+        # named ccbot group wins over '*'; '*' rules must not apply
+        "site1.example.org": (
+            "User-agent: CCBot\n"
+            "Disallow: /p/2\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        ),
+        # stacked agents share one group; trailing-* and anchored rules
+        "site2.example.org": (
+            "User-agent: ccbot\n"
+            "User-agent: otherbot\n"
+            "Disallow: /p/3*\n"
+            "Allow: /p/33$\n"
+            "Disallow: /x*y\n"  # interior wildcard: skipped subset
+        ),
+        # unrelated agent only -> no applicable group -> default allow
+        "site3.example.org": (
+            "User-agent: googlebot\n"
+            "Disallow: /\n"
+        ),
+        # allow-all idiom: empty Disallow carries no restriction,
+        # but the group's crawl delay must survive via the sentinel
+        "hot.example.com": (
+            "USER-AGENT: *\n"
+            "DISALLOW:\n"
+            "CRAWL-DELAY: 1\n"
+        ),
+    }
+    hosts = sorted(bodies)
+    return {"host": hosts, "robots_txt": [bodies[h] for h in hosts]}
 
 
 def synth_anchor_pages() -> Dict[str, list]:
@@ -981,7 +1033,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "audit_rows", "cp_software", "cp_map", "cp_edges",
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
         "web_pages", "raw_urls", "boiler_pages", "line_pages",
-        "pii_pages", "community_edges", "anchor_pages",
+        "pii_pages", "community_edges", "anchor_pages", "robots_pages",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -1131,6 +1183,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["pii_pages"], synth_pii_pages())
     _write_parquet(paths["community_edges"], synth_community_edges())
     _write_parquet(paths["anchor_pages"], synth_anchor_pages())
+    _write_parquet(paths["robots_pages"], synth_robots())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -6072,6 +6072,130 @@ FROM c, tot tt
 
 
 # ---------------------------------------------------------------------------
+# robots.txt rule engine — operators/robots.py
+# ---------------------------------------------------------------------------
+ROBOTS_AGENT = "ccbot"
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots.txt parse for the crawler's product token:
+    RFC 9309 group selection (named agent beats '*'), Allow/Disallow
+    prefix rules with specificity, trailing-*/$ handling, the skipped
+    interior-wildcard subset, and the group's Crawl-delay — pure JVM
+    line algebra (gaps-and-islands blocks over per-host windows)."""
+    from .operators.robots import robots_rules
+
+    p = _fixture_paths()
+    return robots_rules(spark.read.parquet(p["robots_pages"]), agent=ROBOTS_AGENT)
+
+
+def q_robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page fetch permission under each host's robots.txt —
+    longest-prefix rule wins, Allow beats Disallow on ties, hosts
+    without an applicable group default-allow; the rule table is a
+    broadcast host dimension and the corpus side is one equi join +
+    prefix filter + max_by."""
+    from .operators.robots import robots_check
+
+    p = _fixture_paths()
+    return robots_check(
+        _read_web_pages(spark),
+        spark.read.parquet(p["robots_pages"]),
+        agent=ROBOTS_AGENT,
+    )
+
+
+def _sql_robots_common(robots_path: str, agent: str) -> str:
+    return rf"""
+rb AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
+       FROM read_parquet('{robots_path}')),
+l0 AS (SELECT host, i AS ln, trim(regexp_replace(ls[i], '#.*', '')) AS line
+       FROM rb, UNNEST(range(1, len(ls) + 1)) AS r(i)),
+kv AS (SELECT host, ln,
+              lower(trim(regexp_extract(line, '^([^:]*):', 1))) AS key,
+              trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS val
+       FROM l0 WHERE line <> ''
+         AND lower(trim(regexp_extract(line, '^([^:]*):', 1)))
+             IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+mk AS (SELECT host, ln, key, val,
+              CASE WHEN key = 'user-agent'
+                   AND NOT COALESCE(LAG(key = 'user-agent')
+                       OVER (PARTITION BY host ORDER BY ln), FALSE)
+                   THEN 1 ELSE 0 END AS opens
+       FROM kv),
+b AS (SELECT * FROM (
+        SELECT host, ln, key, val,
+               SUM(opens) OVER (PARTITION BY host ORDER BY ln
+                                ROWS UNBOUNDED PRECEDING) AS blk
+        FROM mk) WHERE blk > 0),
+agents AS (SELECT DISTINCT host, blk, lower(val) AS ua
+           FROM b WHERE key = 'user-agent'),
+scoped AS (SELECT host, blk, MAX(ua = '{agent}') AS blk_specific
+           FROM agents WHERE ua IN ('{agent}', '*') GROUP BY host, blk),
+hs AS (SELECT host, MAX(blk_specific) AS has_specific
+       FROM scoped GROUP BY host),
+chosen AS (SELECT s.host, s.blk FROM scoped s JOIN hs USING (host)
+           WHERE s.blk_specific = hs.has_specific),
+rules AS (SELECT b.* FROM b JOIN chosen USING (host, blk)
+          WHERE key <> 'user-agent'),
+pr1 AS (SELECT host, is_allow, p0 LIKE '%$' AS anchored,
+               regexp_replace(p0, '\$$', '') AS rule_path
+        FROM (SELECT host, key = 'allow' AS is_allow,
+                     regexp_replace(val, '\*$', '') AS p0
+              FROM rules WHERE key IN ('allow', 'disallow') AND val <> '')),
+prules AS (SELECT DISTINCT host, rule_path, is_allow, anchored,
+                  CAST(length(rule_path) AS BIGINT) AS specificity
+           FROM pr1
+           WHERE NOT contains(rule_path, '*')
+             AND NOT contains(rule_path, '$'))"""
+
+
+def _sql_robots_rules(robots_path: str, agent: str = ROBOTS_AGENT) -> str:
+    return rf"""
+WITH {_sql_robots_common(robots_path, agent)},
+delay AS (SELECT host, MIN(TRY_CAST(val AS BIGINT)) AS crawl_delay
+          FROM rules WHERE key = 'crawl-delay' GROUP BY host),
+hosts AS (SELECT DISTINCT host FROM chosen),
+allr AS (
+  SELECT host, rule_path, is_allow, anchored, specificity FROM prules
+  UNION ALL
+  SELECT h.host, '', TRUE, FALSE, CAST(0 AS BIGINT)
+  FROM hosts h
+  WHERE NOT EXISTS (SELECT 1 FROM prules p WHERE p.host = h.host))
+SELECT a.host, a.rule_path, a.is_allow, a.anchored, a.specificity,
+       d.crawl_delay
+FROM allr a LEFT JOIN delay d USING (host)
+"""
+
+
+def _sql_robots_check(
+    pages_path: str, robots_path: str, agent: str = ROBOTS_AGENT
+) -> str:
+    return rf"""
+WITH {_sql_robots_common(robots_path, agent)},
+pg AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+              CASE WHEN regexp_replace(url, '^[a-z]+://[^/?#]+', '') = ''
+                   THEN '/'
+                   ELSE regexp_replace(url, '^[a-z]+://[^/?#]+', '')
+              END AS path
+       FROM read_parquet('{pages_path}')),
+cand AS (SELECT pg.url, r.rule_path, r.is_allow, r.specificity,
+                ROW_NUMBER() OVER (PARTITION BY pg.url
+                    ORDER BY r.specificity DESC, r.is_allow DESC,
+                             r.rule_path DESC) AS rn
+         FROM pg JOIN prules r ON pg.host = r.host
+         WHERE starts_with(pg.path, r.rule_path)
+           AND (NOT r.anchored OR pg.path = r.rule_path)),
+win AS (SELECT url, rule_path, is_allow, specificity FROM cand WHERE rn = 1)
+SELECT pg.url, pg.host,
+       COALESCE(w.is_allow, TRUE) AS allowed,
+       w.rule_path AS rule_path,
+       w.specificity AS specificity
+FROM pg LEFT JOIN win w ON pg.url = w.url
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance-resampling weights — operators/curate.py
 # ---------------------------------------------------------------------------
 DSIR_TARGET_LANGS = ("en",)
@@ -6290,6 +6414,8 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "cdx_index": q_cdx_index,
     "host_neighborhood": q_host_neighborhood,
+    "robots_rules": q_robots_rules,
+    "robots_check": q_robots_check,
 }
 
 
@@ -6478,4 +6604,8 @@ ORACLE_SQL = {
     "dsir_weights": _sql_dsir_weights(),
     "cdx_index": _sql_cdx_index(_web_pages_file()),
     "host_neighborhood": _sql_host_neighborhood(_web_pages_file()),
+    "robots_rules": _sql_robots_rules(_fixture_file("robots_pages")),
+    "robots_check": _sql_robots_check(
+        _web_pages_file(), _fixture_file("robots_pages")
+    ),
 }
