@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "cdx_index",
     "host_neighborhood",
     "robots_check",
+    "ip_enrich",
 ]
 
 

@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5e"
+FIXTURE_VERSION = "r5f"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -517,6 +517,27 @@ def synth_robots() -> Dict[str, list]:
     }
     hosts = sorted(bodies)
     return {"host": hosts, "robots_txt": [bodies[h] for h in hosts]}
+
+
+def synth_ip_blocks(n: int = 300) -> Dict[str, list]:
+    """Non-overlapping CIDR-style address blocks for the bucketed
+    range-lookup join (`operators/rangejoin.py`): spans of 40k-400k
+    addresses (1-7 /16 buckets each) separated by deterministic gaps,
+    so the fact side exercises both matched and unmatched keys; label
+    + country are the enrichment payload."""
+    lo, hi, label, country = [], [], [], []
+    cursor = 0
+    for i in range(n):
+        gap = (i % 5) * 9973
+        span = 40_000 + (i % 13) * 30_000
+        a = cursor + gap
+        b = a + span
+        cursor = b + 1
+        lo.append(a)
+        hi.append(b)
+        label.append(f"net{i}")
+        country.append(f"C{i % 23}")
+    return {"lo": lo, "hi": hi, "label": label, "country": country}
 
 
 def synth_anchor_pages() -> Dict[str, list]:
@@ -1034,6 +1055,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
         "web_pages", "raw_urls", "boiler_pages", "line_pages",
         "pii_pages", "community_edges", "anchor_pages", "robots_pages",
+        "ip_blocks",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -1184,6 +1206,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["community_edges"], synth_community_edges())
     _write_parquet(paths["anchor_pages"], synth_anchor_pages())
     _write_parquet(paths["robots_pages"], synth_robots())
+    _write_parquet(paths["ip_blocks"], synth_ip_blocks())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -6196,6 +6196,49 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# bucketed range-lookup join (geo-IP enrichment) — operators/rangejoin.py
+# ---------------------------------------------------------------------------
+IP_MOD = 70_000_000
+
+
+def q_ip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-IP-style interval enrichment: every document's
+    deterministic address joined onto the non-overlapping ip_blocks
+    dimension via the bucketed range-join decomposition (interval ->
+    covered /16 buckets -> equi join + precise range filter) — the
+    nested-loop-free shape of `facts JOIN dims ON key BETWEEN lo AND
+    hi`. The oracle runs the NAIVE BETWEEN join: two algorithms, one
+    answer."""
+    from .operators.dedup import portable_hash64_col
+    from .operators.rangejoin import bucketed_range_join
+
+    p = _fixture_paths()
+    facts = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(
+            portable_hash64_col(
+                F.concat(F.lit("ip:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(IP_MOD),
+        ).alias("ip"),
+    )
+    blocks = spark.read.parquet(p["ip_blocks"])
+    return bucketed_range_join(facts, blocks, "ip").select(
+        "doc_id", "ip", "label", "country", "lo", "hi"
+    )
+
+
+def _sql_ip_enrich(blocks_path: str) -> str:
+    ip = _H.format(expr="'ip:' || CAST(doc_id AS VARCHAR)") + f" % {IP_MOD}"
+    return f"""
+WITH f AS (SELECT doc_id, {ip} AS ip FROM documents)
+SELECT f.doc_id, f.ip, b.label, b.country, b.lo, b.hi
+FROM f LEFT JOIN read_parquet('{blocks_path}') b
+  ON f.ip >= b.lo AND f.ip <= b.hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance-resampling weights — operators/curate.py
 # ---------------------------------------------------------------------------
 DSIR_TARGET_LANGS = ("en",)
@@ -6416,6 +6459,7 @@ QUERIES = {
     "host_neighborhood": q_host_neighborhood,
     "robots_rules": q_robots_rules,
     "robots_check": q_robots_check,
+    "ip_enrich": q_ip_enrich,
 }
 
 
@@ -6608,4 +6652,5 @@ ORACLE_SQL = {
     "robots_check": _sql_robots_check(
         _web_pages_file(), _fixture_file("robots_pages")
     ),
+    "ip_enrich": _sql_ip_enrich(_fixture_file("ip_blocks")),
 }
