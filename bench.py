@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "host_neighborhood",
     "robots_check",
     "ip_enrich",
+    "doc_chunks",
 ]
 
 

@@ -1207,3 +1207,69 @@ def quality_lm_calibration(docs: DataFrame) -> DataFrame:
             .alias("oov_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-token chunking with overlap (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-size whitespace-token windows
+    with ``overlap`` tokens of context shared between consecutive
+    chunks — the retrieval/embedding prep step (context windows for
+    RAG corpora, max-length packing for encoder training). Chunk k
+    covers tokens ``[k*stride, k*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is shorter,
+    never empty, and every token belongs to >= 1 chunk. Documents that
+    are pure whitespace are dropped (no tokens to chunk). Returns
+    (doc_id, chunk_id, n_chunks, start_tok, n_toks, chunk_text,
+    chunk_sha) — the sha-256 keys chunk-level dedup downstream.
+
+    Spark shape: entirely row-local JVM array algebra (split +
+    sequence + transform + explode) inside one whole-stage-codegen
+    projection — shuffle-free, scales as a scan; chunk counts are
+    exact integer arithmetic replayed verbatim in the oracle."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),
+    )
+    base = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc")
+    )
+    k = F.col("chunk_id")
+    start = k * F.lit(stride)
+    piece = F.slice(F.col("_toks"), (start + 1).cast("int"), chunk_tokens)
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            "_n",
+            "_nc",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            k.alias("chunk_id"),
+            F.col("_nc").alias("n_chunks"),
+            start.alias("start_tok"),
+            F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - start).alias(
+                "n_toks"
+            ),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.sha2(F.concat_ws(" ", piece), 256).alias("chunk_sha"),
+        )
+    )

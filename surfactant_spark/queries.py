@@ -6196,6 +6196,50 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# fixed-token chunking — operators/textops.py
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (RAG/context-window prep):
+    row-local JVM array algebra, shuffle-free; chunk shas key
+    downstream chunk-level dedup."""
+    from .operators.textops import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+def _sql_doc_chunks(ct: int = CHUNK_TOKENS, ov: int = CHUNK_OVERLAP) -> str:
+    stride = ct - ov
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+c AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(ceil((len(toks) - {ov}) / {stride}.0) AS BIGINT)) AS nc
+  FROM t),
+u AS (SELECT doc_id, toks, n, nc, r.k AS k
+      FROM c, UNNEST(range(0, nc)) AS r(k))
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, nc AS n_chunks,
+       CAST(k * {stride} AS BIGINT) AS start_tok,
+       least(CAST({ct} AS BIGINT), n - k * {stride}) AS n_toks,
+       array_to_string(list_slice(toks, k * {stride} + 1,
+                                  k * {stride} + {ct}), ' ') AS chunk_text,
+       sha256(array_to_string(list_slice(toks, k * {stride} + 1,
+                                         k * {stride} + {ct}), ' ')) AS chunk_sha
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # bucketed range-lookup join (geo-IP enrichment) — operators/rangejoin.py
 # ---------------------------------------------------------------------------
 IP_MOD = 70_000_000
@@ -6460,6 +6504,7 @@ QUERIES = {
     "robots_rules": q_robots_rules,
     "robots_check": q_robots_check,
     "ip_enrich": q_ip_enrich,
+    "doc_chunks": q_doc_chunks,
 }
 
 
@@ -6653,4 +6698,5 @@ ORACLE_SQL = {
         _web_pages_file(), _fixture_file("robots_pages")
     ),
     "ip_enrich": _sql_ip_enrich(_fixture_file("ip_blocks")),
+    "doc_chunks": _sql_doc_chunks(),
 }

@@ -1917,3 +1917,100 @@ def test_dsir_weights_no_target_docs_degenerates_safely(spark):
             w,
             bpf,
         )
+
+
+# ---------------------------------------------------------------------------
+# fixed-token chunking — operators/textops.py
+# ---------------------------------------------------------------------------
+def _py_chunks(text, ct, ov):
+    import hashlib
+    import math
+
+    toks = text.strip().split()
+    if not toks:
+        return []
+    stride = ct - ov
+    n = len(toks)
+    nc = max(1, math.ceil((n - ov) / stride))
+    out = []
+    for k in range(nc):
+        piece = toks[k * stride : k * stride + ct]
+        txt = " ".join(piece)
+        out.append(
+            (
+                k,
+                nc,
+                k * stride,
+                min(ct, n - k * stride),
+                txt,
+                hashlib.sha256(txt.encode()).hexdigest(),
+            )
+        )
+    return out
+
+
+def test_chunk_documents_hand_and_coverage(spark):
+    from surfactant_spark.operators.textops import chunk_documents
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    rows = [(1, text10), (2, "a b c"), (3, "   "), (4, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_chunks, r.start_tok, r.n_toks, r.chunk_text, r.chunk_sha)
+        )
+    for doc_id, text in rows:
+        want = _py_chunks(text, 4, 1)
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+    # doc 1: stride 3, 3 chunks, every token in >=1 chunk, overlap = 1
+    chunks1 = [c[4].split() for c in sorted(got[1])]
+    assert [len(c) for c in chunks1] == [4, 4, 4]
+    covered = set()
+    for c in chunks1:
+        covered.update(c)
+    assert covered == set(text10.split())
+    assert chunks1[0][-1] == chunks1[1][0]  # shared overlap token
+    # whitespace-only doc dropped entirely
+    assert 3 not in got
+
+
+def test_chunk_documents_validation(spark):
+    from surfactant_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=5),
+)
+def test_chunk_documents_matches_python(spark, texts, ct, ov):
+    from surfactant_spark.operators.textops import chunk_documents
+
+    if ov >= ct:
+        return
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=ct, overlap=ov).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_chunks, r.start_tok, r.n_toks, r.chunk_text, r.chunk_sha)
+        )
+    for i, text in enumerate(texts):
+        assert sorted(got.get(i, [])) == _py_chunks(text, ct, ov), (i, text)
