@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "robots_check",
     "ip_enrich",
     "doc_chunks",
+    "canonical_links",
+    "sitemap_stale",
+    "host_trustrank",
 ]
 
 

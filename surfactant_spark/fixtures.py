@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5f"
+FIXTURE_VERSION = "r5g"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -538,6 +538,76 @@ def synth_ip_blocks(n: int = 300) -> Dict[str, list]:
         label.append(f"net{i}")
         country.append(f"C{i % 23}")
     return {"lo": lo, "hi": hi, "label": label, "country": country}
+
+
+def synth_canonical_pages(n: int = 120) -> Dict[str, list]:
+    """Pages with <link rel="canonical"> elements for the canonical-
+    cluster resolver: ~
+    - i % 3 == 0: canonical points at the clean variant of a tracked
+      url (query-string duplicates collapse onto one canonical),
+    - i % 3 == 1: self-canonical (possibly with fragment/default-port
+      noise the canonicalizer must strip),
+    - i % 3 == 2: no canonical element at all.
+    Attribute order varies (href before rel on some pages) and one
+    page carries a relative canonical (the documented skipped
+    subset)."""
+    urls, htmls = [], []
+    for i in range(n):
+        host = f"site{i % 4}.example.org"
+        if i % 3 == 0:
+            url = f"https://{host}/item/{i}?utm=x{i}"
+            canon = f"https://{host}/item/{i}"
+            link = f'<link rel="canonical" href="{canon}">'
+        elif i % 3 == 1:
+            url = f"https://{host}/page/{i}"
+            canon = f"https://{host}:443/page/{i}#top"
+            if i % 2:
+                link = f'<link href="{canon}" rel="canonical">'
+            else:
+                link = f'<link rel="canonical" href="{canon}">'
+        else:
+            url = f"https://{host}/plain/{i}"
+            link = ""
+        if i == 7:
+            link = '<link rel="canonical" href="/relative/skipped">'
+        htmls.append(f"<html><head>{link}</head><body>p{i}</body></html>".encode())
+        urls.append(url)
+    return {"url": urls, "html": htmls}
+
+
+def synth_sitemaps() -> Dict[str, list]:
+    """Per-host sitemap XML for the staleness resolver: <url> entries
+    (one per line) whose <loc> urls overlap the web-pages corpus —
+    some with lastmod after the crawl (stale), some before (fresh),
+    some never captured, one without a lastmod (unknown). The crawl
+    fixture's warc_ts values sit at 2024-01-01 (epoch ~1704067200)."""
+    hosts = ["site0.example.org", "site1.example.org", "hot.example.com"]
+    xmls = []
+    for h in hosts:
+        rows = []
+        for i in range(40):
+            loc = f"https://{h}/p/{i}.html"
+            if i % 4 == 0:
+                lm = "2024-03-15"  # after the crawl: stale
+            elif i % 4 == 1:
+                lm = "2023-11-02"  # before the crawl: fresh
+            elif i % 4 == 2:
+                lm = "2024-03-16"
+                loc = f"https://{h}/new/{i}.html"  # never captured
+            else:
+                rows.append(f"<url><loc>{loc}</loc></url>")
+                continue
+            rows.append(f"<url><loc>{loc}</loc><lastmod>{lm}</lastmod></url>")
+        xmls.append(
+            '<?xml version="1.0"?>\n<urlset>\n' + "\n".join(rows) + "\n</urlset>"
+        )
+    return {"host": hosts, "sitemap_xml": xmls}
+
+
+def synth_trusted_hosts() -> Dict[str, list]:
+    """The curated TrustRank seed list (Gyongyi et al. 2004 start from
+    a hand-audited trusted set): two hosts of the web corpus."""
+    return {"host": ["site0.example.org", "hot.example.com"]}
 
 
 def synth_anchor_pages() -> Dict[str, list]:
@@ -1055,7 +1125,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "kg_nodes_fix", "norm_paths", "macho_pages", "ole_pages",
         "web_pages", "raw_urls", "boiler_pages", "line_pages",
         "pii_pages", "community_edges", "anchor_pages", "robots_pages",
-        "ip_blocks",
+        "ip_blocks", "canonical_pages", "sitemap_pages", "trusted_hosts",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -1207,6 +1277,9 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["anchor_pages"], synth_anchor_pages())
     _write_parquet(paths["robots_pages"], synth_robots())
     _write_parquet(paths["ip_blocks"], synth_ip_blocks())
+    _write_parquet(paths["canonical_pages"], synth_canonical_pages())
+    _write_parquet(paths["sitemap_pages"], synth_sitemaps())
+    _write_parquet(paths["trusted_hosts"], synth_trusted_hosts())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -1118,3 +1118,106 @@ def cdx_index(
         F.sha2(F.col(text_col), 256).alias("digest"),
         F.length(text_col).cast("long").alias("text_len"),
     )
+
+
+def canonical_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Resolve each page's ``<link rel="canonical">`` element — the
+    publisher-declared duplicate-collapse signal search and crawl
+    stacks honor before any content hash (query-string variants,
+    mobile mirrors, and A/B hosts all declare one canonical). Returns
+    (url, canonical_raw, canonical_url, status) where status is
+    'self' (declares itself canonical after RFC normalization),
+    'alt' (declares a DIFFERENT canonical — the url to fold into),
+    'skipped_relative' (relative href: the documented subset — a
+    production resolver would resolve against the base url), or
+    'none'. ``canonical_url`` runs through :func:`url_canonicalize`
+    so syntactic noise (fragments, default ports) never splits a
+    canonical cluster.
+
+    Pure whole-stage-codegen JVM (decode + regexp + string algebra),
+    shuffle-free; attribute order is handled by matching the whole
+    <link> element and pulling rel/href independently."""
+    h = F.col(html_col).cast("string")
+    links_arr = F.regexp_extract_all(h, F.lit(r"<link[^>]*>"), 0)
+    canon_elems = F.filter(
+        links_arr, lambda e: e.rlike(r'rel="canonical"')
+    )
+    elem = F.try_element_at(canon_elems, F.lit(1))  # first declaration wins
+    href = F.regexp_extract(elem, r'href="([^"]*)"', 1)
+    is_abs = href.rlike(r"^https?://")
+    canon = url_canonicalize(href)
+    self_canon = url_canonicalize(F.col(url_col))
+    status = (
+        F.when(elem.isNull() | (href == ""), "none")
+        .when(~is_abs, "skipped_relative")
+        .when(canon == self_canon, "self")
+        .otherwise("alt")
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.when(elem.isNotNull() & (href != ""), href).alias("canonical_raw"),
+        F.when(is_abs, canon).alias("canonical_url"),
+        status.alias("status"),
+    )
+
+
+def sitemap_staleness(
+    pages: DataFrame,
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Join each host's sitemap <url> entries against the crawl's
+    latest capture per url and classify the recrawl need: 'stale'
+    (lastmod after the last capture — refetch), 'fresh' (capture at or
+    after lastmod), 'uncaptured' (in the sitemap, never crawled),
+    'unknown' (no lastmod). The scheduling complement of
+    crawl_frontier (which finds urls LINKED but uncrawled; this finds
+    urls DECLARED but stale/uncrawled).
+
+    Dates stay exact integers: lastmod parses as days since epoch via
+    datediff-on-DATE (timezone-free in both engines) and capture
+    timestamps floor-divide by 86400 — no timestamp-zone arithmetic on
+    the oracle surface. Sitemap entries are host-dimension-sized; the
+    capture side is one groupBy(url).max aggregation of the corpus,
+    then an equi join at entry cardinality."""
+    entries = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(r"<url>.*?</url>"), 0
+            )
+        ).alias("e"),
+    ).select(
+        "host",
+        F.regexp_extract("e", r"<loc>([^<]*)</loc>", 1).alias("url"),
+        F.regexp_extract("e", r"<lastmod>([^<]*)</lastmod>", 1).alias("lastmod"),
+    ).where(F.col("url") != "")
+    lm_days = F.when(
+        F.col("lastmod") != "",
+        F.datediff(F.to_date("lastmod"), F.to_date(F.lit("1970-01-01"))),
+    ).cast("long")
+    captures = pages.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(F.col(ts_col).cast("long")).alias("last_capture_ts")
+    )
+    j = entries.withColumn("lastmod_days", lm_days).join(captures, "url", "left")
+    cap_days = F.floor(F.col("last_capture_ts") / F.lit(86400)).cast("long")
+    status = (
+        F.when(F.col("last_capture_ts").isNull(), "uncaptured")
+        .when(F.col("lastmod_days").isNull(), "unknown")
+        .when(F.col("lastmod_days") > cap_days, "stale")
+        .otherwise("fresh")
+    )
+    return j.select(
+        "host",
+        "url",
+        F.when(F.col("lastmod") != "", F.col("lastmod")).alias("lastmod"),
+        "lastmod_days",
+        "last_capture_ts",
+        cap_days.alias("capture_days"),
+        status.alias("status"),
+    )

@@ -6196,6 +6196,185 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# canonical-link resolution — operators/webgraph.py
+# ---------------------------------------------------------------------------
+def q_canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-declared duplicate collapse: each page's
+    <link rel="canonical"> resolved through RFC normalization —
+    self/alt/skipped_relative/none, the signal crawlers honor before
+    any content hash."""
+    from .operators.webgraph import canonical_links
+
+    p = _fixture_paths()
+    return canonical_links(spark.read.parquet(p["canonical_pages"]))
+
+
+def _sql_canonical_links(path: str) -> str:
+    # the same four canonicalization rewrites as _sql_url_canon,
+    # expressed as a reusable scalar chain over an arbitrary column
+    def canon(col: str) -> str:
+        c1 = f"regexp_replace({col}, '#.*', '')"
+        c2 = (
+            rf"lower(regexp_extract({c1}, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1))"
+            rf" || regexp_replace({c1}, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '')"
+        )
+        c3 = (
+            rf"regexp_replace(regexp_replace({c2},"
+            rf" '^(https://[^/:?#]+):443([/?]|$)', '\1\2'),"
+            rf" '^(http://[^/:?#]+):80([/?]|$)', '\1\2')"
+        )
+        return (
+            rf"CASE WHEN regexp_matches({c3}, '^[a-z][a-z0-9+.\-]*://[^/?#]+$')"
+            rf" THEN {c3} || '/' ELSE {c3} END"
+        )
+
+    return rf"""
+WITH p AS (SELECT url, decode(html) AS h FROM read_parquet('{path}')),
+e AS (
+  SELECT url,
+         list_filter(regexp_extract_all(h, '<link[^>]*>'),
+                     x -> regexp_matches(x, 'rel="canonical"'))[1] AS elem
+  FROM p),
+x AS (
+  SELECT url, elem,
+         regexp_extract(elem, 'href="([^"]*)"', 1) AS href
+  FROM e),
+y AS (
+  SELECT url, elem, href,
+         regexp_matches(href, '^https?://') AS is_abs,
+         {canon('href')} AS canon,
+         {canon('url')} AS self_canon
+  FROM x)
+SELECT url,
+       CASE WHEN elem IS NOT NULL AND href <> '' THEN href END AS canonical_raw,
+       CASE WHEN is_abs THEN canon END AS canonical_url,
+       CASE WHEN elem IS NULL OR href = '' THEN 'none'
+            WHEN NOT is_abs THEN 'skipped_relative'
+            WHEN canon = self_canon THEN 'self'
+            ELSE 'alt' END AS status
+FROM y
+"""
+
+
+# ---------------------------------------------------------------------------
+# sitemap staleness — operators/webgraph.py
+# ---------------------------------------------------------------------------
+def q_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <url> entries classified against the crawl's latest
+    capture per url: stale / fresh / uncaptured / unknown — the
+    recrawl-scheduling complement of crawl_frontier, with dates kept
+    as exact integer day counts."""
+    from .operators.webgraph import sitemap_staleness
+
+    p = _fixture_paths()
+    return sitemap_staleness(
+        _read_web_pages(spark), spark.read.parquet(p["sitemap_pages"])
+    )
+
+
+def _sql_sitemap_stale(pages_path: str, sitemap_path: str) -> str:
+    return rf"""
+WITH sm AS (SELECT host, sitemap_xml FROM read_parquet('{sitemap_path}')),
+en AS (
+  SELECT host,
+         regexp_extract(u.e, '<loc>([^<]*)</loc>', 1) AS url,
+         regexp_extract(u.e, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+  FROM sm, UNNEST(regexp_extract_all(sitemap_xml, '<url>.*?</url>')) AS u(e)
+  WHERE regexp_extract(u.e, '<loc>([^<]*)</loc>', 1) <> ''),
+cap AS (SELECT url, CAST(MAX(warc_ts) AS BIGINT) AS last_capture_ts
+        FROM read_parquet('{pages_path}') GROUP BY url),
+j AS (
+  SELECT en.host, en.url, en.lastmod,
+         CASE WHEN en.lastmod <> ''
+              THEN CAST(CAST(en.lastmod AS DATE) - DATE '1970-01-01' AS BIGINT)
+         END AS lastmod_days,
+         cap.last_capture_ts,
+         CAST(floor(cap.last_capture_ts / 86400) AS BIGINT) AS capture_days
+  FROM en LEFT JOIN cap ON en.url = cap.url)
+SELECT host, url,
+       CASE WHEN lastmod <> '' THEN lastmod END AS lastmod,
+       lastmod_days, last_capture_ts, capture_days,
+       CASE WHEN last_capture_ts IS NULL THEN 'uncaptured'
+            WHEN lastmod_days IS NULL THEN 'unknown'
+            WHEN lastmod_days > capture_days THEN 'stale'
+            ELSE 'fresh' END AS status
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# host TrustRank (seeded anti-spam rank) — pagerank_auto composition
+# ---------------------------------------------------------------------------
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004): personalized PageRank from a
+    curated trusted-host seed list over the link-weighted host graph,
+    side by side with the uniform rank — hosts whose link popularity
+    vastly outruns their trust propagation are the spam-farm
+    candidates. Same exact-integer recurrence as host_rank/entity_ppr;
+    trust_ratio is the one IEEE division."""
+    from .operators.graphrank import pagerank_auto
+    from .operators.webgraph import host_graph
+
+    p = _fixture_paths()
+    edges = (
+        host_graph(_read_web_pages(spark))
+        .select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = spark.read.parquet(p["trusted_hosts"]).select(
+        F.col("host").alias("id")
+    )
+    rank = pagerank_auto(edges, iters=PAGERANK_ITERS, weight_col="w")
+    trust = pagerank_auto(edges, iters=PAGERANK_ITERS, weight_col="w", seeds=seeds)
+    return (
+        rank.withColumnRenamed("rank", "rank_micro")
+        .join(trust.withColumnRenamed("rank", "trust_micro"), "id")
+        .select(
+            F.col("id").alias("host"),
+            "rank_micro",
+            "trust_micro",
+            F.round(
+                F.col("trust_micro").cast("double")
+                / F.col("rank_micro").cast("double"),
+                6,
+            ).alias("trust_ratio"),
+        )
+    )
+
+
+def _sql_host_trustrank(
+    pages_path: str, seeds_path: str, iters: int = None
+) -> str:
+    it = iters if iters is not None else PAGERANK_ITERS
+    edges_sql = (
+        f"WITH {_SQL_LINKS.format(path=pages_path)},"
+        " t AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt"
+        " FROM links),"
+        " ht AS (SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS src_host,"
+        " regexp_extract(tgt, '^[a-z]+://([^/?#]+)', 1) AS dst_host"
+        " FROM t WHERE regexp_matches(tgt, '^https?://'))"
+        " SELECT src_host AS src, dst_host AS dst,"
+        " CAST(COUNT(*) AS BIGINT) AS w FROM ht GROUP BY src_host, dst_host"
+    )
+    uniform = _sql_pagerank_unrolled(edges_sql, "host", it)
+    seeded = _sql_pagerank_unrolled(
+        edges_sql,
+        "host",
+        it,
+        seed_sql=f"SELECT host AS id FROM read_parquet('{seeds_path}')",
+    )
+    return f"""
+SELECT u.host, u.rank AS rank_micro, t.rank AS trust_micro,
+       round(CAST(t.rank AS DOUBLE) / CAST(u.rank AS DOUBLE), 6) AS trust_ratio
+FROM ({uniform}) u JOIN ({seeded}) t ON u.host = t.host
+"""
+
+
+# ---------------------------------------------------------------------------
 # fixed-token chunking — operators/textops.py
 # ---------------------------------------------------------------------------
 CHUNK_TOKENS = 64
@@ -6505,6 +6684,9 @@ QUERIES = {
     "robots_check": q_robots_check,
     "ip_enrich": q_ip_enrich,
     "doc_chunks": q_doc_chunks,
+    "canonical_links": q_canonical_links,
+    "sitemap_stale": q_sitemap_stale,
+    "host_trustrank": q_host_trustrank,
 }
 
 
@@ -6699,4 +6881,11 @@ ORACLE_SQL = {
     ),
     "ip_enrich": _sql_ip_enrich(_fixture_file("ip_blocks")),
     "doc_chunks": _sql_doc_chunks(),
+    "canonical_links": _sql_canonical_links(_fixture_file("canonical_pages")),
+    "sitemap_stale": _sql_sitemap_stale(
+        _web_pages_file(), _fixture_file("sitemap_pages")
+    ),
+    "host_trustrank": _sql_host_trustrank(
+        _web_pages_file(), _fixture_file("trusted_hosts")
+    ),
 }

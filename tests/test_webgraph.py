@@ -931,3 +931,96 @@ def test_cdx_index_digest_and_plan(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# canonical-link resolution + sitemap staleness
+# ---------------------------------------------------------------------------
+def test_canonical_links_statuses(spark):
+    from surfactant_spark.operators.webgraph import canonical_links
+
+    rows = [
+        # alt: canonical collapses the tracked variant
+        ("https://a.org/item?utm=1",
+         '<html><head><link rel="canonical" href="https://a.org/item"></head></html>'),
+        # self after normalization (default port + fragment stripped)
+        ("https://a.org/page",
+         '<html><link href="https://a.org:443/page#top" rel="canonical"></html>'),
+        # relative: documented skipped subset
+        ("https://a.org/rel",
+         '<html><link rel="canonical" href="/elsewhere"></html>'),
+        # none: no canonical element (other links ignored)
+        ("https://a.org/none",
+         '<html><link rel="stylesheet" href="https://a.org/x.css"></html>'),
+        # first declaration wins when duplicated
+        ("https://a.org/two",
+         '<html><link rel="canonical" href="https://a.org/first">'
+         '<link rel="canonical" href="https://a.org/second"></html>'),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+    got = {r.url: r for r in canonical_links(df).collect()}
+    assert got["https://a.org/item?utm=1"].status == "alt"
+    assert got["https://a.org/item?utm=1"].canonical_url == "https://a.org/item"
+    assert got["https://a.org/page"].status == "self"
+    assert got["https://a.org/page"].canonical_url == "https://a.org/page"
+    assert got["https://a.org/rel"].status == "skipped_relative"
+    assert got["https://a.org/rel"].canonical_url is None
+    assert got["https://a.org/rel"].canonical_raw == "/elsewhere"
+    assert got["https://a.org/none"].status == "none"
+    assert got["https://a.org/none"].canonical_raw is None
+    assert got["https://a.org/two"].canonical_url == "https://a.org/first"
+
+
+def test_sitemap_staleness_classification(spark):
+    from surfactant_spark.operators.webgraph import sitemap_staleness
+
+    day = 86400
+    pages = spark.createDataFrame(
+        [
+            ("https://h.org/a", 19700 * day + 5),  # captured day 19700
+            ("https://h.org/a", 19800 * day),  # later capture wins (max)
+            ("https://h.org/b", 19800 * day),
+            ("https://h.org/d", 19800 * day),
+        ],
+        "url string, warc_ts long",
+    )
+    xml = (
+        "<urlset>\n"
+        "<url><loc>https://h.org/a</loc><lastmod>2024-03-15</lastmod></url>\n"
+        "<url><loc>https://h.org/b</loc><lastmod>2023-01-01</lastmod></url>\n"
+        "<url><loc>https://h.org/c</loc><lastmod>2024-03-15</lastmod></url>\n"
+        "<url><loc>https://h.org/d</loc></url>\n"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame([("h.org", xml)], "host string, sitemap_xml string")
+    got = {r.url: r for r in sitemap_staleness(pages, sm).collect()}
+    # 2024-03-15 is day 19797; /a last captured day 19800 -> fresh
+    assert got["https://h.org/a"].status == "fresh"
+    assert got["https://h.org/a"].capture_days == 19800
+    assert got["https://h.org/a"].lastmod_days == 19797
+    assert got["https://h.org/b"].status == "fresh"
+    assert got["https://h.org/c"].status == "uncaptured"
+    assert got["https://h.org/d"].status == "unknown"
+    # flip /a's capture before the lastmod -> stale
+    early = spark.createDataFrame(
+        [("https://h.org/a", 19700 * day)], "url string, warc_ts long"
+    )
+    got2 = {r.url: r for r in sitemap_staleness(early, sm).collect()}
+    assert got2["https://h.org/a"].status == "stale"
+
+
+def test_trustrank_seeds_hold_trust_mass(spark):
+    from surfactant_spark.queries import q_host_trustrank
+    from tests.conftest import SF_DIR
+
+    got = {r.host: r for r in q_host_trustrank(spark, SF_DIR).collect()}
+    assert len(got) >= 2
+    # uniform rank is positive everywhere; trust is bounded by rank's
+    # teleport floor only at seeds — unreachable-from-seed hosts get 0
+    for r in got.values():
+        assert r.rank_micro > 0
+        assert r.trust_micro >= 0
+        assert 0.0 <= r.trust_ratio <= 1.5
+    assert any(r.trust_micro > 0 for r in got.values())
