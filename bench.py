@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "canonical_links",
     "sitemap_stale",
     "host_trustrank",
+    "host_bowtie",
 ]
 
 

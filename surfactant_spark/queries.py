@@ -6196,6 +6196,70 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# bow-tie decomposition — operators/graphrank.py
+# ---------------------------------------------------------------------------
+BOWTIE_MAX_T = 8
+
+
+def q_host_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder et al. (2000) bow-tie map of the host graph: CORE
+    (pivot's SCC via forward∩backward reachability), IN, OUT,
+    DISCONNECTED — the macro-structure chart every web-graph report
+    opens with, at host-dimension cardinality."""
+    from .operators.graphrank import bowtie_structure
+    from .operators.webgraph import host_graph
+
+    hg = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return bowtie_structure(hg, max_t=BOWTIE_MAX_T)
+
+
+def _sql_host_bowtie(path: str, max_t: int = BOWTIE_MAX_T) -> str:
+    def chain(prefix: str, fwd: bool) -> str:
+        join_on = "eg.s = p.id" if fwd else "eg.t = p.id"
+        pick = "eg.t" if fwd else "eg.s"
+        parts = [f"{prefix}0 AS (SELECT id FROM pv)"]
+        for i in range(1, max_t + 1):
+            parts.append(
+                f"{prefix}{i} AS (SELECT DISTINCT {pick} AS id "
+                f"FROM eg JOIN {prefix}{i - 1} p ON {join_on} "
+                f"UNION SELECT id FROM {prefix}{i - 1})"
+            )
+        return ",\n".join(parts)
+
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+t0 AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt FROM links),
+ht AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS src_host,
+         regexp_extract(tgt, '^[a-z]+://([^/?#]+)', 1) AS dst_host
+  FROM t0 WHERE regexp_matches(tgt, '^https?://')),
+eg AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM ht
+       WHERE src_host <> dst_host
+         AND src_host IS NOT NULL AND dst_host IS NOT NULL),
+nodes AS (SELECT id, COUNT(*) AS deg FROM
+          (SELECT s AS id FROM eg UNION ALL SELECT t FROM eg) GROUP BY id),
+pv AS (SELECT id FROM nodes ORDER BY deg DESC, id ASC LIMIT 1),
+{chain('f', True)},
+{chain('b', False)},
+lab AS (
+  SELECT n.id,
+         CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'core'
+              WHEN b.id IS NOT NULL THEN 'in'
+              WHEN f.id IS NOT NULL THEN 'out'
+              ELSE 'disconnected' END AS region
+  FROM nodes n
+  LEFT JOIN f{max_t} f ON n.id = f.id
+  LEFT JOIN b{max_t} b ON n.id = b.id),
+sz AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_region
+       FROM lab GROUP BY region)
+SELECT lab.id AS host, lab.region, sz.n_region
+FROM lab JOIN sz USING (region)
+"""
+
+
+# ---------------------------------------------------------------------------
 # canonical-link resolution — operators/webgraph.py
 # ---------------------------------------------------------------------------
 def q_canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6687,6 +6751,7 @@ QUERIES = {
     "canonical_links": q_canonical_links,
     "sitemap_stale": q_sitemap_stale,
     "host_trustrank": q_host_trustrank,
+    "host_bowtie": q_host_bowtie,
 }
 
 
@@ -6888,4 +6953,5 @@ ORACLE_SQL = {
     "host_trustrank": _sql_host_trustrank(
         _web_pages_file(), _fixture_file("trusted_hosts")
     ),
+    "host_bowtie": _sql_host_bowtie(_web_pages_file()),
 }

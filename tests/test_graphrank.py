@@ -1162,3 +1162,81 @@ def test_neighborhood_matches_python_reference(spark, edges, max_t):
         for r in neighborhood_function(df, max_t=max_t).collect()
     }
     assert got == _py_neighborhood(simple, max_t)
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition
+# ---------------------------------------------------------------------------
+def _py_bowtie(edges, max_t=8):
+    from collections import deque
+
+    simple = {(a, b) for a, b in edges if a != b}
+    nodes = {}
+    for a, b in simple:
+        nodes[a] = nodes.get(a, 0) + 1
+        nodes[b] = nodes.get(b, 0) + 1
+    if not nodes:
+        return {}
+    pivot = min(nodes, key=lambda n: (-nodes[n], n))
+
+    def closure(fwd):
+        adj = {}
+        for a, b in simple:
+            if fwd:
+                adj.setdefault(a, set()).add(b)
+            else:
+                adj.setdefault(b, set()).add(a)
+        seen = {pivot: 0}
+        dq = deque([pivot])
+        while dq:
+            x = dq.popleft()
+            if seen[x] >= max_t:
+                continue
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen[y] = seen[x] + 1
+                    dq.append(y)
+        return set(seen)
+
+    fw, bw = closure(True), closure(False)
+    out = {}
+    for n in nodes:
+        if n in fw and n in bw:
+            out[n] = "core"
+        elif n in bw:
+            out[n] = "in"
+        elif n in fw:
+            out[n] = "out"
+        else:
+            out[n] = "disconnected"
+    return out
+
+
+def test_bowtie_hand_graph(spark):
+    from surfactant_spark.operators.graphrank import bowtie_structure
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),  # core cycle
+        (10, 1),                 # IN: reaches the core
+        (3, 20),                 # OUT: reached from the core
+        (30, 31),                # disconnected island
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.host: (r.region, r.n_region) for r in bowtie_structure(df).collect()}
+    assert got[1] == ("core", 3) and got[2] == ("core", 3) and got[3] == ("core", 3)
+    assert got[10] == ("in", 1)
+    assert got[20] == ("out", 1)
+    assert got[30] == ("disconnected", 2) and got[31] == ("disconnected", 2)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st)
+def test_bowtie_matches_python_reference(spark, edges):
+    from surfactant_spark.operators.graphrank import bowtie_structure
+
+    simple = {(a, b) for a, b in edges if a != b}
+    if not simple:
+        return
+    df = spark.createDataFrame(sorted(simple), "src long, dst long")
+    got = {r.host: r.region for r in bowtie_structure(df).collect()}
+    assert got == _py_bowtie(simple)
