@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "sitemap_stale",
     "host_trustrank",
     "host_bowtie",
+    "typo_folding",
 ]
 
 

@@ -530,3 +530,78 @@ def semdedup(
         "kept_id",
         "pair_cos",
     )
+
+
+# ---------------------------------------------------------------------------
+# deletion-neighborhood fuzzy string join (SymSpell / FastSS shape)
+# ---------------------------------------------------------------------------
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    max_len: int = 32,
+) -> DataFrame:
+    """All (left, right) string pairs within Levenshtein distance
+    ``max_dist`` — the blocked fuzzy join entity linking uses to fold
+    typo'd mentions onto dictionary surface forms, without the
+    all-pairs cross join a naive `levenshtein(a, b) <= k` predicate
+    plans as.
+
+    Shape (FastSS / SymSpell): each side explodes into its deletion
+    neighborhood (the string + every <= ``max_dist``-character
+    deletion; fan-out <= 1 + L + L^2/2, bounded by ``max_len`` — longer
+    strings are dropped with the cap documented, not silently), the
+    two variant tables equi-join on the variant hash key, candidate
+    pairs dedup, and the built-in integer ``levenshtein`` verifies —
+    candidate generation is COMPLETE (ed <= k implies a shared
+    deletion variant), so the only approximation is the length cap.
+    Returns (left, right, dist)."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+
+    def variants(col: Column) -> Column:
+        n = F.length(col)
+        d1 = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(col, F.lit(1), (i - 1).cast("int")),
+                col.substr(i + 1, n),
+            ),
+        )
+        vs = F.concat(F.array(col), d1)
+        if max_dist == 2:
+            d2 = F.flatten(
+                F.transform(
+                    d1,
+                    lambda s: F.transform(
+                        F.sequence(F.lit(1), F.length(s)),
+                        lambda i: F.concat(
+                            F.substring(s, F.lit(1), (i - 1).cast("int")),
+                            s.substr(i + 1, F.length(s)),
+                        ),
+                    ),
+                )
+            )
+            vs = F.concat(vs, d2)
+        return F.array_distinct(vs)
+
+    lv = (
+        left.select(F.col(left_col).alias("l"))
+        .where(F.length("l").between(1, max_len))
+        .dropDuplicates()
+        .select("l", F.explode(variants(F.col("l"))).alias("v"))
+    )
+    rv = (
+        right.select(F.col(right_col).alias("r"))
+        .where(F.length("r").between(1, max_len))
+        .dropDuplicates()
+        .select("r", F.explode(variants(F.col("r"))).alias("v"))
+    )
+    cand = lv.join(rv, "v").select("l", "r").dropDuplicates()
+    return cand.select(
+        F.col("l").alias(left_col + "_l") if left_col == right_col else F.col("l").alias(left_col),
+        F.col("r").alias(right_col + "_r") if left_col == right_col else F.col("r").alias(right_col),
+        F.levenshtein("l", "r").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

@@ -6196,6 +6196,96 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# deletion-neighborhood fuzzy join (typo folding) — operators/similarity.py
+# ---------------------------------------------------------------------------
+TYPO_DICT_MIN = 5
+
+
+def q_typo_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-recovery audit of the FastSS deletion-neighborhood fuzzy
+    join (complete ed<=1 candidate generation, no all-pairs cross
+    join — the blocked fuzzy-matching primitive entity linking uses):
+    every frequent vocabulary token (len >= 4) gets a DETERMINISTIC
+    injected typo (its middle character deleted), and the join must
+    fold each typo'd mention back onto the dictionary. Per mention:
+    the best (lowest-distance, lexicographically-first) alias +
+    candidate count — dist 0 when the typo collides with another real
+    dictionary word, else 1."""
+    from .operators.dedup import tokenized
+    from .operators.similarity import fuzzy_string_join
+
+    occ = (
+        tokenized(_read(spark, sf_dir, "documents"), "text", keep=())
+        .select(F.explode("_toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dic = occ.where(F.col("c") >= TYPO_DICT_MIN).select(
+        F.col("tok").alias("alias")
+    )
+    mid = F.floor(F.length("alias") / 2) + 1
+    rare = (
+        dic.where(F.length("alias") >= 4)
+        .select(
+            F.concat(
+                F.substring(F.col("alias"), F.lit(1), (mid - 1).cast("int")),
+                F.col("alias").substr(
+                    (mid + 1).cast("int"), F.length("alias")
+                ),
+            ).alias("mention")
+        )
+        .dropDuplicates()
+    )
+    pairs = fuzzy_string_join(rare, dic, "mention", "alias", max_dist=1)
+    return pairs.groupBy("mention").agg(
+        F.min(F.struct(F.col("dist").cast("long").alias("dist"), "alias")).alias(
+            "_w"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    ).select(
+        "mention",
+        F.col("_w.alias").alias("alias"),
+        F.col("_w.dist").alias("dist"),
+        "n_candidates",
+    )
+
+
+def _sql_typo_folding(dict_min: int = TYPO_DICT_MIN) -> str:
+    dels = (
+        "list_distinct(list_append(list_transform(range(1, length(tok) + 1),"
+        " i -> substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok))),"
+        " tok))"
+    )
+    return rf"""
+WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+tc AS (SELECT u.tok AS tok, COUNT(*) AS c
+       FROM t, UNNEST(toks) AS u(tok) WHERE u.tok <> '' GROUP BY u.tok),
+dic AS (SELECT tok FROM tc WHERE c >= {dict_min}
+        AND length(tok) BETWEEN 1 AND 32),
+rare AS (SELECT DISTINCT
+           substr(tok, 1, (length(tok) // 2 + 1) - 1)
+           || substr(tok, (length(tok) // 2 + 1) + 1, length(tok)) AS tok
+         FROM dic WHERE length(tok) >= 4),
+rv AS (SELECT tok, u.v AS v FROM
+       (SELECT tok, {dels} AS vs FROM rare), UNNEST(vs) AS u(v)),
+dv AS (SELECT tok, u.v AS v FROM
+       (SELECT tok, {dels} AS vs FROM dic), UNNEST(vs) AS u(v)),
+cand AS (SELECT DISTINCT r.tok AS m, d.tok AS a
+         FROM rv r JOIN dv d ON r.v = d.v),
+ver AS (SELECT m, a, CAST(levenshtein(m, a) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(m, a) <= 1)
+SELECT m AS mention, a AS alias, dist, n_candidates FROM (
+  SELECT m, a, dist,
+         ROW_NUMBER() OVER (PARTITION BY m ORDER BY dist, a) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY m) AS BIGINT) AS n_candidates
+  FROM ver) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # bow-tie decomposition — operators/graphrank.py
 # ---------------------------------------------------------------------------
 BOWTIE_MAX_T = 8
@@ -6752,6 +6842,7 @@ QUERIES = {
     "sitemap_stale": q_sitemap_stale,
     "host_trustrank": q_host_trustrank,
     "host_bowtie": q_host_bowtie,
+    "typo_folding": q_typo_folding,
 }
 
 
@@ -6954,4 +7045,5 @@ ORACLE_SQL = {
         _web_pages_file(), _fixture_file("trusted_hosts")
     ),
     "host_bowtie": _sql_host_bowtie(_web_pages_file()),
+    "typo_folding": _sql_typo_folding(),
 }

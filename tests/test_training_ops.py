@@ -2014,3 +2014,79 @@ def test_chunk_documents_matches_python(spark, texts, ct, ov):
         )
     for i, text in enumerate(texts):
         assert sorted(got.get(i, [])) == _py_chunks(text, ct, ov), (i, text)
+
+
+# ---------------------------------------------------------------------------
+# deletion-neighborhood fuzzy string join — operators/similarity.py
+# ---------------------------------------------------------------------------
+def test_fuzzy_join_hand_cases(spark):
+    from surfactant_spark.operators.similarity import fuzzy_string_join
+
+    left = spark.createDataFrame(
+        [("cat",), ("hose",), ("zebra",), ("x" * 40,)], "m string"
+    )
+    right = spark.createDataFrame(
+        [("cart",), ("cut",), ("horse",), ("house",), ("dog",)], "a string"
+    )
+    got = sorted(
+        (r.m, r.a, r.dist)
+        for r in fuzzy_string_join(left, right, "m", "a", max_dist=1).collect()
+    )
+    # cat->cart (insertion), cat->cut (substitution); hose->horse/house;
+    # zebra matches nothing; the 40-char string is over the length cap
+    assert got == [
+        ("cat", "cart", 1),
+        ("cat", "cut", 1),
+        ("hose", "horse", 1),
+        ("hose", "house", 1),
+    ]
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_string_join(left, right, "m", "a", max_dist=3)
+
+
+def test_fuzzy_join_k2_reaches_distance_two(spark):
+    from surfactant_spark.operators.similarity import fuzzy_string_join
+
+    left = spark.createDataFrame([("kiten",)], "m string")
+    right = spark.createDataFrame([("kitten",), ("mitten",)], "a string")
+    got = sorted(
+        (r.m, r.a, r.dist)
+        for r in fuzzy_string_join(left, right, "m", "a", max_dist=2).collect()
+    )
+    assert got == [("kiten", "kitten", 1), ("kiten", "mitten", 2)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8),
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_join_complete_vs_bruteforce(spark, ls, rs, k):
+    """Deletion-neighborhood candidate generation is COMPLETE for
+    ed <= k: the join must equal the all-pairs levenshtein filter."""
+    from surfactant_spark.operators.similarity import fuzzy_string_join
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    left = spark.createDataFrame([(s,) for s in set(ls)], "m string")
+    right = spark.createDataFrame([(s,) for s in set(rs)], "a string")
+    got = sorted(
+        (r.m, r.a, r.dist)
+        for r in fuzzy_string_join(left, right, "m", "a", max_dist=k).collect()
+    )
+    want = sorted(
+        (m, a, ed(m, a))
+        for m in set(ls)
+        for a in set(rs)
+        if ed(m, a) <= k
+    )
+    assert got == want
