@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "host_trustrank",
     "host_bowtie",
     "typo_folding",
+    "media_near_dup",
 ]
 
 

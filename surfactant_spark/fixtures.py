@@ -29,7 +29,7 @@ import os
 import tempfile
 from typing import Dict, List, Tuple
 
-FIXTURE_VERSION = "r5g"
+FIXTURE_VERSION = "r5i"
 
 NodeRow = Tuple[str, List[str], List[str], dict]
 
@@ -610,6 +610,47 @@ def synth_trusted_hosts() -> Dict[str, list]:
     return {"host": ["site0.example.org", "hot.example.com"]}
 
 
+def synth_media_blobs(n_bases: int = 30, n_bytes: int = 256) -> Dict[str, list]:
+    """Opaque binary payloads for the byte-signature near-dup family:
+    ``n_bases`` deterministic base patterns; every third base gets a
+    near-duplicate variant (3 bytes perturbed — same blockwise
+    structure, tiny hamming distance on the signature) and every
+    fifth an exact duplicate. Patterns vary block structure (ramps,
+    steps, stripes) so signatures are well-spread."""
+    ids, kinds, blobs = [], [], []
+    mid = 0
+
+    def emit(b: bytes, kind: str = "image"):
+        nonlocal mid
+        ids.append(mid)
+        kinds.append(kind)
+        blobs.append(b)
+        mid += 1
+
+    import hashlib
+
+    for i in range(n_bases):
+        # md5-keystream bytes: well-spread blockwise sums, so base
+        # signatures differ and hamming-0 collisions stay rare
+        stream = b"".join(
+            hashlib.md5(f"blob:{i}:{c}".encode()).digest()
+            for c in range(n_bytes // 16)
+        )
+        base = stream[:n_bytes]
+        emit(base)
+        if i % 3 == 0:
+            # near-dup: perturb one 16-byte block hard enough to flip
+            # a signature bit or two, never more than max_hamming
+            v = bytearray(base)
+            blk = (i * 7) % (n_bytes // 16)
+            for k in range(16):
+                v[blk * 16 + k] = 255 if k % 2 == 0 else 0
+            emit(bytes(v))
+        if i % 5 == 0:
+            emit(base)  # exact duplicate: hamming 0
+    return {"media_id": ids, "kind": kinds, "payload": blobs}
+
+
 def synth_anchor_pages() -> Dict[str, list]:
     """Referrer pages whose <a> anchors are entity SURFACE FORMS for
     the alias-promotion oracle: the spark target gets a 4-of-6
@@ -1126,6 +1167,7 @@ def stage_link_fixtures() -> Dict[str, str]:
         "web_pages", "raw_urls", "boiler_pages", "line_pages",
         "pii_pages", "community_edges", "anchor_pages", "robots_pages",
         "ip_blocks", "canonical_pages", "sitemap_pages", "trusted_hosts",
+        "media_blobs",
     ]
     final_paths = {n: os.path.join(final, f"{n}.parquet") for n in names}
     if os.path.exists(os.path.join(final, "_OK")):
@@ -1280,6 +1322,7 @@ def stage_link_fixtures() -> Dict[str, str]:
     _write_parquet(paths["canonical_pages"], synth_canonical_pages())
     _write_parquet(paths["sitemap_pages"], synth_sitemaps())
     _write_parquet(paths["trusted_hosts"], synth_trusted_hosts())
+    _write_parquet(paths["media_blobs"], synth_media_blobs())
     magic = synth_magic_pages()
     _write_parquet(
         paths["magic_pages"],

@@ -124,3 +124,130 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .where(F.col("frame_idx") % every_n == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# byte-signature near-duplicate detection (pHash-shaped, codec-free)
+# ---------------------------------------------------------------------------
+SIG_BLOCKS = 16
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sig", T.LongType(), True),
+    ]
+)
+
+
+def byte_signature(payload: bytes, n_blocks: int = SIG_BLOCKS) -> int:
+    """Pure per-row twin of the Arrow batch path (and the python
+    reference the tests pin): split the payload into ``n_blocks``
+    equal-ish blocks (floor boundaries), bit j = 1 iff block j's byte
+    sum is at least its proportional share of the total — the
+    perceptual-hash SHAPE (blockwise brightness vs global mean)
+    computed honestly on raw bytes, no codec. Exact integer
+    cross-multiplication, no division."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    total = sum(payload)
+    sig = 0
+    for j in range(n_blocks):
+        a = j * n // n_blocks
+        b = (j + 1) * n // n_blocks
+        blk = payload[a:b]
+        if len(blk) and sum(blk) * n >= total * len(blk):
+            sig |= 1 << j
+    return sig
+
+
+def _signature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        sigs, sizes = [], []
+        for payload in pdf["payload"]:
+            if payload is None:
+                sigs.append(None)
+                sizes.append(None)
+                continue
+            b = bytes(payload)
+            n = len(b)
+            sizes.append(n)
+            if n == 0:
+                sigs.append(0)
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            total = int(arr.sum())
+            bounds = [(j * n // SIG_BLOCKS) for j in range(SIG_BLOCKS + 1)]
+            sig = 0
+            for j in range(SIG_BLOCKS):
+                blk = arr[bounds[j] : bounds[j + 1]]
+                if blk.size and int(blk.sum()) * n >= total * int(blk.size):
+                    sig |= 1 << j
+            sigs.append(sig)
+        yield pd.DataFrame(
+            {"media_id": pdf["media_id"], "n_bytes": sizes, "sig": sigs}
+        )
+
+
+def byte_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, n_bytes, sig) via an Arrow-batched mapInPandas pass —
+    the real multimodal compute path (numpy over raw payload bytes,
+    no row-at-a-time Python); exact integers end to end, so the
+    signature algebra is replayable in SQL from the hex encoding."""
+    return media.select("media_id", "payload").mapInPandas(
+        _signature_batches, schema=SIG_SCHEMA
+    )
+
+
+def media_near_dup(
+    media: DataFrame, max_hamming: int = 2, max_bucket: int = 64
+) -> DataFrame:
+    """Near-duplicate binary payloads by signature hamming distance —
+    the media twin of the simhash text family: 16-bit signatures split
+    into 3 bands (6/5/5 bits; <= ``max_hamming`` = 2 errors can ruin
+    at most two bands, so every true pair collides in >= 1 band —
+    pigeonhole-complete), band-bucket equi join with ubiquitous
+    buckets dropped at ``max_bucket`` (the simhash width-cap
+    discipline, a documented recall trade), XOR+popcount verify.
+    Returns (id1, id2, sig1, sig2, hamming)."""
+    sigs = byte_signatures(media).where(F.col("sig").isNotNull()).localCheckpoint(
+        eager=True
+    )
+    bands = [
+        (F.col("sig").bitwiseAND(F.lit(63))).alias("bv"),
+        (F.shiftright("sig", 6).bitwiseAND(F.lit(31))).alias("bv"),
+        (F.shiftright("sig", 11).bitwiseAND(F.lit(31))).alias("bv"),
+    ]
+    exploded = None
+    for bi, bv in enumerate(bands):
+        part = sigs.select(
+            "media_id", "sig", F.lit(bi).alias("band"), bv
+        )
+        exploded = part if exploded is None else exploded.unionByName(part)
+    ok = (
+        exploded.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where((F.col("w") > 1) & (F.col("w") <= max_bucket))
+        .select("band", "bv")
+    )
+    kept = exploded.join(ok, ["band", "bv"])
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates()
+    )
+    ham = F.bit_count(
+        F.col("sig1").bitwiseXOR(F.col("sig2"))
+    ).cast("long")
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming)

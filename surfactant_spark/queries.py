@@ -6196,6 +6196,62 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# media byte-signature near-dup — operators/multimodal.py
+# ---------------------------------------------------------------------------
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary media by blockwise byte-signature hamming
+    distance (the perceptual-hash shape computed honestly on raw
+    bytes — no codec): Arrow-batched numpy signatures, simhash-style
+    banded bucketing, XOR+popcount verify. The oracle replays the
+    exact integer signature algebra from the hex encoding."""
+    from .operators.multimodal import media_near_dup
+
+    p = _fixture_paths()
+    return media_near_dup(spark.read.parquet(p["media_blobs"]))
+
+
+def _sql_media_near_dup(
+    path: str, max_hamming: int = 2, max_bucket: int = 64
+) -> str:
+    return rf"""
+WITH m AS (SELECT media_id, hex(payload) AS hx,
+                  CAST(octet_length(payload) AS BIGINT) AS n
+           FROM read_parquet('{path}') WHERE payload IS NOT NULL),
+v AS (SELECT media_id, n,
+             [CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT)
+              FOR i IN range(1, CAST(n AS INTEGER) + 1)] AS vals
+      FROM m WHERE n > 0),
+s AS (SELECT media_id, n, vals, list_sum(vals) AS total FROM v),
+g0 AS (
+  SELECT media_id, n,
+         list_sum([CASE WHEN (j + 1) * n // 16 > j * n // 16
+                        AND list_sum(list_slice(vals, j * n // 16 + 1,
+                                                (j + 1) * n // 16)) * n
+                            >= total * ((j + 1) * n // 16 - j * n // 16)
+                   THEN 1 << j ELSE 0 END FOR j IN range(0, 16)]) AS sig
+  FROM s),
+g AS (SELECT media_id, CAST(sig AS BIGINT) AS sig FROM g0
+      UNION ALL
+      SELECT media_id, CAST(0 AS BIGINT) FROM m WHERE n = 0),
+ex AS (SELECT media_id, sig, 0 AS band, sig & 63 AS bv FROM g
+       UNION ALL
+       SELECT media_id, sig, 1, (sig >> 6) & 31 FROM g
+       UNION ALL
+       SELECT media_id, sig, 2, (sig >> 11) & 31 FROM g),
+ok AS (SELECT band, bv FROM ex GROUP BY band, bv
+       HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
+kept AS (SELECT ex.* FROM ex JOIN ok USING (band, bv)),
+cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+                a.sig AS sig1, b.sig AS sig2
+         FROM kept a JOIN kept b
+           ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+SELECT id1, id2, sig1, sig2,
+       CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig1, sig2)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
 # deletion-neighborhood fuzzy join (typo folding) — operators/similarity.py
 # ---------------------------------------------------------------------------
 TYPO_DICT_MIN = 5
@@ -6843,6 +6899,7 @@ QUERIES = {
     "host_trustrank": q_host_trustrank,
     "host_bowtie": q_host_bowtie,
     "typo_folding": q_typo_folding,
+    "media_near_dup": q_media_near_dup,
 }
 
 
@@ -7046,4 +7103,5 @@ ORACLE_SQL = {
     ),
     "host_bowtie": _sql_host_bowtie(_web_pages_file()),
     "typo_folding": _sql_typo_folding(),
+    "media_near_dup": _sql_media_near_dup(_fixture_file("media_blobs")),
 }

@@ -2090,3 +2090,59 @@ def test_fuzzy_join_complete_vs_bruteforce(spark, ls, rs, k):
         if ed(m, a) <= k
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# media byte-signature near-dup — operators/multimodal.py
+# ---------------------------------------------------------------------------
+def test_byte_signatures_match_python_reference(spark):
+    from surfactant_spark.operators.multimodal import byte_signature, byte_signatures
+
+    blobs = [
+        (0, bytes(range(256))),
+        (1, b"\x00" * 100),
+        (2, b"\xff" * 31 + b"\x00" * 33),
+        (3, b""),
+        (4, bytes((i * 13 + 7) % 256 for i in range(90))),
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, payload binary")
+    got = {r.media_id: (r.n_bytes, r.sig) for r in byte_signatures(df).collect()}
+    for mid, b in blobs:
+        assert got[mid] == (len(b), byte_signature(b)), mid
+    # flat payloads: every block is exactly at the mean -> all bits set
+    assert got[1][1] == (1 << 16) - 1
+
+
+def test_media_near_dup_finds_planted_pairs(spark):
+    from surfactant_spark.operators.multimodal import byte_signature, media_near_dup
+
+    import hashlib
+
+    def stream(tag, n=256):
+        return b"".join(
+            hashlib.md5(f"{tag}:{c}".encode()).digest() for c in range(n // 16)
+        )[:n]
+
+    base = stream("x")
+    v = bytearray(base)
+    for k in range(16):  # hammer one block: flips a bit or two
+        v[32 + k] = 255 if k % 2 == 0 else 0
+    rows = [(0, base), (1, bytes(v)), (2, base), (3, stream("unrelated"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.id1, r.id2): r.hamming for r in media_near_dup(df).collect()}
+    assert got[(0, 2)] == 0  # exact duplicate
+    want_h = bin(byte_signature(base) ^ byte_signature(bytes(v))).count("1")
+    if want_h <= 2:
+        assert got[(0, 1)] == want_h and got[(1, 2)] == want_h
+    assert (0, 3) not in got and (2, 3) not in got
+
+
+def test_media_near_dup_plan_is_arrow_not_row_python(spark):
+    from surfactant_spark.operators.multimodal import media_near_dup
+
+    df = spark.createDataFrame(
+        [(0, b"abc" * 40), (1, b"abd" * 40)], "media_id long, payload binary"
+    )
+    plan = media_near_dup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "CartesianProduct" not in plan
