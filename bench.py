@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "host_bowtie",
     "typo_folding",
     "media_near_dup",
+    "lm_bigram",
 ]
 
 

@@ -1273,3 +1273,121 @@ def chunk_documents(
             F.sha2(F.concat_ws(" ", piece), 256).alias("chunk_sha"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with stupid backoff (KenLM-lite quality scoring)
+# ---------------------------------------------------------------------------
+def lm_bits_bigram(
+    docs: DataFrame,
+    weights: dict = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "lm:v1",
+    train_label: str = "train",
+) -> DataFrame:
+    """Bigram upgrade of :func:`lm_bits` (the CCNet perplexity filter
+    with one token of context — the cheap end of the KenLM ladder):
+    score each document under a bigram LM trained on the corpus's own
+    hash-split train slice, with stupid backoff to the unigram model.
+
+    Exact-integer costs, same power-of-two binning as lm_bits: a token
+    ``w`` after context ``u`` costs ``B2(u) - floor(log2(c2(u,w)+1))``
+    bits when the train bigram exists, where ``B2(u) = floor(log2(
+    c1(u) + V))`` (add-one over u's continuation space, binned); else
+    it BACKS OFF to ``1 + B1 - floor(log2(c1(w)+1))`` (the unigram
+    cost plus a 1-bit backoff penalty — stupid backoff's fixed
+    discount, integer-exact). Each document's first token has no
+    context and scores as a backoff. Returns (doc_id, split,
+    n_tokens, n_backoff, bits, bits_per_token, backoff_frac); the
+    fluency signal a unigram model can't see (scrambled word order
+    scores high-perplexity here, identically-distributed bags don't).
+
+    Spark shape: ONE corpus-sized shuffle builds the per-doc bigram
+    event table (localCheckpoint-ed; both the train reduction and the
+    scoring probe read it); the unigram and bigram train tables are
+    type-cardinality equi-join probes; totals ride a 1-row broadcast —
+    the lm_bits discipline with one extra keyed join."""
+    from .dedup import tokenized
+
+    if weights is None:
+        weights = {"train": 0.9, "heldout": 0.1}
+    if train_label not in weights:
+        raise ValueError(f"weights must contain {train_label!r}")
+    lab = hash_split(docs.select(id_col, text_col), weights, id_col=id_col, salt=salt)
+    tok = tokenized(lab, text_col, keep=(id_col, "split"))
+    toks = F.filter(F.col("_toks"), lambda t: t != "")
+    k = F.size(toks)
+    events = F.concat(
+        F.when(k >= 1, F.array(F.struct(
+            F.lit(None).cast("string").alias("u"),
+            F.element_at(toks, 1).alias("w"),
+        ))).otherwise(F.array().cast("array<struct<u:string,w:string>>")),
+        F.when(
+            k >= 2,
+            F.transform(
+                F.sequence(F.lit(1), k - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("u"),
+                    F.element_at(toks, i + 1).alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<u:string,w:string>>")),
+    )
+    occ = (
+        tok.select(id_col, "split", F.explode(events).alias("e"))
+        .select(id_col, "split", F.col("e.u").alias("u"), F.col("e.w").alias("w"))
+        .groupBy(id_col, "split", "u", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tr = occ.where(F.col("split") == train_label)
+    c1 = tr.groupBy("w").agg(F.sum("cnt").alias("c1"))
+    c2 = (
+        tr.where(F.col("u").isNotNull())
+        .groupBy("u", "w")
+        .agg(F.sum("cnt").alias("c2"))
+    )
+    tot = c1.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("t_total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    cu = c1.select(F.col("w").alias("u"), F.col("c1").alias("cu"))
+    b1 = F.length(F.bin(F.col("t_total") + F.col("v_size"))) - 1
+    cost_uni = b1 - (F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + 1)) - 1)
+    b2 = F.length(F.bin(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v_size"))) - 1
+    cost_big = b2 - (F.length(F.bin(F.col("c2") + 1)) - 1)
+    is_backoff = F.col("u").isNull() | F.col("c2").isNull()
+    cost = F.when(is_backoff, F.lit(1) + cost_uni).otherwise(cost_big)
+    scored = (
+        occ.join(c1, "w", "left")
+        .join(cu, "u", "left")  # type-cardinality probe; AQE decides
+        .join(c2, ["u", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, "split")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(is_backoff, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_backoff"),
+            F.sum(F.col("cnt") * cost).cast("long").alias("bits"),
+        )
+    )
+    return (
+        lab.select(id_col, "split")
+        .join(scored, [id_col, "split"], "left")
+        .select(
+            F.col(id_col),
+            F.col("split"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
+            F.coalesce("bits", F.lit(0)).cast("long").alias("bits"),
+            F.round(
+                F.col("bits").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("bits_per_token"),
+            F.round(
+                F.col("n_backoff").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("backoff_frac"),
+        )
+    )

@@ -6196,6 +6196,70 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# bigram LM with stupid backoff — operators/textops.py
+# ---------------------------------------------------------------------------
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring with stupid backoff (the KenLM-lite
+    upgrade of lm_score): one token of context, exact-integer binned
+    costs, 1-bit backoff penalty — the fluency signal a unigram bag
+    can't see."""
+    from .operators.textops import lm_bits_bigram
+
+    return lm_bits_bigram(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lm_bigram() -> str:
+    pb = _H.format(expr="'lm:v1:' || CAST(doc_id AS VARCHAR)") + f" % {LM_MOD}"
+    return rf"""
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN {pb} < {LM_TRAIN_THR} THEN 'train' ELSE 'heldout' END AS split,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+ev AS (
+  SELECT doc_id, split, CAST(NULL AS VARCHAR) AS u, toks[1] AS w
+  FROM lab WHERE len(toks) >= 1
+  UNION ALL
+  SELECT doc_id, split, toks[i] AS u, toks[i + 1] AS w
+  FROM lab, UNNEST(range(1, len(toks))) AS r(i)),
+occ AS (SELECT doc_id, split, u, w, COUNT(*) AS cnt
+        FROM ev GROUP BY doc_id, split, u, w),
+tr AS (SELECT * FROM occ WHERE split = 'train'),
+c1 AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS c1 FROM tr GROUP BY w),
+c2 AS (SELECT u, w, CAST(SUM(cnt) AS BIGINT) AS c2 FROM tr
+       WHERE u IS NOT NULL GROUP BY u, w),
+tot AS (SELECT COALESCE(CAST(SUM(c1) AS BIGINT), 0) AS t_total,
+               CAST(COUNT(*) AS BIGINT) AS v_size FROM c1),
+sc AS (
+  SELECT o.doc_id, o.split,
+         CAST(SUM(o.cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN o.u IS NULL OR c2.c2 IS NULL
+                       THEN o.cnt ELSE 0 END) AS BIGINT) AS n_backoff,
+         CAST(SUM(o.cnt * (
+           CASE WHEN o.u IS NULL OR c2.c2 IS NULL
+                THEN 1 + (length(bin(t.t_total + t.v_size)) - 1)
+                       - (length(bin(COALESCE(c1.c1, 0) + 1)) - 1)
+                ELSE (length(bin(COALESCE(cu.c1, 0) + t.v_size)) - 1)
+                       - (length(bin(c2.c2 + 1)) - 1) END)) AS BIGINT) AS bits
+  FROM occ o LEFT JOIN c1 ON o.w = c1.w
+             LEFT JOIN c1 cu ON o.u = cu.w
+             LEFT JOIN c2 ON o.u = c2.u AND o.w = c2.w, tot t
+  GROUP BY o.doc_id, o.split)
+SELECT lab.doc_id, lab.split,
+       COALESCE(sc.n_tokens, 0) AS n_tokens,
+       COALESCE(sc.n_backoff, 0) AS n_backoff,
+       COALESCE(sc.bits, 0) AS bits,
+       round(CAST(sc.bits AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+         AS bits_per_token,
+       round(CAST(sc.n_backoff AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE), 6)
+         AS backoff_frac
+FROM (SELECT DISTINCT doc_id, split FROM lab) lab
+LEFT JOIN sc ON lab.doc_id = sc.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # media byte-signature near-dup — operators/multimodal.py
 # ---------------------------------------------------------------------------
 def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6900,6 +6964,7 @@ QUERIES = {
     "host_bowtie": q_host_bowtie,
     "typo_folding": q_typo_folding,
     "media_near_dup": q_media_near_dup,
+    "lm_bigram": q_lm_bigram,
 }
 
 
@@ -7104,4 +7169,5 @@ ORACLE_SQL = {
     "host_bowtie": _sql_host_bowtie(_web_pages_file()),
     "typo_folding": _sql_typo_folding(),
     "media_near_dup": _sql_media_near_dup(_fixture_file("media_blobs")),
+    "lm_bigram": _sql_lm_bigram(),
 }

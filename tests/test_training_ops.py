@@ -2146,3 +2146,83 @@ def test_media_near_dup_plan_is_arrow_not_row_python(spark):
     plan = media_near_dup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with stupid backoff — operators/textops.py
+# ---------------------------------------------------------------------------
+def _py_lm_bigram(rows, mod=1_000_000, thr=900_000):
+    import hashlib
+    from collections import Counter
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(f"lm:v1:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % mod
+
+    split = {i: ("train" if bucket(i) < thr else "heldout") for i, _ in rows}
+    c1, c2 = Counter(), Counter()
+    for i, t in rows:
+        toks = [w for w in t.strip().lower().split() if w]
+        if split[i] != "train":
+            continue
+        c1.update(toks)
+        c2.update(zip(toks, toks[1:]))
+    T, V = sum(c1.values()), len(c1)
+    B1 = (T + V).bit_length() - 1 if T + V > 0 else 0
+    out = {}
+    for i, t in rows:
+        toks = [w for w in t.strip().lower().split() if w]
+        bits = backoff = 0
+        for pos, w in enumerate(toks):
+            u = toks[pos - 1] if pos > 0 else None
+            if u is not None and c2.get((u, w)):
+                b2 = (c1[u] + V).bit_length() - 1
+                bits += b2 - ((c2[(u, w)] + 1).bit_length() - 1)
+            else:
+                backoff += 1
+                bits += 1 + B1 - ((c1.get(w, 0) + 1).bit_length() - 1)
+        n = len(toks)
+        out[i] = (
+            split[i],
+            n,
+            backoff,
+            bits,
+            round(bits / n, 6) if n else None,
+            round(backoff / n, 6) if n else None,
+        )
+    return out
+
+
+def test_lm_bigram_matches_python_replay(spark):
+    from surfactant_spark.operators.textops import lm_bits_bigram
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the log"),
+        (3, "mat the on sat cat the"),  # same bag, scrambled order
+        (4, "completely novel words here"),
+        (5, ""),
+        (6, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.split, r.n_tokens, r.n_backoff, r.bits,
+            r.bits_per_token, r.backoff_frac,
+        )
+        for r in lm_bits_bigram(docs).collect()
+    }
+    want = _py_lm_bigram(rows)
+    assert got == want
+    # the fluency claim: the scrambled doc backs off more than the
+    # fluent one IF both landed in train (seen bigrams differ)
+    if want[1][0] == "train" and want[3][0] == "train":
+        assert want[3][2] >= want[1][2]
+
+
+def test_lm_bigram_validates_weights(spark):
+    from surfactant_spark.operators.textops import lm_bits_bigram
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="train"):
+        lm_bits_bigram(docs, weights={"a": 1.0})
