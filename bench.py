@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "typo_folding",
     "media_near_dup",
     "lm_bigram",
+    "priority_sample",
 ]
 
 

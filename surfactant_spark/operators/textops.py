@@ -1391,3 +1391,75 @@ def lm_bits_bigram(
             ).alias("backoff_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic priority sampling (weighted sample without replacement)
+# ---------------------------------------------------------------------------
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: Column = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "psample:v1",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows without replacement via Priority
+    Sampling (Duffield, Lund & Thorup 2007): each row gets priority
+    ``w / u`` for a uniform-ish ``u`` — here the portable md5 hash of
+    the salted id, so the sample is a PURE FUNCTION of (corpus, salt):
+    reproducible across runs, engines, partitionings, and retries,
+    exactly like hash_split/stratified_sample but weight-sensitive
+    (long documents proportionally likelier). Returns the k rows of
+    largest priority with the estimator column ``est_weight`` =
+    max(w, tau), tau the (k+1)-th priority — sums of est_weight over
+    the sample are unbiased estimates of population weight sums, the
+    property plain top-k-by-weight lacks.
+
+    Default weight: whitespace token count. Scale shape: priorities
+    are scan-side; the only ordering is TakeOrderedAndProject (bounded
+    k+1 heap per partition + driver merge — no global sort); tau rides
+    a 1-row broadcast. The priority double is one IEEE division,
+    bit-identical in any engine; ties are impossible for distinct ids
+    (distinct hashes), and ordering breaks remaining ties by id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .dedup import portable_hash64_col
+
+    if weight_col is None:
+        weight_col = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).cast("long")
+    h = portable_hash64_col(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) + 1
+    base = docs.select(
+        F.col(id_col),
+        weight_col.alias("weight"),
+        (weight_col.cast("double") / h.cast("double")).alias("priority"),
+    ).where(F.col("weight") > 0)
+    top = (
+        base.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+        .localCheckpoint(eager=True)
+    )
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    return (
+        top.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

@@ -6196,6 +6196,45 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# deterministic priority sampling — operators/textops.py
+# ---------------------------------------------------------------------------
+PSAMPLE_K = 50
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Priority Sampling,
+    Duffield et al. 2007) with deterministic hash priorities — the
+    weight-sensitive sibling of corpus_sample, carrying the unbiased
+    est_weight estimator column; TakeOrdered heap, no global sort."""
+    from .operators.textops import priority_sample
+
+    return priority_sample(_read(spark, sf_dir, "documents"), k=PSAMPLE_K)
+
+
+def _sql_priority_sample(k: int = PSAMPLE_K) -> str:
+    h = _H.format(expr="'psample:v1:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS weight,
+         ({h} + 1) AS u
+  FROM documents),
+pri AS (SELECT doc_id, weight,
+               CAST(weight AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+        FROM base WHERE weight > 0),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+       FROM pri),
+tau AS (SELECT CASE WHEN (SELECT COUNT(*) FROM rk) >= {k} + 1
+                    THEN (SELECT priority FROM rk WHERE rn = {k} + 1)
+                    ELSE 0.0 END AS tau)
+SELECT rk.doc_id, rk.weight, rk.priority,
+       greatest(CAST(rk.weight AS DOUBLE), t.tau) AS est_weight
+FROM rk, tau t WHERE rk.rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # bigram LM with stupid backoff — operators/textops.py
 # ---------------------------------------------------------------------------
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6965,6 +7004,7 @@ QUERIES = {
     "typo_folding": q_typo_folding,
     "media_near_dup": q_media_near_dup,
     "lm_bigram": q_lm_bigram,
+    "priority_sample": q_priority_sample,
 }
 
 
@@ -7170,4 +7210,5 @@ ORACLE_SQL = {
     "typo_folding": _sql_typo_folding(),
     "media_near_dup": _sql_media_near_dup(_fixture_file("media_blobs")),
     "lm_bigram": _sql_lm_bigram(),
+    "priority_sample": _sql_priority_sample(),
 }

@@ -2226,3 +2226,54 @@ def test_lm_bigram_validates_weights(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="train"):
         lm_bits_bigram(docs, weights={"a": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# deterministic priority sampling — operators/textops.py
+# ---------------------------------------------------------------------------
+def _py_priority_sample(rows, k, salt="psample:v1"):
+    import hashlib
+
+    pri = []
+    for doc_id, text in rows:
+        w = len([t for t in text.strip().split() if t])
+        if w <= 0:
+            continue
+        u = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16) + 1
+        # float(u) first: engines divide the ROUNDED double, while
+        # python int/int would round the exact rational — last-ulp gap
+        pri.append((doc_id, w, float(w) / float(u)))
+    pri.sort(key=lambda r: (-r[2], r[0]))
+    tau = pri[k][2] if len(pri) >= k + 1 else 0.0
+    return {d: (w, p, max(float(w), tau)) for d, w, p in pri[:k]}
+
+
+def test_priority_sample_matches_python_and_is_weight_sensitive(spark):
+    from surfactant_spark.operators.textops import priority_sample
+
+    rows = [(i, "tok " * (1 + (i * 7) % 40)) for i in range(60)] + [(99, "  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.weight, r.priority, r.est_weight)
+        for r in priority_sample(docs, k=10).collect()
+    }
+    assert got == _py_priority_sample(rows, 10)
+    assert 99 not in got  # zero-weight rows never sampled
+    # weight sensitivity: the sample's mean weight exceeds the corpus's
+    mean_all = sum(1 + (i * 7) % 40 for i in range(60)) / 60
+    mean_s = sum(w for w, _, _ in got.values()) / len(got)
+    assert mean_s > mean_all
+    with pytest.raises(ValueError, match="k must"):
+        priority_sample(docs, k=0)
+
+
+def test_priority_sample_small_corpus_tau_zero(spark):
+    from surfactant_spark.operators.textops import priority_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d e")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in priority_sample(docs, k=5).collect()}
+    assert set(got) == {1, 2}
+    # corpus smaller than k: tau = 0, est_weight == raw weight
+    assert all(r.est_weight == float(r.weight) for r in got.values())
