@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "media_near_dup",
     "lm_bigram",
     "priority_sample",
+    "host_harmonic",
 ]
 
 

@@ -1065,31 +1065,7 @@ def neighborhood_function(
         raise ValueError("max_t must be >= 1")
     from pyspark.sql.window import Window
 
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    seen = (
-        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .withColumn("d", F.lit(1).cast("int"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = seen.select("u", "v")
-    for t in range(2, max_t + 1):
-        nxt = (
-            frontier.join(e, frontier["v"] == e["a"])
-            .select("u", F.col("b").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .dropDuplicates()
-            .join(seen.select("u", "v"), ["u", "v"], "left_anti")
-            .withColumn("d", F.lit(t).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("u", "v")
+    seen = _pair_distances(edges, src, dst, max_t)
     hist = seen.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     tot = hist.agg(F.sum("n").cast("long").alias("np"))
@@ -1189,4 +1165,75 @@ def bowtie_structure(
     sizes = lab.groupBy("region").agg(F.count(F.lit(1)).cast("long").alias("n_region"))
     return lab.join(sizes, "region").select(
         F.col("id").alias("host"), "region", "n_region"
+    )
+
+
+def _pair_distances(edges: DataFrame, src: str, dst: str, max_t: int) -> DataFrame:
+    """(u, v, d) exact shortest-path pairs within ``max_t`` hops — the
+    multi-source frontier BFS shared by neighborhood_function and
+    harmonic_centrality (one equi join + distinct + left_anti per
+    level, localCheckpoint-ed)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    seen = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .withColumn("d", F.lit(1).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seen.select("u", "v")
+    for t in range(2, max_t + 1):
+        nxt = (
+            frontier.join(e, frontier["v"] == e["a"])
+            .select("u", F.col("b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .join(seen.select("u", "v"), ["u", "v"], "left_anti")
+            .withColumn("d", F.lit(t).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("u", "v")
+    return seen
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_t: int = 6,
+) -> DataFrame:
+    """Exact hop-bounded harmonic centrality: H(v) = sum over nodes u
+    reaching v of 1/d(u, v) — the centrality Boldi & Vigna recommend
+    over closeness for web graphs (bounded, meaningful on disconnected
+    graphs; their HyperBall estimates it at 10^11 nodes, host graphs
+    afford the exact computation). Scores are EXACT integers in
+    1/60ths: 60 is divisible by every d in 1..6, so ``sum(60 // d)``
+    carries no rounding at the default radius and the decimal column
+    is one IEEE division at the end. Returns (host, n_reaching,
+    h_micro60, harmonic).
+
+    Same BFS-pair shape as neighborhood_function (shared helper); the
+    final reduction is one groupBy(v) aggregation."""
+    if max_t < 1 or max_t > 6:
+        raise ValueError("max_t must be in [1, 6] (60ths stay exact)")
+    pairs = _pair_distances(edges, src, dst, max_t)
+    return (
+        pairs.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reaching"),
+            F.sum(F.lit(60).cast("long") / F.col("d")).cast("long").alias(
+                "h_micro60"
+            ),
+        )
+        .select(
+            F.col("v").alias("host"),
+            "n_reaching",
+            "h_micro60",
+            F.round(F.col("h_micro60").cast("double") / 60.0, 6).alias("harmonic"),
+        )
     )

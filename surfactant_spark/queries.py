@@ -6196,6 +6196,53 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# harmonic centrality — operators/graphrank.py
+# ---------------------------------------------------------------------------
+def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop-bounded harmonic centrality of the host graph
+    (Boldi & Vigna's recommended web-graph centrality; HyperBall's
+    target): H(v) = sum of 1/d(u,v), exact integers in 1/60ths so the
+    oracle surface carries one IEEE division."""
+    from .operators.graphrank import harmonic_centrality
+    from .operators.webgraph import host_graph
+
+    hg = host_graph(_read_web_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return harmonic_centrality(hg, max_t=NBH_MAX_T)
+
+
+def _sql_host_harmonic(path: str, max_t: int = NBH_MAX_T) -> str:
+    steps = []
+    for i in range(2, max_t + 1):
+        steps.append(
+            f"n{i} AS (SELECT a.u AS u, e.t AS v, a.d + 1 AS d "
+            f"FROM a{i - 1} a JOIN eg e ON a.v = e.s WHERE a.u <> e.t),\n"
+            f"a{i} AS (SELECT u, v, MIN(d) AS d FROM "
+            f"(SELECT * FROM a{i - 1} UNION ALL SELECT * FROM n{i}) GROUP BY u, v)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_SQL_LINKS.format(path=path)},
+t0 AS (SELECT url, regexp_replace(href, '^bundle://', '') AS tgt FROM links),
+ht AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS src_host,
+         regexp_extract(tgt, '^[a-z]+://([^/?#]+)', 1) AS dst_host
+  FROM t0 WHERE regexp_matches(tgt, '^https?://')),
+eg AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM ht
+       WHERE src_host <> dst_host
+         AND src_host IS NOT NULL AND dst_host IS NOT NULL),
+a1 AS (SELECT s AS u, t AS v, 1 AS d FROM eg),
+{chain}
+SELECT v AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_reaching,
+       CAST(SUM(60 / d) AS BIGINT) AS h_micro60,
+       round(CAST(SUM(60 / d) AS DOUBLE) / 60.0, 6) AS harmonic
+FROM a{max_t} GROUP BY v
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic priority sampling — operators/textops.py
 # ---------------------------------------------------------------------------
 PSAMPLE_K = 50
@@ -7005,6 +7052,7 @@ QUERIES = {
     "media_near_dup": q_media_near_dup,
     "lm_bigram": q_lm_bigram,
     "priority_sample": q_priority_sample,
+    "host_harmonic": q_host_harmonic,
 }
 
 
@@ -7211,4 +7259,5 @@ ORACLE_SQL = {
     "media_near_dup": _sql_media_near_dup(_fixture_file("media_blobs")),
     "lm_bigram": _sql_lm_bigram(),
     "priority_sample": _sql_priority_sample(),
+    "host_harmonic": _sql_host_harmonic(_web_pages_file()),
 }

@@ -1240,3 +1240,62 @@ def test_bowtie_matches_python_reference(spark, edges):
     df = spark.createDataFrame(sorted(simple), "src long, dst long")
     got = {r.host: r.region for r in bowtie_structure(df).collect()}
     assert got == _py_bowtie(simple)
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality
+# ---------------------------------------------------------------------------
+def test_harmonic_centrality_hand_path(spark):
+    from surfactant_spark.operators.graphrank import harmonic_centrality
+
+    # path 1->2->3->4: H(4) = 1/3 + 1/2 + 1 = 110/60
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.host: (r.n_reaching, r.h_micro60, r.harmonic)
+        for r in harmonic_centrality(df).collect()
+    }
+    assert got[2] == (1, 60, 1.0)
+    assert got[3] == (2, 90, 1.5)
+    assert got[4] == (3, 110, round(110 / 60, 6))
+    assert 1 not in got  # nothing reaches the source
+    with pytest.raises(ValueError, match="max_t"):
+        harmonic_centrality(df, max_t=7)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_st, st.integers(min_value=1, max_value=4))
+def test_harmonic_matches_python_reference(spark, edges, max_t):
+    from collections import deque
+
+    from surfactant_spark.operators.graphrank import harmonic_centrality
+
+    simple = {(a, b) for a, b in edges if a != b}
+    if not simple:
+        return
+    df = spark.createDataFrame(sorted(simple), "src long, dst long")
+    got = {
+        r.host: (r.n_reaching, r.h_micro60)
+        for r in harmonic_centrality(df, max_t=max_t).collect()
+    }
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+    nodes = set(adj) | {b for s in adj.values() for b in s}
+    want = {}
+    for s in nodes:
+        seen = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            if seen[x] >= max_t:
+                continue
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen[y] = seen[x] + 1
+                    dq.append(y)
+        for v, d in seen.items():
+            if v != s:
+                n, h = want.get(v, (0, 0))
+                want[v] = (n + 1, h + 60 // d)
+    assert got == want
