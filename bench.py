@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "lm_bigram",
     "priority_sample",
     "host_harmonic",
+    "crawl_plan",
 ]
 
 

@@ -6196,6 +6196,103 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# crawl plan — robots x sitemap x politeness capstone composition
+# ---------------------------------------------------------------------------
+def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-side capstone (curation_verdict's mirror): every
+    sitemap-declared url gets the fetch decision a scheduler ships —
+    'skip_robots' (disallowed for this agent) beats 'fetch' (stale or
+    never captured) beats 'hold' (no lastmod evidence) beats
+    'skip_fresh' — alongside the host's crawl delay. Each stage is an
+    already-verified operator (robots_check, sitemap_staleness,
+    robots_rules); this query owns only join order and precedence."""
+    from .operators.robots import robots_check, robots_rules
+    from .operators.webgraph import sitemap_staleness
+
+    p = _fixture_paths()
+    rb = spark.read.parquet(p["robots_pages"])
+    st = sitemap_staleness(
+        _read_web_pages(spark), spark.read.parquet(p["sitemap_pages"])
+    )
+    rc = robots_check(st.select("url").dropDuplicates(), rb).select(
+        "url", "allowed"
+    )
+    delay = (
+        robots_rules(rb)
+        .groupBy("host")
+        .agg(F.min("crawl_delay").alias("crawl_delay"))
+    )
+    j = st.join(rc, "url", "left").join(F.broadcast(delay), "host", "left")
+    allowed = F.coalesce(F.col("allowed"), F.lit(True))
+    decision = (
+        F.when(~allowed, "skip_robots")
+        .when(F.col("status").isin("stale", "uncaptured"), "fetch")
+        .when(F.col("status") == "unknown", "hold")
+        .otherwise("skip_fresh")
+    )
+    return j.select(
+        "host",
+        "url",
+        allowed.alias("allowed"),
+        "status",
+        "crawl_delay",
+        decision.alias("decision"),
+    )
+
+
+def _sql_crawl_plan(
+    pages_path: str, sitemap_path: str, robots_path: str,
+    agent: str = ROBOTS_AGENT,
+) -> str:
+    return rf"""
+WITH {_sql_robots_common(robots_path, agent)},
+delay AS (SELECT host, MIN(TRY_CAST(val AS BIGINT)) AS crawl_delay
+          FROM rules WHERE key = 'crawl-delay' GROUP BY host),
+sm AS (SELECT host, sitemap_xml FROM read_parquet('{sitemap_path}')),
+en AS (
+  SELECT host,
+         regexp_extract(u.e, '<loc>([^<]*)</loc>', 1) AS url,
+         regexp_extract(u.e, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+  FROM sm, UNNEST(regexp_extract_all(sitemap_xml, '<url>.*?</url>')) AS u(e)
+  WHERE regexp_extract(u.e, '<loc>([^<]*)</loc>', 1) <> ''),
+cap AS (SELECT url, CAST(MAX(warc_ts) AS BIGINT) AS last_capture_ts
+        FROM read_parquet('{pages_path}') GROUP BY url),
+stj AS (
+  SELECT en.host, en.url,
+         CASE WHEN cap.last_capture_ts IS NULL THEN 'uncaptured'
+              WHEN en.lastmod = '' THEN 'unknown'
+              WHEN CAST(CAST(en.lastmod AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   > CAST(floor(cap.last_capture_ts / 86400) AS BIGINT)
+                   THEN 'stale'
+              ELSE 'fresh' END AS status
+  FROM en LEFT JOIN cap ON en.url = cap.url),
+pg AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+              CASE WHEN regexp_replace(url, '^[a-z]+://[^/?#]+', '') = ''
+                   THEN '/'
+                   ELSE regexp_replace(url, '^[a-z]+://[^/?#]+', '')
+              END AS path
+       FROM (SELECT DISTINCT url FROM en)),
+cand AS (SELECT pg.url, r.is_allow,
+                ROW_NUMBER() OVER (PARTITION BY pg.url
+                    ORDER BY r.specificity DESC, r.is_allow DESC,
+                             r.rule_path DESC) AS rn
+         FROM pg JOIN prules r ON pg.host = r.host
+         WHERE starts_with(pg.path, r.rule_path)
+           AND (NOT r.anchored OR pg.path = r.rule_path)),
+win AS (SELECT url, is_allow FROM cand WHERE rn = 1)
+SELECT stj.host, stj.url,
+       COALESCE(w.is_allow, TRUE) AS allowed,
+       stj.status, d.crawl_delay,
+       CASE WHEN NOT COALESCE(w.is_allow, TRUE) THEN 'skip_robots'
+            WHEN stj.status IN ('stale', 'uncaptured') THEN 'fetch'
+            WHEN stj.status = 'unknown' THEN 'hold'
+            ELSE 'skip_fresh' END AS decision
+FROM stj LEFT JOIN win w ON stj.url = w.url
+LEFT JOIN delay d ON stj.host = d.host
+"""
+
+
+# ---------------------------------------------------------------------------
 # harmonic centrality — operators/graphrank.py
 # ---------------------------------------------------------------------------
 def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7053,6 +7150,7 @@ QUERIES = {
     "lm_bigram": q_lm_bigram,
     "priority_sample": q_priority_sample,
     "host_harmonic": q_host_harmonic,
+    "crawl_plan": q_crawl_plan,
 }
 
 
@@ -7260,4 +7358,9 @@ ORACLE_SQL = {
     "lm_bigram": _sql_lm_bigram(),
     "priority_sample": _sql_priority_sample(),
     "host_harmonic": _sql_host_harmonic(_web_pages_file()),
+    "crawl_plan": _sql_crawl_plan(
+        _web_pages_file(),
+        _fixture_file("sitemap_pages"),
+        _fixture_file("robots_pages"),
+    ),
 }

@@ -130,3 +130,27 @@ def test_check_plan_is_broadcast_equi_join_no_python(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_crawl_plan_precedence_and_branches(spark):
+    """skip_robots beats fetch beats hold beats skip_fresh; all four
+    branches must appear on the gate fixture."""
+    from surfactant_spark.queries import q_crawl_plan
+    from tests.conftest import SF_DIR
+
+    rows = q_crawl_plan(spark, SF_DIR).collect()
+    seen = {r.decision for r in rows}
+    assert seen == {"skip_robots", "fetch", "hold", "skip_fresh"}
+    for r in rows:
+        if not r.allowed:
+            assert r.decision == "skip_robots"
+        elif r.status in ("stale", "uncaptured"):
+            assert r.decision == "fetch"
+        elif r.status == "unknown":
+            assert r.decision == "hold"
+        else:
+            assert r.decision == "skip_fresh"
+    # the site0 group carries its crawl delay onto every decision row
+    assert all(
+        r.crawl_delay == 2 for r in rows if r.host == "site0.example.org"
+    )
