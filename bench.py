@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "priority_sample",
     "host_harmonic",
     "crawl_plan",
+    "cdc_chunks",
 ]
 
 

@@ -1463,3 +1463,88 @@ def priority_sample(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC — shift-robust chunk boundaries)
+# ---------------------------------------------------------------------------
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "cdc:v1",
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a chunk boundary
+    falls AFTER every token whose portable hash is 0 mod ``divisor``
+    (expected chunk length = ``divisor`` tokens) — the storage-dedup
+    primitive (LBFS/rsync/restic) applied to text. Unlike
+    :func:`chunk_documents`' fixed windows, boundaries depend only on
+    LOCAL content, so inserting a paragraph re-chunks the insertion
+    point and nothing else — downstream chunk-sha dedup still matches
+    every untouched chunk (the shift-robustness fixed windows lack;
+    asserted in tests). Production CDC adds min/max chunk bounds via
+    the same per-document sequential pass; the unbounded variant keeps
+    the operator fully declarative (a boundary-free document is one
+    doc-sized chunk — the worst case equals the per-doc bound every
+    doc-keyed operator already carries). Returns (doc_id, chunk_id,
+    start_pos, n_toks, chunk_text, chunk_sha); whitespace-only docs
+    drop.
+
+    Spark shape: explode to (doc, pos, tok), ONE doc-keyed shuffle; the
+    running boundary count is a window over (doc_id ORDER BY pos) —
+    partitioned by the natural key, never global — and chunk assembly
+    is a doc+chunk-keyed aggregation with a row-local sort of the
+    collected (pos, tok) structs. Pure JVM + the portable hash."""
+    if divisor < 2:
+        raise ValueError("divisor must be >= 2")
+    from pyspark.sql.window import Window
+
+    from .dedup import portable_hash64_col
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    e = base.select(
+        id_col, F.posexplode("_toks").alias("_p0", "tok")
+    ).select(
+        id_col, (F.col("_p0") + 1).alias("pos"), "tok"
+    )
+    bnd = (
+        F.pmod(
+            portable_hash64_col(F.concat(F.lit(salt + ":"), F.col("tok"))),
+            F.lit(divisor),
+        )
+        == 0
+    ).cast("int")
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = e.withColumn("_b", bnd).withColumn(
+        "chunk_id", (F.sum("_b").over(w) - F.col("_b")).cast("long")
+    )
+    return (
+        c.groupBy(id_col, "chunk_id")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "start_pos",
+            "n_toks",
+            "chunk_text",
+            F.sha2("chunk_text", 256).alias("chunk_sha"),
+        )
+    )

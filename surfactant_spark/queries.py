@@ -6196,6 +6196,52 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# content-defined chunking — operators/textops.py
+# ---------------------------------------------------------------------------
+CDC_DIVISOR = 16
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the storage-dedup boundary rule on
+    text): boundaries where the token hash is 0 mod 16, so insertions
+    re-chunk only the insertion point and chunk-sha dedup stays
+    shift-robust — fixed windows (doc_chunks) can't do that."""
+    from .operators.textops import cdc_chunks
+
+    return cdc_chunks(_read(spark, sf_dir, "documents"), divisor=CDC_DIVISOR)
+
+
+def _sql_cdc_chunks(divisor: int = CDC_DIVISOR) -> str:
+    hb = _H.format(expr="'cdc:v1:' || tok")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+e AS (SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+      WHERE len(toks) > 0),
+b AS (SELECT doc_id, pos, tok,
+             CASE WHEN {hb} % {divisor} = 0 THEN 1 ELSE 0 END AS bnd
+      FROM e),
+c AS (SELECT doc_id, pos, tok,
+             CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) - bnd
+                  AS BIGINT) AS chunk_id
+      FROM b),
+g AS (SELECT doc_id, chunk_id,
+             CAST(MIN(pos) AS BIGINT) AS start_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM c GROUP BY doc_id, chunk_id)
+SELECT doc_id, chunk_id, start_pos, n_toks, chunk_text,
+       sha256(chunk_text) AS chunk_sha
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # crawl plan — robots x sitemap x politeness capstone composition
 # ---------------------------------------------------------------------------
 def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7151,6 +7197,7 @@ QUERIES = {
     "priority_sample": q_priority_sample,
     "host_harmonic": q_host_harmonic,
     "crawl_plan": q_crawl_plan,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 
@@ -7363,4 +7410,5 @@ ORACLE_SQL = {
         _fixture_file("sitemap_pages"),
         _fixture_file("robots_pages"),
     ),
+    "cdc_chunks": _sql_cdc_chunks(),
 }

@@ -2277,3 +2277,60 @@ def test_priority_sample_small_corpus_tau_zero(spark):
     assert set(got) == {1, 2}
     # corpus smaller than k: tau = 0, est_weight == raw weight
     assert all(r.est_weight == float(r.weight) for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking — operators/textops.py
+# ---------------------------------------------------------------------------
+def _py_cdc(text, divisor=16, salt="cdc:v1"):
+    import hashlib
+
+    toks = [t for t in text.strip().split() if t]
+    out, cur, start = [], [], 1
+    for pos, tok in enumerate(toks, 1):
+        if not cur:
+            start = pos
+        cur.append(tok)
+        h = int(hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:15], 16)
+        if h % divisor == 0:
+            out.append((start, cur))
+            cur = []
+    if cur:
+        out.append((start, cur))
+    return [
+        (
+            cid,
+            start,
+            len(toks_),
+            " ".join(toks_),
+            hashlib.sha256(" ".join(toks_).encode()).hexdigest(),
+        )
+        for cid, (start, toks_) in enumerate(out)
+    ]
+
+
+def test_cdc_chunks_matches_python_and_is_shift_robust(spark):
+    from surfactant_spark.operators.textops import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(120))
+    shifted = "inserted prefix " + base  # two tokens prepended
+    rows = [(1, base), (2, shifted), (3, "   "), (4, "onetok")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(docs, divisor=8).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_pos, r.n_toks, r.chunk_text, r.chunk_sha)
+        )
+    for doc_id, text in rows:
+        want = _py_cdc(text, divisor=8)
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+    assert 3 not in got  # whitespace-only drops
+    # the CDC claim: after the FIRST shared boundary, every chunk sha
+    # of the shifted doc reappears verbatim in the base doc's set —
+    # fixed windows would shift every chunk
+    shas1 = {c[4] for c in got[1]}
+    shas2 = [c for c in sorted(got[2])]
+    shared = [c for c in shas2[1:] if c[4] in shas1]
+    assert len(shared) >= len(shas2) - 2  # at most the head chunks differ
+    with pytest.raises(ValueError, match="divisor"):
+        cdc_chunks(docs, divisor=1)
