@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "host_harmonic",
     "crawl_plan",
     "cdc_chunks",
+    "ppl_buckets",
 ]
 
 

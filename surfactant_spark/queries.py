@@ -6196,6 +6196,68 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# CCNet perplexity buckets — lm_bits x exact_quantiles composition
+# ---------------------------------------------------------------------------
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): every
+    scored document assigned its corpus perplexity tercile — head
+    (lowest cross-entropy third) is what the paper keeps. Composes the
+    already-verified lm_bits scorer with the exact integer-rank
+    quantile machinery over milli-bits-per-token (an EXACT integer —
+    bits*1000 div n_tokens — so the bucket thresholds carry no IEEE
+    ratio); thresholds ride a 1-row broadcast."""
+    from .operators.textops import exact_quantiles, lm_bits
+
+    lm = lm_bits(_read(spark, sf_dir, "documents"))
+    scored = (
+        lm.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(bits * 1000) div n_tokens").alias("mbits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    thr = exact_quantiles(
+        scored.select(F.col("mbits").alias("v")), qs=(0.33, 0.67)
+    )
+    t = thr.agg(
+        F.min(F.when(F.col("q") == 0.33, F.col("value"))).alias("t1"),
+        F.min(F.when(F.col("q") == 0.67, F.col("value"))).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "n_tokens",
+        "mbits",
+        F.when(F.col("mbits") <= F.col("t1"), "head")
+        .when(F.col("mbits") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def _sql_ppl_buckets() -> str:
+    return rf"""
+WITH lm AS (SELECT doc_id, n_tokens, bits FROM ({_sql_lm_score()}) _l
+            WHERE n_tokens > 0),
+sc AS (SELECT doc_id, n_tokens, (bits * 1000) // n_tokens AS mbits FROM lm),
+h AS (SELECT mbits AS val, COUNT(*) AS f FROM sc GROUP BY mbits),
+c AS (SELECT val, f, SUM(f) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS hi
+      FROM h),
+c2 AS (SELECT val, hi, hi - f AS lo, (SELECT SUM(f) FROM h) AS n FROM c),
+t1 AS (SELECT val FROM c2
+       WHERE lo <= (33 * (n - 1)) // 100 AND (33 * (n - 1)) // 100 < hi),
+t2 AS (SELECT val FROM c2
+       WHERE lo <= (67 * (n - 1)) // 100 AND (67 * (n - 1)) // 100 < hi)
+SELECT sc.doc_id, sc.n_tokens, sc.mbits,
+       CASE WHEN sc.mbits <= (SELECT val FROM t1) THEN 'head'
+            WHEN sc.mbits <= (SELECT val FROM t2) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
 # content-defined chunking — operators/textops.py
 # ---------------------------------------------------------------------------
 CDC_DIVISOR = 16
@@ -7198,6 +7260,7 @@ QUERIES = {
     "host_harmonic": q_host_harmonic,
     "crawl_plan": q_crawl_plan,
     "cdc_chunks": q_cdc_chunks,
+    "ppl_buckets": q_ppl_buckets,
 }
 
 
@@ -7411,4 +7474,5 @@ ORACLE_SQL = {
         _fixture_file("robots_pages"),
     ),
     "cdc_chunks": _sql_cdc_chunks(),
+    "ppl_buckets": _sql_ppl_buckets(),
 }

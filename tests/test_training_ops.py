@@ -2334,3 +2334,32 @@ def test_cdc_chunks_matches_python_and_is_shift_robust(spark):
     assert len(shared) >= len(shas2) - 2  # at most the head chunks differ
     with pytest.raises(ValueError, match="divisor"):
         cdc_chunks(docs, divisor=1)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets — lm_bits x exact_quantiles composition
+# ---------------------------------------------------------------------------
+def test_ppl_buckets_terciles_consistent(spark):
+    from surfactant_spark.queries import q_ppl_buckets
+    from tests.conftest import SF_DIR
+
+    rows = q_ppl_buckets(spark, SF_DIR).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.mbits)
+    # head and tail always populate; middle empties when the corpus is
+    # so concentrated that the 33rd and 67th percentile values tie
+    # (legitimate quantile_disc behavior at tiny SF)
+    assert "head" in by_bucket and "tail" in by_bucket
+    # buckets are ordered by mbits: head <= middle <= tail
+    hi_head = max(by_bucket["head"])
+    if "middle" in by_bucket:
+        assert hi_head <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    assert hi_head <= min(by_bucket["tail"])
+    # the head (what CCNet keeps) holds at least the tercile mass —
+    # ties can only GROW it past 33%, never shrink it
+    n = len(rows)
+    assert len(by_bucket["head"]) >= n // 3
+    assert all(r.mbits >= 0 for r in rows)
