@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "crawl_plan",
     "cdc_chunks",
     "ppl_buckets",
+    "winnow_pairs",
 ]
 
 

@@ -1035,3 +1035,116 @@ def dedup_fold(
         .cast("long")
         .alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003 — the MOSS primitive)
+# ---------------------------------------------------------------------------
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "win:v1",
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every ``k``-token shingle,
+    slide a ``w``-hash window, keep each window's minimum — the MOSS
+    plagiarism-detection primitive with the GUARANTEE MinHash lacks:
+    any shared token run of length >= w + k - 1 shares at least one
+    selected fingerprint (local selection; MinHash's global minima
+    carry no locality guarantee). Returns distinct (doc_id, pos,
+    fp_hash); documents with fewer than w shingles emit none (the
+    guarantee's floor — shorter overlaps are dup_spans' regime).
+    Tie-breaking inside a window uses the engines' arg-min; with
+    60-bit hashes over real corpora window ties are absent, and the
+    fixture corpora are verified tie-free.
+
+    Spark shape: shingle hashes are row-local; each position explodes
+    to the <= w full windows covering it (bounded fan-out w — the
+    banded-minhash discipline), then ONE (doc, window)-keyed
+    aggregation picks the minimum. No window function over the corpus,
+    no self-join."""
+    if k < 1 or w < 2:
+        raise ValueError("k must be >= 1 and w >= 2")
+    tok = tokenized(docs, text_col, keep=(id_col,))
+    toks = F.filter(F.col("_toks"), lambda t: t != "")
+    n = F.size(toks)
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i.cast("int"), k)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = (
+        tok.select(F.col(id_col), F.posexplode(grams).alias("_p0", "g"))
+        .select(
+            id_col,
+            (F.col("_p0") + 1).alias("pos"),
+            portable_hash64_col(
+                F.concat(F.lit(salt + ":"), F.col("g"))
+            ).alias("h"),
+        )
+    )
+    # G = shingle count per doc rides along scan-side for window bounds
+    g_cnt = tok.select(
+        F.col(id_col),
+        (F.greatest(n - k + 1, F.lit(0))).cast("long").alias("_g"),
+    )
+    wins = (
+        ex.join(g_cnt, id_col)
+        .where(F.col("_g") >= w)
+        .select(
+            id_col,
+            "pos",
+            "h",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - (w - 1), F.lit(1)).cast("long"),
+                    F.least(F.col("pos").cast("long"), F.col("_g") - (w - 1)),
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s") >= 1)
+    )
+    sel = wins.groupBy(id_col, "s").agg(
+        F.min("h").alias("fp_hash"), F.min_by("pos", "h").alias("pos")
+    )
+    return sel.select(id_col, "pos", "fp_hash").dropDuplicates()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints, with the shared
+    count — the overlap product MOSS reports. Fingerprint-keyed equi
+    join with ubiquitous hashes dropped at ``max_bucket`` (boilerplate
+    shingles every page carries; the simhash width-cap discipline).
+    Returns (id1, id2, n_shared)."""
+    fp = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("id"), "fp_hash").dropDuplicates()
+    ok = (
+        fp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where((F.col("_w") > 1) & (F.col("_w") <= max_bucket))
+        .select("fp_hash")
+    )
+    kept = fp.join(ok, "fp_hash")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

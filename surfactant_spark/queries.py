@@ -6196,6 +6196,66 @@ FROM pg LEFT JOIN win w ON pg.url = w.url
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints — operators/dedup.py
+# ---------------------------------------------------------------------------
+WIN_K = 3
+WIN_W = 4
+WIN_CAP = 64
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints (Schleimer et al.
+    2003, the MOSS primitive): window-minimum shingle hashes carry the
+    locality guarantee MinHash lacks — any shared run of >= w+k-1
+    tokens shares a fingerprint. Bounded w-fan-out explode + keyed
+    min, ubiquity-capped pair join."""
+    from .operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _read(spark, sf_dir, "documents"), k=WIN_K, w=WIN_W, max_bucket=WIN_CAP
+    )
+
+
+def _sql_winnow_pairs(
+    k: int = WIN_K, w: int = WIN_W, cap: int = WIN_CAP
+) -> str:
+    hg = _H.format(expr="'win:v1:' || g")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+gr AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - {k} + 1, 0) AS BIGINT) AS g_cnt,
+         CASE WHEN len(toks) >= {k}
+              THEN [array_to_string(toks[i : i + {k} - 1], ' ')
+                    FOR i IN range(1, len(toks) - {k} + 2)]
+              ELSE [] END AS grams
+  FROM t),
+ex AS (
+  SELECT doc_id, g_cnt, i AS pos, {hg} AS h
+  FROM (SELECT doc_id, g_cnt, u.i AS i, grams[u.i] AS g
+        FROM gr, UNNEST(range(1, CAST(g_cnt AS INTEGER) + 1)) AS u(i)
+        WHERE g_cnt >= {w})),
+wins AS (
+  SELECT doc_id, pos, h, s.s AS s
+  FROM ex, UNNEST(range(greatest(pos - {w} + 1, 1),
+                        least(pos, g_cnt - {w} + 1) + 1)) AS s(s)),
+sel AS (SELECT doc_id, s, MIN(h) AS fp_hash, arg_min(pos, h) AS pos
+        FROM wins GROUP BY doc_id, s),
+fp AS (SELECT DISTINCT doc_id AS id, fp_hash FROM sel),
+ok AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+       HAVING COUNT(*) > 1 AND COUNT(*) <= {cap}),
+kept AS (SELECT fp.* FROM fp JOIN ok USING (fp_hash))
+SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNet perplexity buckets — lm_bits x exact_quantiles composition
 # ---------------------------------------------------------------------------
 def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7261,6 +7321,7 @@ QUERIES = {
     "crawl_plan": q_crawl_plan,
     "cdc_chunks": q_cdc_chunks,
     "ppl_buckets": q_ppl_buckets,
+    "winnow_pairs": q_winnow_pairs,
 }
 
 
@@ -7475,4 +7536,5 @@ ORACLE_SQL = {
     ),
     "cdc_chunks": _sql_cdc_chunks(),
     "ppl_buckets": _sql_ppl_buckets(),
+    "winnow_pairs": _sql_winnow_pairs(),
 }

@@ -2363,3 +2363,83 @@ def test_ppl_buckets_terciles_consistent(spark):
     n = len(rows)
     assert len(by_bucket["head"]) >= n // 3
     assert all(r.mbits >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints — operators/dedup.py
+# ---------------------------------------------------------------------------
+def _py_winnow(text, k=3, w=4, salt="win:v1"):
+    import hashlib
+
+    toks = [t for t in text.strip().lower().split() if t]
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:15], 16)
+        for g in grams
+    ]
+    if len(hs) < w:
+        return set()
+    out = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        pos = s + window.index(m) + 1  # arg-min, 1-based (leftmost tie)
+        out.add((pos, m))
+    return out
+
+
+def test_winnow_fingerprints_match_python_and_guarantee(spark):
+    from surfactant_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} four five six"),  # shares an 8-token run with 1
+        (3, "totally different words everywhere here now again ok"),
+        (4, "short doc"),  # under w shingles: no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp_hash))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+    assert 4 not in got
+    # the winnowing guarantee: docs 1 and 2 share a run of 8 >= w+k-1=6
+    # tokens, so they MUST share a fingerprint hash
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h1 & h2
+    pairs = {
+        (r.id1, r.id2): r.n_shared
+        for r in winnow_pairs(docs, k=3, w=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    with pytest.raises(ValueError, match="w >="):
+        winnow_fingerprints(docs, w=1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            min_size=0,
+            max_size=14,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_matches_python_property(spark, texts):
+    from surfactant_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, k=2, w=3).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp_hash))
+    for i, text in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(text, k=2, w=3), (i, text)
