@@ -1056,9 +1056,11 @@ def winnow_fingerprints(
     carry no locality guarantee). Returns distinct (doc_id, pos,
     fp_hash); documents with fewer than w shingles emit none (the
     guarantee's floor — shorter overlaps are dup_spans' regime).
-    Tie-breaking inside a window uses the engines' arg-min; with
-    60-bit hashes over real corpora window ties are absent, and the
-    fixture corpora are verified tie-free.
+    Equal hashes DO occur inside windows whenever a shingle repeats
+    ("a a a a"), so the tie-break is the paper's robust-winnowing
+    rule, made explicit: the RIGHTMOST minimal hash wins — one
+    deterministic (hash asc, position desc) ordering in every engine,
+    never an unspecified arg-min.
 
     Spark shape: shingle hashes are row-local; each position explodes
     to the <= w full windows covering it (bounded fan-out w — the
@@ -1108,9 +1110,15 @@ def winnow_fingerprints(
         .where(F.col("s") >= 1)
     )
     sel = wins.groupBy(id_col, "s").agg(
-        F.min("h").alias("fp_hash"), F.min_by("pos", "h").alias("pos")
+        F.min(
+            F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+        ).alias("_sel")
     )
-    return sel.select(id_col, "pos", "fp_hash").dropDuplicates()
+    return sel.select(
+        id_col,
+        (-F.col("_sel.np")).cast("int").alias("pos"),
+        F.col("_sel.h").alias("fp_hash"),
+    ).dropDuplicates()
 
 
 def winnow_pairs(

@@ -6243,8 +6243,12 @@ wins AS (
   SELECT doc_id, pos, h, s.s AS s
   FROM ex, UNNEST(range(greatest(pos - {w} + 1, 1),
                         least(pos, g_cnt - {w} + 1) + 1)) AS s(s)),
-sel AS (SELECT doc_id, s, MIN(h) AS fp_hash, arg_min(pos, h) AS pos
-        FROM wins GROUP BY doc_id, s),
+m1 AS (SELECT doc_id, s, MIN(h) AS fp_hash FROM wins GROUP BY doc_id, s),
+-- rightmost minimal hash (robust winnowing's explicit tie-break)
+sel AS (SELECT m1.doc_id, m1.s, m1.fp_hash, MAX(w2.pos) AS pos
+        FROM m1 JOIN wins w2
+          ON m1.doc_id = w2.doc_id AND m1.s = w2.s AND w2.h = m1.fp_hash
+        GROUP BY m1.doc_id, m1.s, m1.fp_hash),
 fp AS (SELECT DISTINCT doc_id AS id, fp_hash FROM sel),
 ok AS (SELECT fp_hash FROM fp GROUP BY fp_hash
        HAVING COUNT(*) > 1 AND COUNT(*) <= {cap}),
